@@ -1,0 +1,439 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/** Training-data pipeline operators over `documents` / `embeddings`:
+  * exact + near deduplication (hash, MinHash+LSH, SimHash, n-gram
+  * Jaccard), text analysis (quality stats, language-id heuristic,
+  * token counting, fingerprinting) and embedding similarity search
+  * (brute-force cosine top-k + an LSH-bucketed variant).
+  *
+  * Scale design: every near-dup path is inverted-index shaped (shingle
+  * → doc postings → candidate pairs) rather than all-pairs, so the
+  * shuffle volume is O(postings), not O(n²); the all-pairs cosine is
+  * explicitly the small-query-set baseline with the bucketed variant
+  * as the 100 TB path.
+  *
+  * Determinism: hashes are md5 hex strings (identical in Spark and
+  * DuckDB); MinHash compares hex strings lexicographically so no
+  * integer conversion is needed; doubles come from exact integer
+  * counts or identical IEEE expression trees.
+  */
+object TextQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Word tokens (documents.text is single-space separated). */
+  private def toks(c: Column): Column = split(c, " ")
+
+  /** Distinct word-3-gram shingles per doc: (doc_id, s). */
+  private def shingles(d: DataFrame): DataFrame = {
+    val tk = toks(col("text"))
+    d.filter(size(tk) >= 3)
+      .select(
+        col("doc_id"),
+        explode(transform(
+          sequence(lit(1), size(tk) - 2),
+          i => concat_ws(" ",
+            element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2))
+        )).as("s"))
+      .distinct()
+  }
+
+  /** DuckDB twin of [[shingles]] as a CTE body. */
+  private val shinglesSql: String =
+    """toksrc AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       sh AS (SELECT DISTINCT doc_id,
+                unnest(list_transform(range(1, greatest(len(tk) - 1, 1)),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+              FROM toksrc WHERE len(tk) >= 3)"""
+
+  // ---------------------------------------------------------------- dedup: exact
+  private val q21 = QueryDef(
+    "q21_dedup_exact",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      d.groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(md5(col("text"))).as("n_unique"),
+          (count(lit(1)) - countDistinct(md5(col("text")))).as("n_exact_dups"),
+          countDistinct(md5(lower(regexp_replace(col("text"), " +", " "))))
+            .as("n_unique_norm"))
+        .orderBy("lang")
+    },
+    Some("""SELECT lang,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+      CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_exact_dups,
+      CAST(COUNT(DISTINCT md5(lower(regexp_replace(text, ' +', ' ', 'g')))) AS BIGINT) AS n_unique_norm
+      FROM documents GROUP BY lang ORDER BY lang"""),
+    covers = Seq("DEDUP-exact"))
+
+  // ---------------------------------------------------------------- dedup: n-gram jaccard
+  // Inverted-index near-dup: shingle postings → candidate pairs →
+  // exact Jaccard. Only docs sharing ≥1 shingle ever pair up.
+  private val q22 = QueryDef(
+    "q22_ngram_jaccard",
+    (s, dir) => {
+      val sh = shingles(t(s, dir, "documents")).cache()
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val pairs = sh.as("a")
+        .join(sh.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("common"))
+      pairs
+        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .withColumn("jaccard",
+          col("common").cast("double") / (col("na") + col("nb") - col("common")))
+        .filter(col("jaccard") >= 0.4)
+        .select("doc_a", "doc_b", "common", "na", "nb", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(s"""WITH $shinglesSql,
+      sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+      pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       CAST(COUNT(*) AS BIGINT) AS common
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+      SELECT doc_a, doc_b, common, sa.n AS na, sb.n AS nb,
+             CAST(common AS DOUBLE) / (sa.n + sb.n - common) AS jaccard
+      FROM pairs
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.4
+      ORDER BY doc_a, doc_b"""),
+    covers = Seq("DEDUP-jaccard"))
+
+  // ---------------------------------------------------------------- dedup: MinHash + LSH
+  // 8 MinHash functions (min md5 over salted shingles — hex strings
+  // compare like the underlying 128-bit ints), banded 2×4: candidate
+  // pairs share ≥1 band. Postings-shaped, no all-pairs stage.
+  private val nHashes = 8
+  private val bandSize = 2
+
+  private val q23 = QueryDef(
+    "q23_minhash_lsh",
+    (s, dir) => {
+      val sh = shingles(t(s, dir, "documents"))
+      val sig = sh.groupBy("doc_id")
+        .agg(
+          min(md5(concat(lit("0:"), col("s")))).as("h0"),
+          (1 until nHashes).map(j =>
+            min(md5(concat(lit(s"$j:"), col("s")))).as(s"h$j")): _*)
+      val bandCols = (0 until nHashes / bandSize).map { b =>
+        md5(concat(lit(s"band$b:"),
+          col(s"h${b * bandSize}"), col(s"h${b * bandSize + 1}")))
+      }
+      val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bkey"))
+      bands.as("a")
+        .join(bands.as("b"),
+          col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("shared_bands"))
+        .orderBy("doc_a", "doc_b")
+    },
+    Some {
+      val hs = (0 until nHashes)
+        .map(j => s"min(md5('$j:' || s)) AS h$j").mkString(", ")
+      val bandList = (0 until nHashes / bandSize)
+        .map(b => s"md5('band$b:' || h${b * bandSize} || h${b * bandSize + 1})")
+        .mkString(", ")
+      s"""WITH $shinglesSql,
+      sig AS (SELECT doc_id, $hs FROM sh GROUP BY doc_id),
+      bands AS (SELECT doc_id, unnest([$bandList]) AS bkey FROM sig)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS shared_bands
+      FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 ORDER BY doc_a, doc_b"""
+    },
+    covers = Seq("DEDUP-minhash"))
+
+  // ---------------------------------------------------------------- dedup: SimHash
+  // 16-bit SimHash: bit k of a token's md5 (low bit of hex digit k+1)
+  // votes ±1; the sign of the vote sum per bit forms the signature.
+  // Docs pair when signatures are identical (Hamming 0).
+  private val simBits = 16
+
+  private val q24 = QueryDef(
+    "q24_simhash",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val tok = d.select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+        .withColumn("h", md5(col("tok")))
+      val voteCols = (0 until simBits).map { k =>
+        sum(when(
+          (instr(lit("0123456789abcdef"), substring(col("h"), k + 1, 1)) - 1)
+            .bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$k")
+      }
+      val votes = tok.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
+      val sim = (0 until simBits).map { k =>
+        when(col(s"v$k") > 0, lit(1L << k)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      val sigs = votes.select(col("doc_id"), sim.as("simhash"))
+      val grouped = sigs.groupBy("simhash")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"))
+      grouped.filter(col("n_docs") > 1)
+        .select("simhash", "n_docs", "min_doc")
+        .orderBy("simhash")
+    },
+    Some {
+      val vs = (0 until simBits).map(k =>
+        s"SUM(CASE WHEN (strpos('0123456789abcdef', substr(md5(tok), ${k + 1}, 1)) - 1) & 1 = 1 THEN 1 ELSE -1 END) AS v$k"
+      ).mkString(", ")
+      val sim = (0 until simBits).map(k =>
+        s"CASE WHEN v$k > 0 THEN ${1L << k} ELSE 0 END").mkString(" + ")
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      votes AS (SELECT doc_id, $vs FROM tok GROUP BY doc_id),
+      sigs AS (SELECT doc_id, CAST($sim AS BIGINT) AS simhash FROM votes)
+      SELECT simhash, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(MIN(doc_id) AS BIGINT) AS min_doc
+      FROM sigs GROUP BY simhash HAVING COUNT(*) > 1 ORDER BY simhash"""
+    },
+    covers = Seq("DEDUP-simhash"))
+
+  // ---------------------------------------------------------------- text quality stats
+  private val q25 = QueryDef(
+    "q25_text_stats",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val tk = toks(col("text"))
+      val stop = size(filter(tk,
+        tok => tok.isin("the", "a", "and", "of", "to")))
+      d.select(
+          col("lang"),
+          length(col("text")).as("chars"),
+          size(tk).as("n_tokens"),
+          stop.as("n_stop"))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("chars")).as("total_chars"),
+          sum(col("n_tokens")).as("total_tokens"),
+          (sum(col("chars")).cast("double") / sum(col("n_tokens")))
+            .as("avg_token_len"),
+          (sum(col("n_stop")).cast("double") / sum(col("n_tokens")))
+            .as("stopword_ratio"),
+          sum(when(col("n_tokens") >= 50, 1).otherwise(0)).as("n_long_docs"))
+        .orderBy("lang")
+    },
+    Some("""WITH d AS (
+        SELECT lang, length(text) AS chars,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_filter(string_split(text, ' '),
+                   t -> t IN ('the', 'a', 'and', 'of', 'to'))) AS n_stop
+        FROM documents)
+      SELECT lang,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(chars) AS BIGINT) AS total_chars,
+        CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        CAST(SUM(chars) AS DOUBLE) / SUM(n_tokens) AS avg_token_len,
+        CAST(SUM(n_stop) AS DOUBLE) / SUM(n_tokens) AS stopword_ratio,
+        CAST(SUM(CASE WHEN n_tokens >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_long_docs
+      FROM d GROUP BY lang ORDER BY lang"""),
+    covers = Seq("TEXT-quality"))
+
+  // ---------------------------------------------------------------- language-id heuristic
+  // Marker-stopword n-gram heuristic; the CASE order is part of the
+  // contract (first match wins in both engines).
+  private val q26 = QueryDef(
+    "q26_lang_id",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val padded = concat(lit(" "), lower(col("text")), lit(" "))
+      def has(words: String*): Column =
+        words.map(w => padded.contains(s" $w ")).reduce(_ || _)
+      val pred = when(has("der", "und", "nicht", "das"), "de")
+        .when(has("el", "los", "las", "una"), "es")
+        .when(has("le", "les", "des", "une"), "fr")
+        .when(has("de", "het", "een", "niet"), "nl")
+        .when(has("the", "and", "of", "is"), "en")
+        .otherwise("unknown")
+      d.select(col("lang"), pred.as("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred_lang")
+    },
+    Some {
+      def has(words: Seq[String]): String =
+        words.map(w => s"contains(' ' || lower(text) || ' ', ' $w ')")
+          .mkString("(", " OR ", ")")
+      s"""SELECT lang,
+        CASE WHEN ${has(Seq("der", "und", "nicht", "das"))} THEN 'de'
+             WHEN ${has(Seq("el", "los", "las", "una"))} THEN 'es'
+             WHEN ${has(Seq("le", "les", "des", "une"))} THEN 'fr'
+             WHEN ${has(Seq("de", "het", "een", "niet"))} THEN 'nl'
+             WHEN ${has(Seq("the", "and", "of", "is"))} THEN 'en'
+             ELSE 'unknown' END AS pred_lang,
+        CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1, 2 ORDER BY lang, pred_lang"""
+    },
+    covers = Seq("TEXT-langid"))
+
+  // ---------------------------------------------------------------- token counting
+  // BPE-ish regex token counting: words / numbers / single symbols.
+  private val q27 = QueryDef(
+    "q27_token_count",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val bpeish = size(regexp_extract_all(
+        lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+      d.groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(bpeish).as("total_bpeish_tokens"),
+          sum(size(toks(col("text")))).as("total_ws_tokens"),
+          max(bpeish).as("max_doc_tokens"),
+          (sum(bpeish).cast("double") / count(lit(1))).as("avg_doc_tokens"))
+        .orderBy("source")
+    },
+    Some("""SELECT source,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS total_bpeish_tokens,
+      CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_ws_tokens,
+      CAST(MAX(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS INTEGER) AS max_doc_tokens,
+      CAST(SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS DOUBLE) / COUNT(*) AS avg_doc_tokens
+      FROM documents GROUP BY source ORDER BY source"""),
+    covers = Seq("TEXT-tokens"))
+
+  // ---------------------------------------------------------------- fingerprinting
+  // Rolling 5-char shingle fingerprint = lexicographic min of shingle
+  // md5s — a winnowing-style document signature, computed without an
+  // explode via array HOFs.
+  private val q28 = QueryDef(
+    "q28_fingerprint",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val fp = array_min(transform(
+        sequence(lit(1), length(col("text")) - 4),
+        i => md5(col("text").substr(i, lit(5)))))
+      d.filter(length(col("text")) >= 5)
+        .select(col("doc_id"), fp.as("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"))
+        .orderBy("fingerprint")
+    },
+    Some("""WITH fp AS (
+        SELECT doc_id,
+          list_aggregate(list_transform(range(1, greatest(length(text) - 3, 1)),
+            i -> md5(substr(text, i, 5))), 'min') AS fingerprint
+        FROM documents WHERE length(text) >= 5)
+      SELECT fingerprint, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(MIN(doc_id) AS BIGINT) AS min_doc
+      FROM fp GROUP BY fingerprint ORDER BY fingerprint"""),
+    covers = Seq("TEXT-fingerprint"))
+
+  // ---------------------------------------------------------------- similarity: brute-force cosine top-k
+  /** dot(a, b) in double, sequential over elements — identical IEEE
+    * evaluation order in Spark's `aggregate` fold and DuckDB's
+    * `list_sum`.
+    */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  private val q29 = QueryDef(
+    "q29_cosine_topk",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val c = e.select(
+        col("vec_id").as("n_id"), col("label").as("n_label"),
+        col("embedding").as("n_emb"))
+      val cos = dot(col("q_emb"), col("n_emb")) /
+        (sqrt(dot(col("q_emb"), col("q_emb"))) * sqrt(dot(col("n_emb"), col("n_emb"))))
+      val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))
+      c.crossJoin(broadcast(q))
+        .filter(col("q_id") =!= col("n_id"))
+        .withColumn("cos", cos)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("q_id"), col("n_id"), col("n_label"), col("cos"),
+          col("rk").cast("long").as("rk"))
+        .orderBy("q_id", "rk")
+    },
+    Some("""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+                       FROM embeddings WHERE vec_id % 50 = 0),
+      c AS (SELECT vec_id AS n_id, label AS n_label, embedding AS n_emb FROM embeddings),
+      scored AS (
+        SELECT q_id, n_id, n_label,
+          list_sum(list_transform(list_zip(q_emb, n_emb),
+            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+          (sqrt(list_sum(list_transform(list_zip(q_emb, q_emb),
+            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))) *
+           sqrt(list_sum(list_transform(list_zip(n_emb, n_emb),
+            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))))) AS cos
+        FROM c, q WHERE q_id <> n_id),
+      ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk
+                 FROM scored)
+      SELECT q_id, n_id, n_label, cos, rk FROM ranked WHERE rk <= 5
+      ORDER BY q_id, rk"""),
+    covers = Seq("SIM-brute"))
+
+  // ---------------------------------------------------------------- similarity: LSH-bucketed ANN
+  // Scale path: partition vectors by the sign pattern of 4 fixed
+  // dimensions (16 buckets); search only within the query's bucket.
+  // At 100 TB the bucket becomes the shuffle/partition key and each
+  // bucket is searched independently.
+  private val q30 = QueryDef(
+    "q30_cosine_ann_bucketed",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      def bucketOf(emb: Column): Column =
+        concat(Seq(1, 9, 17, 25).map(d =>
+          when(element_at(emb, d) >= 0, "1").otherwise("0")): _*)
+      val b = e.select(
+        col("vec_id"), col("label"), col("embedding"),
+        bucketOf(col("embedding")).as("bucket"))
+      val q = b.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("bucket"))
+      val c = b.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+        col("bucket"))
+      val cos = dot(col("q_emb"), col("n_emb")) /
+        (sqrt(dot(col("q_emb"), col("q_emb"))) * sqrt(dot(col("n_emb"), col("n_emb"))))
+      val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))
+      q.join(c, Seq("bucket"))
+        .filter(col("q_id") =!= col("n_id"))
+        .withColumn("cos", cos)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("bucket"), col("q_id"), col("n_id"), col("cos"),
+          col("rk").cast("long").as("rk"))
+        .orderBy("q_id", "rk")
+    },
+    Some("""WITH b AS (
+        SELECT vec_id, embedding,
+          (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END) ||
+          (CASE WHEN embedding[9] >= 0 THEN '1' ELSE '0' END) ||
+          (CASE WHEN embedding[17] >= 0 THEN '1' ELSE '0' END) ||
+          (CASE WHEN embedding[25] >= 0 THEN '1' ELSE '0' END) AS bucket
+        FROM embeddings),
+      q AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket FROM b WHERE vec_id % 50 = 0),
+      c AS (SELECT vec_id AS n_id, embedding AS n_emb, bucket FROM b),
+      scored AS (
+        SELECT q.bucket, q_id, n_id,
+          list_sum(list_transform(list_zip(q_emb, n_emb),
+            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+          (sqrt(list_sum(list_transform(list_zip(q_emb, q_emb),
+            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))) *
+           sqrt(list_sum(list_transform(list_zip(n_emb, n_emb),
+            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))))) AS cos
+        FROM q JOIN c USING (bucket) WHERE q_id <> n_id),
+      ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk
+                 FROM scored)
+      SELECT bucket, q_id, n_id, cos, rk FROM ranked WHERE rk <= 3
+      ORDER BY q_id, rk"""),
+    covers = Seq("SIM-ann"))
+
+  val all: Seq[QueryDef] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30)
+}
