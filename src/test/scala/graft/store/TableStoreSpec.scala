@@ -1,0 +1,46 @@
+package graft.store
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+class TableStoreSpec extends SparkSpec {
+
+  private def newStore(): TableStore =
+    new TableStore(spark, Files.createTempDirectory("graft-store").toString)
+
+  test("appendIfAbsent inserts only novel keys and is idempotent") {
+    import spark.implicits._
+    val store = newStore()
+    val batch1 = Seq(("a", 1), ("b", 2)).toDF("k", "v")
+    assert(store.appendIfAbsent("t", batch1, "k") == 2)
+    // Re-running the same batch inserts nothing (the reference's
+    // "safe to re-run" contract).
+    assert(store.appendIfAbsent("t", batch1, "k") == 0)
+    val batch2 = Seq(("b", 99), ("c", 3)).toDF("k", "v")
+    assert(store.appendIfAbsent("t", batch2, "k") == 1)
+    val rows = store.read("t").get.collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(rows == Map("a" -> 1, "b" -> 2, "c" -> 3)) // b kept original
+  }
+
+  test("upsert replaces matched keys, keeps unmatched, latest version wins") {
+    import spark.implicits._
+    val store = newStore()
+    store.upsert("u", Seq(("a", 1, 10L), ("b", 2, 10L)).toDF("k", "v", "ver"), "k", "ver")
+    store.upsert("u", Seq(("b", 20, 11L), ("c", 3, 11L)).toDF("k", "v", "ver"), "k", "ver")
+    val rows = store.read("u").get.collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(rows == Map("a" -> 1, "b" -> 20, "c" -> 3))
+    // Idempotent: re-applying the second batch changes nothing.
+    store.upsert("u", Seq(("b", 20, 11L), ("c", 3, 11L)).toDF("k", "v", "ver"), "k", "ver")
+    val again = store.read("u").get.collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(again == Map("a" -> 1, "b" -> 20, "c" -> 3))
+  }
+
+  test("upsert with stale incoming version keeps the stored row") {
+    import spark.implicits._
+    val store = newStore()
+    store.upsert("w", Seq(("a", 5, 20L)).toDF("k", "v", "ver"), "k", "ver")
+    store.upsert("w", Seq(("a", 1, 10L)).toDF("k", "v", "ver"), "k", "ver")
+    assert(store.read("w").get.collect()(0).getInt(1) == 5)
+  }
+}
