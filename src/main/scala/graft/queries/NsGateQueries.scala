@@ -354,16 +354,22 @@ object NsGateQueries {
   private val q36 = QueryDef(
     "q36_ns_overlap",
     (s, dir) => {
+      // Prefilter: an interval ending before the 7-day cutoff cannot
+      // overlap any interval starting inside it (b.end > a.start ≥
+      // cutoff), so both join sides shrink to the window ± duration —
+      // the reference's WHERE on a.start_time alone is preserved below.
+      val cutoff = date_sub(lit(clockDate), 7)
       val d = disruptions(s, dir)
         .select("disruption_id", "type", "start_time", "end_time")
+        .filter(col("end_time") > cutoff)
       val pairs = RangeJoin.overlapSelfJoin(
-        d, "disruption_id", "start_time", "end_time", binMinutes = 360)
+        d, "disruption_id", "start_time", "end_time", binMinutes = 120)
       val overlapMin = floor(
         (unix_micros(least(col("a_end_time"), col("b_end_time"))) -
           unix_micros(greatest(col("a_start_time"), col("b_start_time"))))
           .cast("double") / 60000000d).cast(IntegerType)
       pairs
-        .filter(col("a_start_time") >= date_sub(lit(clockDate), 7))
+        .filter(col("a_start_time") >= cutoff)
         .select(
           col("a_disruption_id").as("disruption_a"),
           col("b_disruption_id").as("disruption_b"),

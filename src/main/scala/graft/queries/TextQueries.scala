@@ -28,6 +28,16 @@ object TextQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** documents/embeddings ship as one small parquet file → one input
+    * partition, which would serialize the md5/shingle-heavy compute on
+    * a single core. Spread rows across the cluster first; results are
+    * partitioning-independent (everything aggregates + totally
+    * orders). At real scale the scan has natural parallelism and this
+    * becomes a no-op-sized shuffle.
+    */
+  private def spread(s: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(s.sparkContext.defaultParallelism)
+
   /** Word tokens (documents.text is single-space separated). */
   private def toks(c: Column): Column = split(c, " ")
 
@@ -81,7 +91,7 @@ object TextQueries {
   private val q22 = QueryDef(
     "q22_ngram_jaccard",
     (s, dir) => {
-      val sh = shingles(t(s, dir, "documents")).cache()
+      val sh = shingles(spread(s, t(s, dir, "documents"))).cache()
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val pairs = sh.as("a")
         .join(sh.as("b"),
@@ -122,7 +132,7 @@ object TextQueries {
   private val q23 = QueryDef(
     "q23_minhash_lsh",
     (s, dir) => {
-      val sh = shingles(t(s, dir, "documents"))
+      val sh = shingles(spread(s, t(s, dir, "documents")))
       val sig = sh.groupBy("doc_id")
         .agg(
           min(md5(concat(lit("0:"), col("s")))).as("h0"),
@@ -165,7 +175,7 @@ object TextQueries {
   private val q24 = QueryDef(
     "q24_simhash",
     (s, dir) => {
-      val d = t(s, dir, "documents")
+      val d = spread(s, t(s, dir, "documents"))
       val tok = d.select(col("doc_id"), explode(toks(col("text"))).as("tok"))
         .withColumn("h", md5(col("tok")))
       val voteCols = (0 until simBits).map { k =>
@@ -282,7 +292,7 @@ object TextQueries {
   private val q27 = QueryDef(
     "q27_token_count",
     (s, dir) => {
-      val d = t(s, dir, "documents")
+      val d = spread(s, t(s, dir, "documents"))
       val bpeish = size(regexp_extract_all(
         lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
       d.groupBy(col("source"))
@@ -310,7 +320,7 @@ object TextQueries {
   private val q28 = QueryDef(
     "q28_fingerprint",
     (s, dir) => {
-      val d = t(s, dir, "documents")
+      val d = spread(s, t(s, dir, "documents"))
       val fp = array_min(transform(
         sequence(lit(1), length(col("text")) - 4),
         i => md5(col("text").substr(i, lit(5)))))
@@ -343,7 +353,7 @@ object TextQueries {
   private val q29 = QueryDef(
     "q29_cosine_topk",
     (s, dir) => {
-      val e = t(s, dir, "embeddings")
+      val e = spread(s, t(s, dir, "embeddings"))
       val q = e.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       val c = e.select(
@@ -387,7 +397,7 @@ object TextQueries {
   private val q30 = QueryDef(
     "q30_cosine_ann_bucketed",
     (s, dir) => {
-      val e = t(s, dir, "embeddings")
+      val e = spread(s, t(s, dir, "embeddings"))
       def bucketOf(emb: Column): Column =
         concat(Seq(1, 9, 17, 25).map(d =>
           when(element_at(emb, d) >= 0, "1").otherwise("0")): _*)
