@@ -1,0 +1,117 @@
+package graft.multimodal
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video travel as opaque
+  * `binary` columns with typed metadata, processed per-partition in
+  * batches — the Spark-side shape a 100 TB media pipeline needs
+  * (schema, partitioning, batch iteration) with the codec boundary
+  * isolated behind [[Codec]].
+  *
+  * The container has no image/audio libraries, so the codec is a
+  * clearly-marked DETERMINISTIC STUB: it derives pseudo
+  * dimensions/duration and a byte histogram from the payload. The
+  * surrounding plumbing — schema contract, mapPartitions batch shape,
+  * feature row — is real and tested; swapping in a JNI/javacv codec
+  * changes only [[Codec.decode]].
+  */
+object MediaFeatures {
+
+  /** Input contract: one row per media object. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("media_type", StringType),   // image | audio | video
+    StructField("uri", StringType),
+    StructField("content", BinaryType),
+    StructField("meta_width", IntegerType),
+    StructField("meta_height", IntegerType),
+    StructField("meta_sample_rate", IntegerType)))
+
+  case class MediaRow(
+      media_id: Long,
+      media_type: String,
+      uri: String,
+      content: Array[Byte],
+      meta_width: Option[Int],
+      meta_height: Option[Int],
+      meta_sample_rate: Option[Int])
+
+  case class MediaFeature(
+      media_id: Long,
+      media_type: String,
+      byte_len: Long,
+      sha256: String,
+      width: Int,
+      height: Int,
+      duration_ms: Long,
+      histogram: Array[Long],   // 16-bucket byte histogram
+      mean_byte: Double)
+
+  /** The codec boundary. decode() is a STUB (`???`-equivalent with a
+    * deterministic fake so the pipeline is testable offline): a real
+    * deployment decodes pixels/samples here.
+    */
+  object Codec {
+    final case class Decoded(width: Int, height: Int, durationMs: Long)
+
+    /** STUB — deterministic fake decode. Real impl: image/audio codec. */
+    def decode(mediaType: String, bytes: Array[Byte]): Decoded = {
+      val n = bytes.length
+      mediaType match {
+        case "image" => Decoded(width = 1 + (n % 1024), height = 1 + (n / 1024 % 1024), 0L)
+        case "audio" => Decoded(0, 0, durationMs = n.toLong / 16)
+        case "video" => Decoded(width = 640, height = 360, durationMs = n.toLong / 128)
+        case _ => Decoded(0, 0, 0L)
+      }
+    }
+
+    /** STUB — resize marker (a real impl returns re-encoded bytes). */
+    def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] =
+      bytes.take(math.max(16, math.min(bytes.length, w * h / 64)))
+
+    /** STUB — frame sampling: every `stride`-th 1KiB block stands in
+      * for a decoded frame.
+      */
+    def sampleFrames(bytes: Array[Byte], stride: Int): Seq[Array[Byte]] =
+      bytes.grouped(1024).zipWithIndex.collect {
+        case (b, i) if i % stride == 0 => b
+      }.toSeq
+  }
+
+  /** Per-partition batch feature extraction. One codec/digest instance
+    * per partition (not per row) — the batch shape that amortizes
+    * model/codec init at scale; rows stream through without
+    * materializing the partition.
+    */
+  def extractFeatures(media: DataFrame): Dataset[MediaFeature] = {
+    implicit val enc = Encoders.product[MediaFeature]
+    implicit val rowEnc = Encoders.product[MediaRow]
+    media.as[MediaRow].mapPartitions { rows =>
+      val digest = MessageDigest.getInstance("SHA-256")
+      rows.map { r =>
+        val bytes = if (r.content == null) Array.emptyByteArray else r.content
+        digest.reset()
+        val sha = digest.digest(bytes).map("%02x".format(_)).mkString
+        val hist = new Array[Long](16)
+        var sum = 0L
+        var i = 0
+        while (i < bytes.length) {
+          val b = bytes(i) & 0xff
+          hist(b >> 4) += 1
+          sum += b
+          i += 1
+        }
+        val dec = Codec.decode(r.media_type, bytes)
+        MediaFeature(
+          r.media_id, r.media_type, bytes.length.toLong, sha,
+          if (r.meta_width.exists(_ > 0)) r.meta_width.get else dec.width,
+          if (r.meta_height.exists(_ > 0)) r.meta_height.get else dec.height,
+          dec.durationMs, hist,
+          if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length)
+      }
+    }
+  }
+}

@@ -359,8 +359,7 @@ object TextQueries {
       val c = e.select(
         col("vec_id").as("n_id"), col("label").as("n_label"),
         col("embedding").as("n_emb"))
-      val cos = dot(col("q_emb"), col("n_emb")) /
-        (sqrt(dot(col("q_emb"), col("q_emb"))) * sqrt(dot(col("n_emb"), col("n_emb"))))
+      val cos = graft.functions.CosineSimilarity(s, col("q_emb"), col("n_emb"))
       val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))
       c.crossJoin(broadcast(q))
         .filter(col("q_id") =!= col("n_id"))
@@ -409,8 +408,7 @@ object TextQueries {
           col("bucket"))
       val c = b.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
         col("bucket"))
-      val cos = dot(col("q_emb"), col("n_emb")) /
-        (sqrt(dot(col("q_emb"), col("q_emb"))) * sqrt(dot(col("n_emb"), col("n_emb"))))
+      val cos = graft.functions.CosineSimilarity(s, col("q_emb"), col("n_emb"))
       val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))
       q.join(c, Seq("bucket"))
         .filter(col("q_id") =!= col("n_id"))

@@ -1,0 +1,98 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming operators over the `events` shape: watermarked windowed
+  * aggregation and custom-state sessionization — the two Structured
+  * Streaming patterns a disruption feed would need beyond the file
+  * ingest (SURVEY §2.10 notes the reference has none; these are the
+  * scale-path extensions).
+  */
+object EventStreams {
+
+  case class Event(user_id: Long, ts: Timestamp, event_type: String, value: Double)
+
+  case class SessionState(
+      startMs: Long, lastMs: Long, nEvents: Int, totalValue: Double)
+
+  case class Session(
+      user_id: Long,
+      session_start: Timestamp,
+      session_end: Timestamp,
+      n_events: Int,
+      total_value: Double)
+
+  /** Tumbling-window counts per event type with a watermark: late rows
+    * beyond `lateness` are dropped, and closed windows emit exactly
+    * once in Append mode.
+    */
+  def windowedCounts(
+      events: DataFrame,
+      windowLength: String = "10 minutes",
+      lateness: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("total_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  /** Gap-based sessionization via flatMapGroupsWithState: a session
+    * closes when `gapMinutes` pass without an event for that user
+    * (tracked with event-time timeouts against the watermark).
+    */
+  def sessionize(
+      events: Dataset[Event],
+      gapMinutes: Int,
+      lateness: String = "30 minutes"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+
+    def update(
+        userId: Long,
+        rows: Iterator[Event],
+        state: GroupState[SessionState]): Iterator[Session] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator(Session(userId, new Timestamp(s.startMs),
+          new Timestamp(s.lastMs), s.nEvents, s.totalValue))
+      } else {
+        var closed = List.empty[Session]
+        var cur = state.getOption
+        rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+          val t = e.ts.getTime
+          cur match {
+            case Some(s) if t - s.lastMs <= gapMs =>
+              cur = Some(s.copy(lastMs = math.max(s.lastMs, t),
+                nEvents = s.nEvents + 1, totalValue = s.totalValue + e.value))
+            case Some(s) =>
+              closed ::= Session(userId, new Timestamp(s.startMs),
+                new Timestamp(s.lastMs), s.nEvents, s.totalValue)
+              cur = Some(SessionState(t, t, 1, e.value))
+            case None =>
+              cur = Some(SessionState(t, t, 1, e.value))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.lastMs + gapMs)
+        }
+        closed.reverseIterator
+      }
+    }
+
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(update)
+  }
+}
