@@ -1,0 +1,120 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+
+import graft.Tables
+
+/** Coverage beyond the reference's own surface (SURVEY §2.7's "none in
+  * reference" set operations, array-function roundtrips, rollup
+  * subtotals, and approximate aggregates as the exact-countDistinct
+  * scale path).
+  */
+object ExtraQueries {
+
+  // ---------------------------------------------------------------- arrays
+  // The CSV-station roundtrip pattern (split → dedupe → sort → rejoin,
+  // cleaners.py:181-229 / O3) exercised generically.
+  private val q37 = QueryDef(
+    "q37_array_ops",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val toks = split(col("text"), " ")
+      val distinctSorted = array_sort(array_distinct(toks))
+      d.select(
+          col("doc_id"),
+          size(toks).as("n_tokens"),
+          size(distinctSorted).as("n_distinct"),
+          array_join(slice(distinctSorted, 1, 5), ",").as("first5"),
+          element_at(distinctSorted, 1).as("first_token"),
+          element_at(distinctSorted, -1).as("last_token"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+      CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+      CAST(len(list_sort(list_distinct(string_split(text, ' ')))) AS INTEGER) AS n_distinct,
+      array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:5], ',') AS first5,
+      list_sort(list_distinct(string_split(text, ' ')))[1] AS first_token,
+      list_sort(list_distinct(string_split(text, ' ')))[-1] AS last_token
+      FROM documents ORDER BY doc_id"""),
+    covers = Seq("O3", "P8"))
+
+  // ---------------------------------------------------------------- set ops
+  private val q38 = QueryDef(
+    "q38_set_ops",
+    (s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+      val o = Tables.load(s, dir, "orders")
+      val building = c.filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("k"))
+      val bigSpenders = o.filter(col("o_totalprice") > 150000)
+        .select(col("o_custkey").as("k")).distinct()
+      val union = building.union(bigSpenders).distinct()
+      val inter = building.intersect(bigSpenders)
+      val minus = building.except(bigSpenders)
+      union.agg(count(lit(1)).as("n_union"))
+        .crossJoin(inter.agg(count(lit(1)).as("n_intersect")))
+        .crossJoin(minus.agg(count(lit(1)).as("n_except")))
+    },
+    Some("""WITH building AS (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'),
+      big AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice > 150000)
+      SELECT
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM (SELECT k FROM building UNION SELECT k FROM big)) AS n_union,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM (SELECT k FROM building INTERSECT SELECT k FROM big)) AS n_intersect,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM (SELECT k FROM building EXCEPT SELECT k FROM big)) AS n_except"""),
+    covers = Seq("SET-ops"))
+
+  // ---------------------------------------------------------------- rollup
+  // Subtotal hierarchies; NULL group keys replaced by a sentinel so
+  // both engines order identically (Spark sorts NULLS FIRST, DuckDB
+  // NULLS LAST).
+  private val q39 = QueryDef(
+    "q39_rollup",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val sup = Tables.load(s, dir, "supplier")
+      val nat = Tables.load(s, dir, "nation")
+      li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .rollup(col("n_name"), col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"))
+        .select(
+          coalesce(col("n_name"), lit("(all)")).as("nation"),
+          coalesce(col("l_returnflag"), lit("(all)")).as("returnflag"),
+          col("n"), col("qty"))
+        .orderBy("nation", "returnflag")
+    },
+    Some("""SELECT
+        COALESCE(n_name, '(all)') AS nation,
+        COALESCE(l_returnflag, '(all)') AS returnflag,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY ROLLUP (n_name, l_returnflag)
+      ORDER BY nation, returnflag"""),
+    covers = Seq("AGG-rollup"))
+
+  // ---------------------------------------------------------------- approx
+  // HLL sketches differ across engines → no SQL oracle; the driver
+  // records a rows-only check. The exact twin columns let the round
+  // report eyeball the sketch error.
+  private val q40 = QueryDef(
+    "q40_approx_distinct",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      li.groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("p50_price"),
+          expr("approx_percentile(l_extendedprice, 0.99, 1000)").as("p99_price"))
+        .orderBy("l_returnflag")
+    },
+    None,
+    covers = Seq("AGG-approx"))
+
+  val all: Seq[QueryDef] = Seq(q37, q38, q39, q40)
+}
