@@ -1,0 +1,87 @@
+package graft
+
+import java.time.Instant
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.analytics.NsQueries
+import graft.etl.{Clock, DisruptionCleaner, NsSchemas}
+import graft.sources.RawSource
+import graft.store.TableStore
+
+/** End-to-end pipeline wiring (reference `src/pipeline.py:52-79`,
+  * SURVEY §3.1): extract (archived raw JSON) → transform (lazy cleaner
+  * plan) → load (idempotent bronze append + silver upsert) → gold
+  * daily_stats → report. One logical-plan chain per stage; the only
+  * wide operations are the load-path dedups and the report aggregates.
+  */
+object Main {
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: Main <rawJsonPathOrGlob> <storeRoot> [clockInstant]")
+    val clock = if (args.length > 2) Clock(Instant.parse(args(2))) else Clock.system
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .appName("graft-pipeline")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val counts = run(spark, args(0), args(1), clock)
+    counts.foreach { case (k, v) => println(s"[pipeline] $k=$v") }
+    spark.stop()
+  }
+
+  /** Runs the full pipeline; returns stage counts for reporting. */
+  def run(
+      spark: SparkSession,
+      rawPath: String,
+      storeRoot: String,
+      clock: Clock): Seq[(String, Long)] = {
+    val store = new TableStore(spark, storeRoot)
+
+    // Extract: archived raw snapshots with the explicit API schema.
+    val raw = RawSource.readRawJsonArray(spark, rawPath)
+    if (raw.isEmpty) return Seq("extracted" -> 0L) // P13 short-circuit
+
+    // Load 1 (bronze): raw JSON kept verbatim, insert-if-absent on the
+    // natural key (`raw_disruptions`, schema.sql:7-12).
+    val bronze = raw.select(
+      col("id").as("disruption_id"),
+      to_json(struct(raw.columns.map(col): _*)).as("raw_json"),
+      clock.ts.as("fetched_at"))
+      .filter(col("disruption_id").isNotNull)
+    val bronzeInserted = store.appendIfAbsent("raw_disruptions", bronze, "disruption_id")
+
+    // Transform: the zero-UDF cleaning plan.
+    val cleaned = DisruptionCleaner.clean(raw, clock)
+
+    // Load 2 (silver): latest-wins upsert — re-running the same batch
+    // is a no-op, later batches update ongoing disruptions.
+    store.upsert("disruptions", cleaned, "disruption_id", "updated_at")
+
+    // Dimension seed (ON CONFLICT DO NOTHING ≡ append-if-absent).
+    val stations = spark.createDataFrame(NsSchemas.stationSeed)
+      .toDF("station_code", "station_name", "latitude", "longitude", "country")
+      .withColumn("last_updated", clock.ts)
+    store.appendIfAbsent("stations", stations, "station_code")
+
+    // Gold: materialize the daily_stats table the reference declared
+    // but never populated.
+    val silver = store.read("disruptions").get
+    store.write("daily_stats", NsQueries.dailyStats(silver, clock))
+
+    // Report (pipeline.py:304-342).
+    val report = NsQueries.todaysReport(silver, clock).collect()(0)
+    Seq(
+      "extracted" -> raw.count(),
+      "bronze_inserted" -> bronzeInserted,
+      "silver_rows" -> silver.count(),
+      "daily_stats_rows" -> store.read("daily_stats").get.count(),
+      "report_total_today" -> report.getAs[Long]("total"))
+  }
+}

@@ -1,0 +1,33 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.etl.Clock
+
+/** Full-pipeline run over the reference's golden raw capture:
+  * extract → bronze append → silver upsert → gold daily_stats →
+  * report, plus the idempotency contract (re-run ≡ no-op).
+  */
+class MainSpec extends SparkSpec {
+
+  private val goldenRaw =
+    "/root/reference/data/raw/disruptions_20260214_111810.json"
+
+  test("pipeline end-to-end on golden capture, idempotent re-run") {
+    assume(Files.exists(Paths.get(goldenRaw)))
+    val root = Files.createTempDirectory("graft-pipeline").toString
+    val clock = Clock.golden
+
+    val counts = Main.run(spark, goldenRaw, root, clock).toMap
+    assert(counts("extracted") == 125L)
+    assert(counts("bronze_inserted") == 125L)
+    assert(counts("silver_rows") == 125L)
+    assert(counts("daily_stats_rows") >= 1L)
+    assert(counts("report_total_today") == 125L)
+
+    // Re-run the same batch: bronze inserts nothing, silver unchanged.
+    val again = Main.run(spark, goldenRaw, root, clock).toMap
+    assert(again("bronze_inserted") == 0L)
+    assert(again("silver_rows") == 125L)
+  }
+}
