@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** As-of join: for every left row, attach the most recent right row
+  * with the same key and `rightTime <= leftTime` (within an optional
+  * tolerance).
+  *
+  * Implemented as the union + last-non-null-window trick rather than a
+  * range join: tag both sides, union by (key, time), and carry the
+  * last seen right payload forward with `last(_, ignoreNulls)` over an
+  * ordered frame. One shuffle on the key (the same shuffle a
+  * sort-merge join would need), no quadratic candidate stage, no
+  * per-key driver loop — the shape that survives 100 TB, where a
+  * nested-loop or exploded-range join would not.
+  *
+  * Determinism: the frame is ordered by (time, tag, tiebreak) so
+  * same-timestamp collisions resolve identically everywhere: a right
+  * row at exactly leftTime IS visible to that left row (<=), and among
+  * equal right timestamps the largest tiebreak value wins.
+  */
+object AsOfJoin {
+
+  /** @param left       rows to enrich
+    * @param right      rows providing the as-of payload
+    * @param key        equi key column name (present in both)
+    * @param leftTime   event-time column in `left`
+    * @param rightTime  event-time column in `right`
+    * @param payload    right columns to carry (renamed as-is onto the output)
+    * @param tiebreak   right column ordering same-timestamp rights (larger wins)
+    * @param toleranceMs max staleness; payload older than
+    *                    leftTime - toleranceMs yields nulls (0 = unbounded)
+    */
+  def asof(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTime: String,
+      rightTime: String,
+      payload: Seq[String],
+      tiebreak: String,
+      toleranceMs: Long = 0L): DataFrame = {
+    val lCols = left.columns.toSeq
+
+    val l = left.select(
+      Seq(col(key), col(leftTime).as("__t"), lit(1).as("__is_left"),
+        lit(null).cast("long").as("__rtb")) ++
+        lCols.filter(_ != key).map(c => col(c).as(s"__l_$c")) ++
+        payload.map(c => lit(null).cast(right.schema(c).dataType).as(s"__p_$c")): _*)
+
+    val r = right.select(
+      Seq(col(key), col(rightTime).as("__t"), lit(0).as("__is_left"),
+        col(tiebreak).cast("long").as("__rtb")) ++
+        lCols.filter(_ != key).map(c =>
+          lit(null).cast(left.schema(c).dataType).as(s"__l_$c")) ++
+        payload.map(c => col(c).as(s"__p_$c")): _*)
+
+    // Rights sort before lefts at equal time (__is_left 0 < 1) so an
+    // exactly-simultaneous right is visible; among equal-time rights
+    // the largest tiebreak is last, hence the one carried.
+    val w = Window.partitionBy(key)
+      .orderBy(col("__t"), col("__is_left"), col("__rtb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val carried = l.unionByName(r)
+      .withColumn("__asof_t", last(when(col("__is_left") === 0, col("__t")),
+        ignoreNulls = true).over(w))
+      .withColumns(payload.map(c =>
+        s"__p_$c" -> last(when(col("__is_left") === 0, col(s"__p_$c")),
+          ignoreNulls = true).over(w)).toMap)
+
+    val fresh = if (toleranceMs > 0)
+      col("__asof_t").isNotNull &&
+        unix_millis(col("__t")) - unix_millis(col("__asof_t")) <= toleranceMs
+    else col("__asof_t").isNotNull
+
+    carried.filter(col("__is_left") === 1)
+      .select(
+        Seq(col(key), col("__t").as(leftTime)) ++
+          lCols.filter(_ != key).filter(_ != leftTime).map(c => col(s"__l_$c").as(c)) ++
+          payload.map(c => when(fresh, col(s"__p_$c")).as(s"asof_$c")): _*)
+  }
+}

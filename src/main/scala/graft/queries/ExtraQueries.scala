@@ -116,5 +116,56 @@ object ExtraQueries {
     None,
     covers = Seq("AGG-approx"))
 
-  val all: Seq[QueryDef] = Seq(q37, q38, q39, q40)
+  // ---------------------------------------------------------------- as-of join
+  // Each click is enriched with the user's most recent purchase at or
+  // before it. Spark runs graft.operators.AsOfJoin (union +
+  // last-non-null window — one key shuffle, no range explosion); the
+  // oracle expresses the identical union+window semantics in SQL.
+  private val q41 = QueryDef(
+    "q41_asof_join",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "events")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"), col("event_id"))
+      graft.operators.AsOfJoin
+        .asof(clicks, purchases, "user_id", "ts", "ts",
+          Seq("value", "event_id"), tiebreak = "event_id")
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_clicks"),
+          count(col("asof_value")).as("n_matched"),
+          sum(col("asof_value").cast("decimal(18,2)")).cast("double")
+            .as("sum_asof_value"),
+          max(col("asof_event_id")).as("last_purchase_id"))
+        .orderBy("user_id")
+    },
+    Some("""WITH clicks AS (
+        SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+      purch AS (
+        SELECT user_id, ts, value, event_id FROM events WHERE event_type = 'purchase'),
+      u AS (
+        SELECT user_id, ts AS t, 1 AS is_left, CAST(NULL AS BIGINT) AS rtb,
+               CAST(NULL AS DOUBLE) AS p_value, CAST(NULL AS BIGINT) AS p_id
+        FROM clicks
+        UNION ALL
+        SELECT user_id, ts, 0, event_id, value, event_id FROM purch),
+      c AS (
+        SELECT user_id, t, is_left,
+          last_value(CASE WHEN is_left = 0 THEN p_value END IGNORE NULLS) OVER w AS av,
+          last_value(CASE WHEN is_left = 0 THEN p_id END IGNORE NULLS) OVER w AS aid
+        FROM u
+        WINDOW w AS (PARTITION BY user_id ORDER BY t, is_left, rtb
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      SELECT user_id,
+        CAST(COUNT(*) AS BIGINT) AS n_clicks,
+        CAST(COUNT(av) AS BIGINT) AS n_matched,
+        CAST(SUM(CAST(av AS DECIMAL(18,2))) AS DOUBLE) AS sum_asof_value,
+        CAST(MAX(aid) AS BIGINT) AS last_purchase_id
+      FROM c WHERE is_left = 1
+      GROUP BY user_id ORDER BY user_id"""),
+    covers = Seq("JOIN-asof"))
+
+  val all: Seq[QueryDef] = Seq(q37, q38, q39, q40, q41)
 }

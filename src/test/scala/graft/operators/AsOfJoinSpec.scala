@@ -1,0 +1,74 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+class AsOfJoinSpec extends SparkSpec {
+
+  private def ts(m: Int) = Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+
+  private def fixtures = {
+    import spark.implicits._
+    val left = Seq(
+      (1L, ts(10), 100L),
+      (1L, ts(20), 101L),
+      (1L, ts(5), 102L),   // before any right row
+      (2L, ts(15), 103L))
+      .toDF("user_id", "ts", "event_id")
+    val right = Seq(
+      (1L, ts(8), 8.0, 200L),
+      (1L, ts(10), 10.0, 201L),  // exactly simultaneous with left@10
+      (1L, ts(10), 11.0, 202L),  // same ts, larger id — must win
+      (1L, ts(18), 18.0, 203L),
+      (2L, ts(1), 1.0, 204L))
+      .toDF("user_id", "ts", "value", "event_id")
+    (left, right)
+  }
+
+  test("picks the latest right at or before each left time; ties by id") {
+    val (l, r) = fixtures
+    val out = AsOfJoin.asof(l, r, "user_id", "ts", "ts",
+        Seq("value", "event_id"), tiebreak = "event_id")
+      .collect().map(row => row.getAs[Long]("event_id") ->
+        Option(row.getAs[java.lang.Double]("asof_value")).map(_.toDouble)).toMap
+    assert(out(100L).contains(11.0)) // simultaneous right visible, larger id wins
+    assert(out(101L).contains(18.0))
+    assert(out(102L).isEmpty)        // nothing at or before 10:05
+    assert(out(103L).contains(1.0))
+  }
+
+  test("tolerance nulls out stale payloads") {
+    val (l, r) = fixtures
+    val out = AsOfJoin.asof(l, r, "user_id", "ts", "ts",
+        Seq("value"), tiebreak = "event_id", toleranceMs = 5 * 60000L)
+      .collect().map(row => row.getAs[Long]("event_id") ->
+        Option(row.getAs[java.lang.Double]("asof_value"))).toMap
+    assert(out(100L).isDefined)  // right@10 within 5 min of left@10
+    assert(out(101L).isDefined)  // right@18 within 5 min of left@20
+    assert(out(103L).isEmpty)    // right@01 is 14 min stale for left@15
+  }
+
+  test("matches a brute-force per-row computation on events data") {
+    val e = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    import org.apache.spark.sql.functions._
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val purch = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"), col("event_id"))
+    val got = AsOfJoin.asof(clicks, purch, "user_id", "ts", "ts",
+        Seq("event_id"), tiebreak = "event_id")
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Long]("asof_event_id")).map(_.toLong)).toMap
+
+    val purchRows = purch.collect().map(r => (r.getLong(0),
+      r.getAs[Timestamp](1).getTime, r.getAs[Long]("event_id")))
+    val expected = clicks.collect().map { r =>
+      val (u, t, id) = (r.getLong(0), r.getAs[Timestamp](1).getTime, r.getLong(2))
+      val best = purchRows.filter(p => p._1 == u && p._2 <= t)
+        .sortBy(p => (p._2, p._3)).lastOption.map(_._3)
+      id -> best
+    }.toMap
+    assert(got == expected)
+  }
+}
