@@ -167,5 +167,107 @@ object ExtraQueries {
       GROUP BY user_id ORDER BY user_id"""),
     covers = Seq("JOIN-asof"))
 
-  val all: Seq[QueryDef] = Seq(q37, q38, q39, q40, q41)
+  // ---------------------------------------------------------------- batch sessionization
+  // Gap-based sessions in pure SQL/window form (the batch twin of
+  // streaming/EventStreams.sessionize): flag gap > 30 min, running-sum
+  // the flags into session ids, aggregate per user.
+  private val q42 = QueryDef(
+    "q42_sessionize_batch",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val flagged = e.withColumn("new_s",
+        when(lag(col("ts"), 1).over(byUser).isNull ||
+          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(byUser))
+            > 30L * 60 * 1000000, 1).otherwise(0))
+      val sessions = flagged
+        .withColumn("sid", sum(col("new_s")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sid")
+        .agg(
+          count(lit(1)).as("n_events"),
+          // exact integer micros — summing fractional seconds would be
+          // partial-agg-order dependent in the last ULP
+          (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+            .as("duration_us"))
+      sessions.groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_sessions"),
+          max(col("n_events")).as("max_session_events"),
+          (sum(col("duration_us")).cast("double") / 1000000d)
+            .as("total_session_sec"))
+        .orderBy("user_id")
+    },
+    Some("""WITH ordered AS (
+        SELECT user_id, ts, event_id,
+          LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events),
+      flagged AS (
+        SELECT user_id, ts, event_id,
+          CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 30*60*1000000
+               THEN 1 ELSE 0 END AS new_s
+        FROM ordered),
+      numbered AS (
+        SELECT user_id, ts,
+          SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged),
+      sessions AS (
+        SELECT user_id, sid, CAST(COUNT(*) AS BIGINT) AS n_events,
+          epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
+        FROM numbered GROUP BY 1, 2)
+      SELECT user_id,
+        CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        CAST(MAX(n_events) AS BIGINT) AS max_session_events,
+        CAST(SUM(duration_us) AS DOUBLE) / 1000000 AS total_session_sec
+      FROM sessions GROUP BY user_id ORDER BY user_id"""),
+    covers = Seq("SESSION-batch"))
+
+  // ---------------------------------------------------------------- JSON scalar surface
+  private val q43 = QueryDef(
+    "q43_json_extract",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "events")
+      val k = get_json_object(col("props"), "$.k").cast(IntegerType)
+      e.groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(k).as("sum_k"),
+          countDistinct(k).as("n_distinct_k"),
+          max(k).as("max_k"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type,
+      CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+      CAST(COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS n_distinct_k,
+      CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
+      FROM events GROUP BY event_type ORDER BY event_type"""),
+    covers = Seq("JSON-extract"))
+
+  // ---------------------------------------------------------------- pivot
+  // Spark's relational pivot with a FIXED value list (so both engines
+  // agree on columns); DuckDB twin is the conditional-agg expansion.
+  private val q44 = QueryDef(
+    "q44_pivot",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      li.groupBy(col("l_linestatus"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"))
+        .withColumnRenamed("A", "qty_a")
+        .withColumnRenamed("N", "qty_n")
+        .withColumnRenamed("R", "qty_r")
+        .orderBy("l_linestatus")
+    },
+    Some("""SELECT l_linestatus,
+      CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_a,
+      CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_n,
+      CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_r
+      FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus"""),
+    covers = Seq("AGG-pivot"))
+
+  val all: Seq[QueryDef] = Seq(q37, q38, q39, q40, q41, q42, q43, q44)
 }
