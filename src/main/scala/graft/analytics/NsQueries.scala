@@ -148,16 +148,24 @@ object NsQueries {
     * FILTER-clause cancellation-rate window rewritten as `sum(when)`.
     */
   def complexAnalytics(d: DataFrame, clock: Clock): DataFrame = {
-    val metrics = d
+    val perType = d
       .filter(col("start_time") >= date_sub(clock.date, 30))
       .groupBy(to_date(col("start_time")).as("disruption_date"), col("type"))
       .agg(
         count(lit(1)).as("incident_count"),
         avg((unix_micros(col("end_time")) - unix_micros(col("start_time"))) / lit(6e7))
           .as("avg_dur_raw"))
-      .withColumn("rolling_7day_total",
-        sum(col("incident_count")).over(
-          Window.orderBy("disruption_date").rowsBetween(-6, Window.currentRow)))
+    // The reference's `SUM(COUNT(*)) OVER (ORDER BY date ROWS 6
+    // PRECEDING)` is ill-defined with several rows per date (frame
+    // content depends on tie order); its stated intent — "7-day
+    // rolling total across all types on this date" — is computed
+    // deterministically: roll over per-date totals, join back.
+    val dailyTot = perType.groupBy("disruption_date")
+      .agg(sum(col("incident_count")).as("day_total"))
+      .select(col("disruption_date"),
+        sum(col("day_total")).over(Window.orderBy("disruption_date")
+          .rowsBetween(-6, Window.currentRow)).as("rolling_7day_total"))
+    val metrics = perType.join(dailyTot, Seq("disruption_date"))
 
     val stationImpact = csvStations(d)
       .groupBy("station_code")

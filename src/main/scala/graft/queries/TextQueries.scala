@@ -41,7 +41,11 @@ object TextQueries {
   /** Word tokens (documents.text is single-space separated). */
   private def toks(c: Column): Column = split(c, " ")
 
-  /** Distinct word-3-gram shingles per doc: (doc_id, s). */
+  /** Word-3-gram shingle postings per doc: (doc_id, s). NOT deduped —
+    * every consumer aggregates with duplicate-insensitive functions
+    * (min for MinHash signatures, collect_set/countDistinct for
+    * Jaccard), so a standalone distinct would only add a shuffle.
+    */
   private def shingles(d: DataFrame): DataFrame = {
     val tk = toks(col("text"))
     d.filter(size(tk) >= 3)
@@ -52,7 +56,6 @@ object TextQueries {
           i => concat_ws(" ",
             element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2))
         )).as("s"))
-      .distinct()
   }
 
   /** DuckDB twin of [[shingles]] as a CTE body. */
@@ -92,16 +95,17 @@ object TextQueries {
     "q22_ngram_jaccard",
     (s, dir) => {
       val sh = shingles(spread(s, t(s, dir, "documents")))
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      // Postings-list pair expansion: group each shingle's (sorted)
-      // doc list and emit its pairs with array HOFs — one shuffle less
-      // than the self-join form and no hash build. Shingles shared by
-      // >1000 docs are non-discriminative boilerplate; the cap bounds
-      // the quadratic expansion at scale (never fires on this corpus:
-      // max posting list is ~25, so the oracle join stays equivalent).
+      val sizes = sh.groupBy("doc_id").agg(countDistinct(col("s")).as("n"))
+      // Postings-list pair expansion: group each shingle's (sorted,
+      // deduped) doc list and emit its pairs with array HOFs — one
+      // shuffle less than the self-join form and no hash build.
+      // Shingles shared by >1000 docs are non-discriminative
+      // boilerplate; the cap bounds the quadratic expansion at scale
+      // (never fires on this corpus: max posting list is ~25, so the
+      // oracle join stays equivalent).
       val ds = col("ds")
       val pairs = sh.groupBy("s")
-        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+        .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
         .filter(size(ds).between(2, 1000))
         .select(explode(flatten(transform(
           sequence(lit(1), size(ds) - 1),
