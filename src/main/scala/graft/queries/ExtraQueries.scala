@@ -269,5 +269,27 @@ object ExtraQueries {
       FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus"""),
     covers = Seq("AGG-pivot"))
 
-  val all: Seq[QueryDef] = Seq(q37, q38, q39, q40, q41, q42, q43, q44)
+  // ---------------------------------------------------------------- IVF ANN
+  // The trained-index similarity path: deterministic k-means IVF with
+  // nprobe cluster pruning (graft.similarity.IvfIndex). k-means is not
+  // expressible in DuckDB SQL → rows-only check; IvfIndexSpec asserts
+  // recall against brute force and run-to-run determinism.
+  private val q45 = QueryDef(
+    "q45_ivf_ann",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism)
+      val cents = graft.similarity.IvfIndex
+        .trainCentroids(emb, "vec_id", "embedding", k = 16, iters = 3)
+      val index = graft.similarity.IvfIndex.assign(emb, cents, "vec_id", "embedding")
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      graft.similarity.IvfIndex
+        .search(index, cents, queries, "vec_id", "embedding", nprobe = 4, topK = 3)
+        .orderBy("q_id", "rk")
+    },
+    None,
+    covers = Seq("SIM-ivf"))
+
+  val all: Seq[QueryDef] = Seq(q37, q38, q39, q40, q41, q42, q43, q44, q45)
 }
