@@ -151,11 +151,13 @@ object TextQueries {
     "q23_minhash_lsh",
     (s, dir) => {
       val sh = shingles(spread(s, t(s, dir, "documents")))
+      // Whole signature in ONE custom DeclarativeAggregate buffer
+      // (graft.functions.MinHashSignature) — the oracle below proves
+      // it equals nHashes independent min(md5) aggregates.
       val sig = sh.groupBy("doc_id")
-        .agg(
-          min(md5(concat(lit("0:"), col("s")))).as("h0"),
-          (1 until nHashes).map(j =>
-            min(md5(concat(lit(s"$j:"), col("s")))).as(s"h$j")): _*)
+        .agg(graft.functions.MinHashSignature(s, col("s"), nHashes).as("sig"))
+        .select(col("doc_id") +:
+          (0 until nHashes).map(j => element_at(col("sig"), j + 1).as(s"h$j")): _*)
       val bandCols = (0 until nHashes / bandSize).map { b =>
         md5(concat(lit(s"band$b:"),
           col(s"h${b * bandSize}"), col(s"h${b * bandSize + 1}")))

@@ -1,0 +1,39 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class MinHashSignatureSpec extends SparkSpec {
+
+  test("one-buffer aggregate equals independent min(md5) aggregates") {
+    val d = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("s"))
+
+    val viaAgg = d.groupBy("doc_id")
+      .agg(MinHashSignature(spark, col("s"), 4).as("sig"))
+      .select(col("doc_id"), col("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+
+    val viaMins = d.groupBy("doc_id")
+      .agg(
+        min(md5(concat(lit("0:"), col("s")))).as("h0"),
+        min(md5(concat(lit("1:"), col("s")))).as("h1"),
+        min(md5(concat(lit("2:"), col("s")))).as("h2"),
+        min(md5(concat(lit("3:"), col("s")))).as("h3"))
+      .collect().map(r => r.getLong(0) ->
+        Seq(r.getString(1), r.getString(2), r.getString(3), r.getString(4))).toMap
+
+    assert(viaAgg == viaMins)
+  }
+
+  test("null inputs leave minima untouched; all-null group yields null slots") {
+    import spark.implicits._
+    val df = Seq((1L, Some("a")), (1L, None), (2L, None))
+      .toDF("k", "s")
+    val out = df.groupBy("k").agg(MinHashSignature(spark, col("s"), 2).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(1L).forall(_ != null))
+    assert(out(2L).forall(_ == null))
+  }
+}
