@@ -75,6 +75,26 @@ final class TableStore(spark: SparkSession, root: String) {
       .drop("__rn", "__src")
   }
 
+  /** Rewrite a table into ~`targetFileMB`-sized files. Repeated
+    * incremental appends (S7) accumulate small files whose per-file
+    * open/footer cost dominates scans at scale; periodic compaction
+    * restores healthy file sizes. Row-preserving.
+    */
+  def compact(table: String, targetFileMB: Int = 128): Unit =
+    read(table).foreach { df =>
+      val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+      val bytes = fs.getContentSummary(new Path(path(table))).getLength
+      val nFiles = math.max(1, (bytes / (targetFileMB * 1024L * 1024L)).toInt)
+      swapWrite(table, df.repartition(nFiles))
+    }
+
+  /** Number of data files currently backing a table. */
+  def fileCount(table: String): Int = {
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(new Path(path(table)))
+      .count(s => s.isFile && s.getPath.getName.startsWith("part-"))
+  }
+
   /** Write `df` (which reads from `table`) to a temp location, then
     * atomically swap directories.
     */

@@ -36,6 +36,21 @@ class TableStoreSpec extends SparkSpec {
     assert(again == Map("a" -> 1, "b" -> 20, "c" -> 3))
   }
 
+  test("compact collapses many small append files, preserving rows") {
+    import spark.implicits._
+    val store = newStore()
+    // 12 tiny appends → ≥12 small files
+    (1 to 12).foreach { i =>
+      store.appendIfAbsent("c", Seq((s"k$i", i)).toDF("k", "v"), "k")
+    }
+    assert(store.fileCount("c") >= 12)
+    val before = store.read("c").get.collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    store.compact("c")
+    assert(store.fileCount("c") == 1) // tiny table → single target file
+    val after = store.read("c").get.collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(after == before)
+  }
+
   test("upsert with stale incoming version keeps the stored row") {
     import spark.implicits._
     val store = newStore()
