@@ -42,6 +42,29 @@ object RawSource {
       .mode(SaveMode.Append)
       .json(root)
 
+  /** Cleaned-snapshot CSV sink (S5, `src/pipeline.py:103-110`): header
+    * row, and the reference's `utf-8-sig` quirk — each part file gets
+    * a UTF-8 BOM prepended (Excel compatibility), added in a driver
+    * post-step since Spark's CSV writer has no BOM option.
+    */
+  def writeCsvSnapshot(df: DataFrame, path: String): Unit = {
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(
+      df.sparkSession.sessionState.newHadoopConf())
+    val bom = Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte)
+    fs.listStatus(hPath).filter(s => s.isFile &&
+        s.getPath.getName.startsWith("part-")).foreach { s =>
+      val tmp = new org.apache.hadoop.fs.Path(s.getPath + ".bom")
+      val in = fs.open(s.getPath)
+      val out = fs.create(tmp, true)
+      try { out.write(bom); org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false) }
+      finally { in.close(); out.close() }
+      fs.delete(s.getPath, false)
+      fs.rename(tmp, s.getPath)
+    }
+  }
+
   /** Read the JSONL archive back; `year/month/day` become partition
     * columns and filters on them prune directories before any file is
     * opened.

@@ -39,4 +39,22 @@ class RawSourceSpec extends SparkSpec {
       Seq("year", "month", "day"))
     assert(scan.selectedPartitions.partitionCount == 1)
   }
+
+  test("CSV snapshot carries a UTF-8 BOM and round-trips") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-csv").resolve("snap").toString
+    val df = Seq(("d1", "disruption", 90.0), ("d2", "maintenance", 720.0))
+      .toDF("disruption_id", "type", "duration_minutes")
+    RawSource.writeCsvSnapshot(df, dir)
+
+    val part = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".csv"))
+    assert(part.nonEmpty)
+    val head = Files.readAllBytes(part.head.toPath).take(3)
+    assert(head.sameElements(Array(0xef.toByte, 0xbb.toByte, 0xbf.toByte)))
+
+    val back = spark.read.option("header", "true").csv(dir)
+    assert(back.count() == 2)
+    assert(back.columns.toSeq == Seq("disruption_id", "type", "duration_minutes"))
+  }
 }
