@@ -1,0 +1,30 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Plan-shape regression guard: the join-heavy gate queries must never
+  * plan a BroadcastNestedLoopJoin or CartesianProduct — the O(n²)
+  * shapes that die at scale (SURVEY §4.2). The deliberately all-pairs
+  * baselines (brute-force cosine, scalar-subquery crossJoins of
+  * one-row aggregates) are excluded by design.
+  */
+class PlanGuardSpec extends SparkSpec {
+
+  private val guarded = Seq(
+    "q11_join_dims", "q13_anti_join", "q14_semi_join",
+    "q20_overlap_join", "q22_ngram_jaccard", "q23_minhash_lsh",
+    "q32_ns_station_severity", "q36_ns_overlap", "q41_asof_join",
+    "q42_sessionize_batch", "q46_cleaner_parity")
+
+  test("no nested-loop or cartesian joins in shuffle-sensitive queries") {
+    val dir = "/root/testdata/sf0.001"
+    guarded.foreach { name =>
+      val plan = graft.SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$name plans BroadcastNestedLoopJoin")
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans CartesianProduct")
+    }
+  }
+}
