@@ -463,5 +463,76 @@ object TextQueries {
       ORDER BY q_id, rk"""),
     covers = Seq("SIM-ann"))
 
-  val all: Seq[QueryDef] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30)
+  // ---------------------------------------------------------------- dedup: LSH → exact verify
+  // The complete near-dup decision pipeline: MinHash/LSH proposes
+  // candidate pairs (sub-quadratic), exact Jaccard verifies them, and
+  // the keep/drop decision falls out — precision of the sketch is
+  // visible in the is_dup column. Corpus-level removal on top of these
+  // pairs lives in graft.dedup.Dedup (DedupSpec).
+  private val q47 = QueryDef(
+    "q47_minhash_verified",
+    (s, dir) => {
+      val sh = shingles(spread(s, t(s, dir, "documents")))
+      // candidates via banded MinHash (as q23)
+      val sig = sh.groupBy("doc_id")
+        .agg(graft.functions.MinHashSignature(s, col("s"), nHashes).as("sig"))
+        .select(col("doc_id") +:
+          (0 until nHashes).map(j => element_at(col("sig"), j + 1).as(s"h$j")): _*)
+      val bandCols = (0 until nHashes / bandSize).map { b =>
+        md5(concat(lit(s"band$b:"),
+          col(s"h${b * bandSize}"), col(s"h${b * bandSize + 1}")))
+      }
+      val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bkey"))
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("shared_bands"))
+      // exact verification (as q22, but only for candidate pairs)
+      val sizes = sh.groupBy("doc_id").agg(countDistinct(col("s")).as("n"))
+      val common = sh.select(col("doc_id").as("doc_a"), col("s")).distinct()
+        .join(sh.select(col("doc_id").as("doc_b"), col("s")).distinct(), "s")
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+      cand
+        .join(common, Seq("doc_a", "doc_b"), "left")
+        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .withColumn("jaccard",
+          coalesce(col("common"), lit(0L)).cast("double") /
+            (col("na") + col("nb") - coalesce(col("common"), lit(0L))))
+        .withColumn("is_dup", col("jaccard") >= 0.4)
+        .select("doc_a", "doc_b", "shared_bands", "jaccard", "is_dup")
+        .orderBy("doc_a", "doc_b")
+    },
+    Some {
+      val hs = (0 until nHashes)
+        .map(j => s"min(md5('$j:' || s)) AS h$j").mkString(", ")
+      val bandList = (0 until nHashes / bandSize)
+        .map(b => s"md5('band$b:' || h${b * bandSize} || h${b * bandSize + 1})")
+        .mkString(", ")
+      s"""WITH $shinglesSql,
+      sig AS (SELECT doc_id, $hs FROM sh GROUP BY doc_id),
+      bands AS (SELECT doc_id, unnest([$bandList]) AS bkey FROM sig),
+      cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      CAST(COUNT(*) AS BIGINT) AS shared_bands
+               FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+      sizes AS (SELECT doc_id, CAST(COUNT(DISTINCT s) AS BIGINT) AS n FROM sh GROUP BY 1),
+      common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                        CAST(COUNT(DISTINCT a.s) AS BIGINT) AS common
+                 FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2)
+      SELECT c.doc_a, c.doc_b, c.shared_bands,
+        CAST(COALESCE(cm.common, 0) AS DOUBLE) / (sa.n + sb.n - COALESCE(cm.common, 0)) AS jaccard,
+        CAST(COALESCE(cm.common, 0) AS DOUBLE) / (sa.n + sb.n - COALESCE(cm.common, 0)) >= 0.4 AS is_dup
+      FROM cand c
+      LEFT JOIN common cm ON c.doc_a = cm.doc_a AND c.doc_b = cm.doc_b
+      JOIN sizes sa ON c.doc_a = sa.doc_id
+      JOIN sizes sb ON c.doc_b = sb.doc_id
+      ORDER BY c.doc_a, c.doc_b"""
+    },
+    covers = Seq("DEDUP-minhash", "DEDUP-jaccard"))
+
+  val all: Seq[QueryDef] =
+    Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q47)
 }

