@@ -10,11 +10,15 @@ import org.apache.spark.sql.expressions.Window
   *
   * Implemented as the union + last-non-null-window trick rather than a
   * range join: tag both sides, union by (key, time), and carry the
-  * last seen right payload forward with `last(_, ignoreNulls)` over an
-  * ordered frame. One shuffle on the key (the same shuffle a
-  * sort-merge join would need), no quadratic candidate stage, no
-  * per-key driver loop — the shape that survives 100 TB, where a
-  * nested-loop or exploded-range join would not.
+  * last seen right row forward as ONE struct(rightTime, payload...)
+  * with a single `last(_, ignoreNulls)` over an ordered frame — so all
+  * payload columns and the freshness timestamp always come from the
+  * same matched right row (a right row whose payload column is null
+  * yields null for that column, never an older row's value). One
+  * shuffle on the key (the same shuffle a sort-merge join would need),
+  * no quadratic candidate stage, no per-key driver loop — the shape
+  * that survives 100 TB, where a nested-loop or exploded-range join
+  * would not.
   *
   * Determinism: the frame is ordered by (time, tag, tiebreak) so
   * same-timestamp collisions resolve identically everywhere: a right
@@ -44,18 +48,26 @@ object AsOfJoin {
       toleranceMs: Long = 0L): DataFrame = {
     val lCols = left.columns.toSeq
 
+    // The whole right row rides in one struct so `last(ignoreNulls)`
+    // is all-or-nothing: either the packet of the matched right row
+    // (null payload fields included) or null — per-column carries
+    // could otherwise mix fields from different right rows.
+    val packet = struct(
+      (col(rightTime).as("__rt") +: payload.map(c => col(c).as(c))): _*)
+    val packetType = right.select(packet).schema.head.dataType
+
     val l = left.select(
       Seq(col(key), col(leftTime).as("__t"), lit(1).as("__is_left"),
-        lit(null).cast("long").as("__rtb")) ++
-        lCols.filter(_ != key).map(c => col(c).as(s"__l_$c")) ++
-        payload.map(c => lit(null).cast(right.schema(c).dataType).as(s"__p_$c")): _*)
+        lit(null).cast("long").as("__rtb"),
+        lit(null).cast(packetType).as("__pkt")) ++
+        lCols.filter(_ != key).map(c => col(c).as(s"__l_$c")): _*)
 
     val r = right.select(
       Seq(col(key), col(rightTime).as("__t"), lit(0).as("__is_left"),
-        col(tiebreak).cast("long").as("__rtb")) ++
+        col(tiebreak).cast("long").as("__rtb"),
+        packet.as("__pkt")) ++
         lCols.filter(_ != key).map(c =>
-          lit(null).cast(left.schema(c).dataType).as(s"__l_$c")) ++
-        payload.map(c => col(c).as(s"__p_$c")): _*)
+          lit(null).cast(left.schema(c).dataType).as(s"__l_$c")): _*)
 
     // Rights sort before lefts at equal time (__is_left 0 < 1) so an
     // exactly-simultaneous right is visible; among equal-time rights
@@ -65,21 +77,19 @@ object AsOfJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val carried = l.unionByName(r)
-      .withColumn("__asof_t", last(when(col("__is_left") === 0, col("__t")),
-        ignoreNulls = true).over(w))
-      .withColumns(payload.map(c =>
-        s"__p_$c" -> last(when(col("__is_left") === 0, col(s"__p_$c")),
-          ignoreNulls = true).over(w)).toMap)
+      .withColumn("__pkt", last(col("__pkt"), ignoreNulls = true).over(w))
 
+    // Freshness is judged on the matched row's own timestamp — the
+    // same row every payload value comes from.
     val fresh = if (toleranceMs > 0)
-      col("__asof_t").isNotNull &&
-        unix_millis(col("__t")) - unix_millis(col("__asof_t")) <= toleranceMs
-    else col("__asof_t").isNotNull
+      col("__pkt").isNotNull &&
+        unix_millis(col("__t")) - unix_millis(col("__pkt").getField("__rt")) <= toleranceMs
+    else col("__pkt").isNotNull
 
     carried.filter(col("__is_left") === 1)
       .select(
         Seq(col(key), col("__t").as(leftTime)) ++
           lCols.filter(_ != key).filter(_ != leftTime).map(c => col(s"__l_$c").as(c)) ++
-          payload.map(c => when(fresh, col(s"__p_$c")).as(s"asof_$c")): _*)
+          payload.map(c => when(fresh, col("__pkt").getField(c)).as(s"asof_$c")): _*)
   }
 }

@@ -29,10 +29,21 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   * +:= RangeJoinRewrite` or cluster-wide with
   * `spark.sql.extensions=graft.plans.GraftExtensions`. Bin width:
   * `spark.graft.rangeJoin.binMinutes` (default 360).
+  *
+  * Fan-out bound: each row explodes into at most
+  * `spark.graft.rangeJoin.maxBins` (default 2048) bins, so one
+  * corrupt or open-ended interval (an end_time years after start)
+  * cannot generate millions of rows. The clamp never produces false
+  * matches (the original overlap predicate is kept); it can only DROP
+  * a pair when one interval genuinely spans more than maxBins bins
+  * (≈ 512 days at the default bin width) AND the other starts beyond
+  * the clamp horizon — raise maxBins or binMinutes if such intervals
+  * are legitimate.
   */
 object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   val binMinutesKey = "spark.graft.rangeJoin.binMinutes"
+  val maxBinsKey = "spark.graft.rangeJoin.maxBins"
   val enabledKey = "spark.graft.rangeJoin.enabled"
 
   /** (aStart, aEnd, bStart, bEnd): a.start < b.end && a.end > b.start
@@ -77,6 +88,7 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     if (conf.getConfString(enabledKey, "true") != "true") return plan
     val binMicros =
       conf.getConfString(binMinutesKey, "360").toLong * 60000000L
+    val maxBins = conf.getConfString(maxBinsKey, "2048").toLong
 
     plan.transform {
       case j @ Join(left, right, Inner | Cross, Some(cond), hint) =>
@@ -89,9 +101,13 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
               new IntegralDivide(UnixMicros(e), Literal(binMicros))
             def binned(child: LogicalPlan, s: Expression, e: Expression) = {
               val attr = AttributeReference("__graft_bin", LongType)()
-              // Sequence is TimeZoneAwareExpression; the analyzer that
-              // normally fills timeZoneId has already run, so set it.
-              val gen = Explode(Sequence(binOf(s), binOf(e), None,
+              // Clamp the explode to maxBins bins per row so corrupt
+              // intervals stay bounded (doc above for lost-match
+              // semantics). Sequence is TimeZoneAwareExpression; the
+              // analyzer that normally fills timeZoneId has already
+              // run, so set it.
+              val endBin = Least(Seq(binOf(e), Add(binOf(s), Literal(maxBins))))
+              val gen = Explode(Sequence(binOf(s), endBin, None,
                 Some(conf.sessionLocalTimeZone)))
               (Generate(gen, Nil, outer = false, None, Seq(attr), child), attr)
             }

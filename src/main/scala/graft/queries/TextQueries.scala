@@ -94,7 +94,9 @@ object TextQueries {
   private val q22 = QueryDef(
     "q22_ngram_jaccard",
     (s, dir) => {
-      val sh = shingles(spread(s, t(s, dir, "documents")))
+      // postings feed both the sizes and the pair expansion — one
+      // explode, materialized once
+      val sh = shingles(spread(s, t(s, dir, "documents"))).persist()
       val sizes = sh.groupBy("doc_id").agg(countDistinct(col("s")).as("n"))
       // Postings-list pair expansion: group each shingle's (sorted,
       // deduped) doc list and emit its pairs with array HOFs — one
@@ -472,7 +474,9 @@ object TextQueries {
   private val q47 = QueryDef(
     "q47_minhash_verified",
     (s, dir) => {
-      val sh = shingles(spread(s, t(s, dir, "documents")))
+      // the postings feed both the sketch and the verify stage — one
+      // explode, materialized once
+      val sh = shingles(spread(s, t(s, dir, "documents"))).persist()
       // candidates via banded MinHash (as q23)
       val sig = sh.groupBy("doc_id")
         .agg(graft.functions.MinHashSignature(s, col("s"), nHashes).as("sig"))
@@ -488,10 +492,17 @@ object TextQueries {
           col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .agg(count(lit(1)).as("shared_bands"))
-      // exact verification (as q22, but only for candidate pairs)
-      val sizes = sh.groupBy("doc_id").agg(countDistinct(col("s")).as("n"))
-      val common = sh.select(col("doc_id").as("doc_a"), col("s")).distinct()
-        .join(sh.select(col("doc_id").as("doc_b"), col("s")).distinct(), "s")
+      // Exact verification restricted to candidate docs — that's the
+      // entire economics of LSH→verify: the sketch proposes o(n²)
+      // pairs, so the exact Jaccard pass touches only their postings
+      // (broadcast semi-join keeps the narrow shape), never the full
+      // corpus × corpus co-shingle expansion.
+      val candDocs = cand.select(col("doc_a").as("doc_id"))
+        .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+      val shCand = sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      val sizes = shCand.groupBy("doc_id").agg(countDistinct(col("s")).as("n"))
+      val common = shCand.select(col("doc_id").as("doc_a"), col("s")).distinct()
+        .join(shCand.select(col("doc_id").as("doc_b"), col("s")).distinct(), "s")
         .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
       cand
         .join(common, Seq("doc_a", "doc_b"), "left")

@@ -96,7 +96,10 @@ final class TableStore(spark: SparkSession, root: String) {
   }
 
   /** Write `df` (which reads from `table`) to a temp location, then
-    * atomically swap directories.
+    * atomically swap directories. Every rename is checked: on failure
+    * the target is restored from the `__old` backup and the backup is
+    * only deleted once the new data is confirmed in place — a failed
+    * swap must never lose the table.
     */
   private def swapWrite(table: String, df: DataFrame): Unit = {
     val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
@@ -105,8 +108,18 @@ final class TableStore(spark: SparkSession, root: String) {
     val old = new Path(path(table) + "__old")
     df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     if (fs.exists(old)) fs.delete(old, true)
-    fs.rename(target, old)
-    fs.rename(tmp, target)
+    if (!fs.rename(target, old)) {
+      fs.delete(tmp, true)
+      throw new java.io.IOException(
+        s"swapWrite($table): could not move current table aside ($target -> $old)")
+    }
+    if (!fs.rename(tmp, target)) {
+      val restored = fs.rename(old, target)
+      fs.delete(tmp, true)
+      throw new java.io.IOException(
+        s"swapWrite($table): could not install new data ($tmp -> $target); " +
+          (if (restored) "previous table restored" else s"RESTORE FAILED, data is at $old"))
+    }
     fs.delete(old, true)
   }
 }

@@ -82,8 +82,14 @@ object EventStreams {
           }
         }
         cur.foreach { s =>
+          // A timeout at or before the current watermark throws
+          // (late rows reach this function when gapMinutes < the
+          // allowed lateness) — clamp to watermark + 1 so the session
+          // closes on the next watermark advance instead of killing
+          // the query.
+          val wm = state.getCurrentWatermarkMs()
           state.update(s)
-          state.setTimeoutTimestamp(s.lastMs + gapMs)
+          state.setTimeoutTimestamp(math.max(wm + 1, s.lastMs + gapMs))
         }
         closed.reverseIterator
       }

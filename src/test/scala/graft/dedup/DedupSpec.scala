@@ -14,6 +14,16 @@ class DedupSpec extends SparkSpec {
     assert(cl == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("long chain converges within default rounds (pointer jumping)") {
+    import spark.implicits._
+    // a 41-node path graph: one-hop-only propagation would need 40
+    // rounds; doubling must collapse it within the default 8
+    val pairs = (0L until 40L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val cl = Dedup.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl.size == 41 && cl.values.forall(_ == 0L))
+  }
+
   test("dropNearDuplicates keeps one canonical doc per cluster") {
     import spark.implicits._
     val corpus = (1L to 12L).map(i => (i, s"text $i")).toDF("doc_id", "text")

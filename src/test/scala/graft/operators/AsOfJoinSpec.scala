@@ -49,6 +49,29 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(103L).isEmpty)    // right@01 is 14 min stale for left@15
   }
 
+  test("null payload on the matched right row stays null, never an older row's value") {
+    import spark.implicits._
+    val left = Seq((1L, ts(30), 300L)).toDF("user_id", "ts", "event_id")
+    val right = Seq(
+      (1L, ts(10), Option(5.0), 210L),
+      (1L, ts(25), Option.empty[Double], 211L)) // latest right: NULL value
+      .toDF("user_id", "ts", "value", "event_id")
+
+    // Unbounded: all payload columns must come from the ts(25) row.
+    val row = AsOfJoin.asof(left, right, "user_id", "ts", "ts",
+        Seq("value", "event_id"), tiebreak = "event_id").collect().head
+    assert(Option(row.getAs[java.lang.Double]("asof_value")).isEmpty)
+    assert(row.getAs[Long]("asof_event_id") == 211L)
+
+    // Tolerance 10 min: matched row ts(25) is fresh for left ts(30),
+    // and the stale ts(10) value must not leak through it.
+    val tol = AsOfJoin.asof(left, right, "user_id", "ts", "ts",
+        Seq("value", "event_id"), tiebreak = "event_id",
+        toleranceMs = 10 * 60000L).collect().head
+    assert(Option(tol.getAs[java.lang.Double]("asof_value")).isEmpty)
+    assert(tol.getAs[Long]("asof_event_id") == 211L)
+  }
+
   test("matches a brute-force per-row computation on events data") {
     val e = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
     import org.apache.spark.sql.functions._

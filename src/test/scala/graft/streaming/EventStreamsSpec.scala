@@ -42,6 +42,42 @@ class EventStreamsSpec extends SparkSpec {
     assert(sessions(1).n_events == 1 && sessions(1).total_value == 5.0)
   }
 
+  test("late event with gap smaller than lateness does not kill the query") {
+    // gap 5 min < lateness 30 min: if a late row reached the update
+    // function its lastMs+gap could land at or before the watermark
+    // and an unclamped setTimeoutTimestamp would throw, failing the
+    // whole stream. Two layers prevent that: Spark 4.x drops
+    // watermark-late rows before flatMapGroupsWithState, and
+    // sessionize clamps the timeout to watermark+1 regardless.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventStreams.sessionize(input.toDS(), gapMinutes = 5,
+        lateness = "30 minutes")
+      .writeStream.format("memory").queryName("late_sessions")
+      .outputMode(OutputMode.Append()).start()
+
+    input.addData(Event(1L, ts(0), "click", 1.0))
+    query.processAllAvailable()
+    // push the watermark to 10:30
+    input.addData(Event(2L, Timestamp.valueOf("2026-01-01 11:00:00"), "view", 0.0))
+    query.processAllAvailable()
+    // late user-1 row at 10:20: 10:20 + 5 min = 10:25 <= watermark 10:30
+    input.addData(Event(1L, ts(20), "click", 2.0))
+    query.processAllAvailable()
+    // advance far enough to flush everything
+    input.addData(Event(3L, Timestamp.valueOf("2026-01-01 13:00:00"), "view", 0.0))
+    query.processAllAvailable()
+    query.stop()
+
+    // the query survived; the late row itself was dropped by the
+    // watermark filter, so user 1 keeps exactly the 10:00 session
+    val sessions = spark.table("late_sessions").as[Session].collect()
+      .filter(_.user_id == 1L).sortBy(_.session_start.getTime)
+    assert(sessions.length == 1)
+    assert(sessions(0).session_start == ts(0) && sessions(0).total_value == 1.0)
+  }
+
   test("windowedCounts emits closed tumbling windows once (append + watermark)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
