@@ -487,11 +487,14 @@ object TextQueries {
           col(s"h${b * bandSize}"), col(s"h${b * bandSize + 1}")))
       }
       val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bkey"))
+      // cand feeds both the verify restriction and the final join;
+      // persisting it keeps the MinHash aggregate single-pass
       val cand = bands.as("a")
         .join(bands.as("b"),
           col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .agg(count(lit(1)).as("shared_bands"))
+        .persist()
       // Exact verification restricted to candidate docs — that's the
       // entire economics of LSH→verify: the sketch proposes o(n²)
       // pairs, so the exact Jaccard pass touches only their postings

@@ -12,10 +12,18 @@ import org.apache.spark.sql.expressions.Window
   * the cluster id becomes the partition key, so a query touches
   * `nprobe / k` of the data and each cluster scans independently.
   *
+  * The centroid model (k × dim doubles) lives on the driver and is
+  * shipped into expressions as an array literal, so assignment is a
+  * NARROW map over the corpus — no crossJoin, no shuffle keyed on the
+  * vector — and each training iteration is one scan + one tiny
+  * aggregation by cluster id. That is the shape that survives 100 TB:
+  * model broadcast, data never reshuffled.
+  *
   * Determinism (so results are test- and gate-stable): centroids
   * initialize from the `k` lowest-id vectors, assignment ties break by
-  * cluster id via lexicographic `min(struct(dist, cid))`, and centroid
-  * means are exact averages of deterministic member sets.
+  * cluster id (first position of the minimum distance in the
+  * cid-sorted centroid array), and centroid means are exact averages
+  * of deterministic member sets.
   */
 object IvfIndex {
 
@@ -30,10 +38,21 @@ object IvfIndex {
       }),
       lit(0.0), (acc, x) => acc + x)
 
+  /** Nearest centroid id for a vector column, against a driver-side
+    * centroid model turned into array literals: distances via array
+    * HOFs, argmin via first position of the minimum (= lowest cid on
+    * ties, because the array is cid-sorted).
+    */
+  private def nearestCid(v: Column, model: Seq[(Int, Seq[Double])]): Column = {
+    val cents = model.sortBy(_._1)
+    val centArr = typedLit(cents.map(_._2))
+    val cidArr = typedLit(cents.map(_._1))
+    val dists = transform(centArr, c => sqDist(v, c))
+    element_at(cidArr, array_position(dists, array_min(dists)).cast("int"))
+  }
+
   /** Train `k` centroids with `iters` Lloyd iterations. Returns
-    * (cluster_id: Int, centroid: Array[Double]). Centroid state lives
-    * on the driver between iterations (k × dim doubles — model
-    * parameters, not data).
+    * (cluster_id: Int, centroid: Array[Double]).
     */
   def trainCentroids(
       emb: DataFrame,
@@ -50,37 +69,32 @@ object IvfIndex {
       .zipWithIndex
       .map { case (r, i) => i -> r.getSeq[Float](0).map(_.toDouble) }
       .toSeq
+    val dim = centroids.head._2.length
 
     for (_ <- 1 to iters) {
-      val cdf = broadcast(centroids.toDF("cid", "centroid"))
-      val assigned = emb.select(col(idCol), col(vecCol))
-        .crossJoin(cdf)
-        .groupBy(col(idCol), col(vecCol))
-        .agg(min(struct(sqDist(col(vecCol), col("centroid")).as("d"),
-          col("cid"))).getField("cid").as("cid"))
-      centroids = assigned
-        .select(col("cid"), posexplode(col(vecCol)).as(Seq("pos", "v")))
-        .groupBy("cid", "pos")
-        .agg(avg(col("v").cast("double")).as("m"))
+      // one scan: narrow assignment + per-dimension means by cluster
+      val means = (1 to dim).map(i =>
+        avg(element_at(col(vecCol), i).cast("double")).as(s"m$i"))
+      centroids = emb
+        .select(col(vecCol), nearestCid(col(vecCol), centroids).as("cid"))
         .groupBy("cid")
-        .agg(transform(
-          array_sort(collect_list(struct(col("pos"), col("m")))),
-          x => x.getField("m")).as("centroid"))
+        .agg(means.head, means.tail: _*)
         .collect()
-        .map(r => r.getInt(0) -> r.getSeq[Double](1))
+        .map(r => r.getInt(0) -> (1 to dim).map(r.getDouble).toSeq)
         .toSeq.sortBy(_._1)
     }
     centroids.toDF("cid", "centroid")
   }
 
   /** Assign every corpus vector to its nearest centroid — the
-    * "index build"; persist/partition the result by `cid` at scale.
+    * "index build"; a narrow projection (persist/partition the result
+    * by `cid` at scale).
     */
-  def assign(emb: DataFrame, centroids: DataFrame, idCol: String, vecCol: String): DataFrame =
-    emb.crossJoin(broadcast(centroids))
-      .groupBy(emb.columns.map(col): _*)
-      .agg(min(struct(sqDist(col(vecCol), col("centroid")).as("d"), col("cid")))
-        .getField("cid").as("cid"))
+  def assign(emb: DataFrame, centroids: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val model = centroids.collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1)).toSeq
+    emb.withColumn("cid", nearestCid(col(vecCol), model))
+  }
 
   /** Top-`topK` cosine neighbours per query, scanning only each
     * query's `nprobe` nearest clusters.
