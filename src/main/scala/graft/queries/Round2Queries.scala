@@ -1,0 +1,349 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/** Round-2 coverage widening: multimodal feature extraction under the
+  * oracle gate, cube/grouping-id subtotals, exact percentiles,
+  * regression/correlation from exact sums, TF-IDF term ranking, a
+  * RANGE-frame window, deterministic hash sampling, embedding
+  * normalization, string edit distance, and struct-ordered argmax.
+  *
+  * Determinism rules are the same as everywhere else (QueryDef
+  * scaladoc): doubles from exact DECIMAL sums or identical IEEE
+  * expression trees, BIGINT casts on the DuckDB side, total ORDER BY.
+  */
+object Round2Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def spread(s: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(s.sparkContext.defaultParallelism)
+
+  // ------------------------------------------------------------ multimodal
+  // The full binary-column pipeline under the hash gate: document text
+  // bytes stand in for media payloads (the stub codec is deterministic
+  // arithmetic over bytes, so the whole mapPartitions path — schema,
+  // batching, feature row — is SQL-checkable in DuckDB down to the
+  // sha256 and byte histogram).
+  private val q48 = QueryDef(
+    "q48_media_features",
+    (s, dir) => {
+      val d = spread(s, t(s, dir, "documents"))
+      val mod = col("doc_id") % 3
+      val media = d.select(
+        col("doc_id").as("media_id"),
+        when(mod === 0, "image").when(mod === 1, "audio").otherwise("video")
+          .as("media_type"),
+        lit(null).cast("string").as("uri"),
+        col("text").cast("binary").as("content"),
+        lit(null).cast("int").as("meta_width"),
+        lit(null).cast("int").as("meta_height"),
+        lit(null).cast("int").as("meta_sample_rate"))
+      graft.multimodal.MediaFeatures.extractFeatures(media)
+        .select(
+          col("media_id"), col("media_type"), col("byte_len"), col("sha256"),
+          col("width"), col("height"), col("duration_ms"),
+          element_at(col("histogram"), 3).as("h2"),
+          element_at(col("histogram"), 7).as("h6"),
+          col("mean_byte"))
+        .orderBy("media_id")
+    },
+    Some("""WITH media AS (
+        SELECT doc_id AS media_id,
+          CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+          text, octet_length(encode(text)) AS n FROM documents)
+      SELECT media_id, media_type,
+        CAST(n AS BIGINT) AS byte_len,
+        sha256(text) AS sha256,
+        CAST(CASE media_type WHEN 'image' THEN 1 + (n % 1024) WHEN 'video' THEN 640 ELSE 0 END AS INTEGER) AS width,
+        CAST(CASE media_type WHEN 'image' THEN 1 + ((n // 1024) % 1024) WHEN 'video' THEN 360 ELSE 0 END AS INTEGER) AS height,
+        CAST(CASE media_type WHEN 'audio' THEN n // 16 WHEN 'video' THEN n // 128 ELSE 0 END AS BIGINT) AS duration_ms,
+        CAST(len(list_filter(list_transform(range(1, length(text)+1), i -> ascii(substr(text, i, 1))), b -> b // 16 = 2)) AS BIGINT) AS h2,
+        CAST(len(list_filter(list_transform(range(1, length(text)+1), i -> ascii(substr(text, i, 1))), b -> b // 16 = 6)) AS BIGINT) AS h6,
+        CAST(list_sum(list_transform(range(1, length(text)+1), i -> ascii(substr(text, i, 1)))) AS DOUBLE) / n AS mean_byte
+      FROM media ORDER BY media_id"""),
+    covers = Seq("MM-features"))
+
+  // ------------------------------------------------------------ cube
+  // Full grouping-set lattice with GROUPING() ids (rollup's big
+  // sibling, q39); null keys coalesced to sentinels for identical
+  // ordering in both engines.
+  private val q49 = QueryDef(
+    "q49_cube_grouping",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping(col("l_returnflag")).cast("int").as("g_rf"),
+          grouping(col("l_linestatus")).cast("int").as("g_ls"),
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("(all)")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("linestatus"),
+          col("g_rf"), col("g_ls"), col("n"), col("qty"))
+        .orderBy("returnflag", "linestatus")
+    },
+    Some("""SELECT
+        COALESCE(l_returnflag, '(all)') AS returnflag,
+        COALESCE(l_linestatus, '(all)') AS linestatus,
+        CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
+        CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+      ORDER BY returnflag, linestatus"""),
+    covers = Seq("AGG-cube"))
+
+  // ------------------------------------------------------------ exact percentiles
+  // Exact (sort-based) quantiles — the precise twin of q40's sketch.
+  // Only dyadic fractions (k/4) so the interpolation (1-g)*lo + g*hi
+  // vs lo + (b-a)*g is exact either way on the integer-valued data.
+  private val q50 = QueryDef(
+    "q50_exact_percentiles",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))").as("ps"),
+          count(lit(1)).as("n"))
+        .select(
+          col("l_returnflag"),
+          element_at(col("ps"), 1).as("p25"),
+          element_at(col("ps"), 2).as("p50"),
+          element_at(col("ps"), 3).as("p75"),
+          col("n"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag,
+        quantile_cont(l_quantity, 0.25) AS p25,
+        quantile_cont(l_quantity, 0.5) AS p50,
+        quantile_cont(l_quantity, 0.75) AS p75,
+        CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+    covers = Seq("AGG-percentile"))
+
+  // ------------------------------------------------------------ corr / regression
+  // Pearson correlation + least-squares line WITHOUT corr()/covar():
+  // both engines' built-ins accumulate doubles in partial-agg order
+  // (nondeterministic); deriving from exact decimal sums with one
+  // shared final expression tree is bit-stable at any scale.
+  private val q51 = QueryDef(
+    "q51_corr_regression",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val x = col("l_quantity").cast("decimal(18,2)")
+      val y = col("l_discount").cast("decimal(18,2)")
+      val sums = li.groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(x).cast("double").as("sx"),
+          sum(y).cast("double").as("sy"),
+          sum(x * y).cast("double").as("sxy"),
+          sum(x * x).cast("double").as("sxx"),
+          sum(y * y).cast("double").as("syy"))
+      val cov = col("n") * col("sxy") - col("sx") * col("sy")
+      val varx = col("n") * col("sxx") - col("sx") * col("sx")
+      val vary = col("n") * col("syy") - col("sy") * col("sy")
+      val slope = cov / varx
+      sums.select(
+          col("l_returnflag"), col("n"), col("sx"), col("sy"),
+          slope.as("slope"),
+          ((col("sy") - slope * col("sx")) / col("n")).as("intercept"),
+          (cov / (sqrt(varx) * sqrt(vary))).as("corr"))
+        .orderBy("l_returnflag")
+    },
+    Some("""WITH s AS (
+        SELECT l_returnflag,
+          CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+          CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+          CAST(SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS syy
+        FROM lineitem GROUP BY 1)
+      SELECT l_returnflag, n, sx, sy,
+        (n*sxy - sx*sy) / (n*sxx - sx*sx) AS slope,
+        (sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n AS intercept,
+        (n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)) AS corr
+      FROM s ORDER BY l_returnflag"""),
+    covers = Seq("AGG-stats"))
+
+  // ------------------------------------------------------------ TF-IDF
+  // Classic sparse-matrix shape: explode → tf/df aggregates → scored
+  // join → per-doc top-k. idf kept as the rational N/df (ln() differs
+  // in the last ULP between libm implementations, so no logarithm in
+  // a hash-gated query).
+  private val q52 = QueryDef(
+    "q52_tfidf_topterms",
+    (s, dir) => {
+      val d = spread(s, t(s, dir, "documents"))
+      val tok = d.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tok.groupBy("term").agg(countDistinct("doc_id").as("df"))
+      val nd = d.agg(count(lit(1)).as("nn"))
+      val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("term"))
+      tf.join(df, "term")
+        .crossJoin(broadcast(nd))
+        .withColumn("score",
+          col("tf").cast("double") * (col("nn").cast("double") / col("df").cast("double")))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select("doc_id", "term", "tf", "df", "score", "rk")
+        .orderBy("doc_id", "rk")
+    },
+    Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+      df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY 1),
+      nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM documents),
+      scored AS (SELECT doc_id, term, tf, df,
+        CAST(tf AS DOUBLE) * (CAST(nn AS DOUBLE) / CAST(df AS DOUBLE)) AS score
+        FROM tf JOIN df USING (term) CROSS JOIN nd),
+      ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk FROM scored)
+      SELECT doc_id, term, tf, df, score, CAST(rk AS BIGINT) AS rk
+      FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk"""),
+    covers = Seq("TEXT-tfidf"))
+
+  // ------------------------------------------------------------ RANGE frame
+  // Value-based (not row-based) window frame: a 7-day trailing window
+  // over possibly-gapped daily buckets — RANGE semantics differ from
+  // ROWS exactly when days are missing. Integer `div` for the day
+  // bucket so both engines floor identically.
+  private val q53 = QueryDef(
+    "q53_range_frame_window",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val daily = o
+        // o_orderdate is TIMESTAMP_NTZ; session TZ is UTC, so the cast
+        // matches DuckDB's epoch_us exactly
+        .groupBy(expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000").as("d"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("tot"))
+      // Unpartitioned value-range window — single-partition by design,
+      // same caveat as W3/W7 (2.4k day rows; partition by a coarser key
+      // at real scale).
+      val w = Window.orderBy("d").rangeBetween(-6, 0)
+      daily.select(
+          col("d"), col("n"),
+          sum(col("n")).over(w).cast("long").as("n_7d"),
+          sum(col("tot")).over(w).cast("double").as("tot_7d"))
+        .orderBy("d")
+    },
+    Some("""WITH daily AS (
+        SELECT epoch_us(o_orderdate) // 86400000000 AS d,
+          CAST(COUNT(*) AS BIGINT) AS n,
+          SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS tot
+        FROM orders GROUP BY 1)
+      SELECT d, n,
+        CAST(SUM(n) OVER w AS BIGINT) AS n_7d,
+        CAST(SUM(tot) OVER w AS DOUBLE) AS tot_7d
+      FROM daily WINDOW w AS (ORDER BY d RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+      ORDER BY d"""),
+    covers = Seq("WIN-range"))
+
+  // ------------------------------------------------------------ hash sampling
+  // Deterministic ~1/8 sample by key hash — the reproducible sampling
+  // a training pipeline needs (TABLESAMPLE/rand() differ per engine
+  // and per run; a hash threshold is identical everywhere forever).
+  private val q54 = QueryDef(
+    "q54_hash_sample",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      o.filter(substring(md5(col("o_orderkey").cast("string")), 1, 2) < "20")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n_sampled"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("sampled_total"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""WITH s AS (
+        SELECT * FROM orders WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '20')
+      SELECT o_orderstatus,
+        CAST(COUNT(*) AS BIGINT) AS n_sampled,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sampled_total
+      FROM s GROUP BY 1 ORDER BY 1"""),
+    covers = Seq("SAMPLE-hash"))
+
+  // ------------------------------------------------------------ embedding norms
+  // Vector normalization as a narrow per-row op: L2 norm via the
+  // sequential-fold dot product (bit-identical across engines) and the
+  // first normalized component as the spot check.
+  private val q55 = QueryDef(
+    "q55_embedding_norms",
+    (s, dir) => {
+      val e = spread(s, t(s, dir, "embeddings"))
+      val l2 = sqrt(aggregate(
+        zip_with(col("embedding"), col("embedding"),
+          (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v))
+      e.select(
+          col("vec_id"), col("label"), l2.as("l2"),
+          (element_at(col("embedding"), 1).cast("double") / l2).as("c1_normed"))
+        .orderBy("vec_id")
+    },
+    Some("""WITH n AS (
+        SELECT vec_id, label,
+          sqrt(list_sum(list_transform(list_zip(embedding, embedding),
+            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))) AS l2
+        FROM embeddings)
+      SELECT n.vec_id, n.label, n.l2,
+        CAST(e.embedding[1] AS DOUBLE) / n.l2 AS c1_normed
+      FROM n JOIN embeddings e ON n.vec_id = e.vec_id
+      ORDER BY n.vec_id"""),
+    covers = Seq("SIM-normalize"))
+
+  // ------------------------------------------------------------ edit distance
+  private val q56 = QueryDef(
+    "q56_levenshtein",
+    (s, dir) => {
+      val p = t(s, dir, "part")
+      val lev = levenshtein(col("p_name"), col("p_type"))
+      p.groupBy(col("p_brand"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(lev).as("sum_lev"),
+          min(lev).as("min_lev"),
+          max(lev).as("max_lev"))
+        .orderBy("p_brand")
+    },
+    Some("""SELECT p_brand,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(levenshtein(p_name, p_type)) AS BIGINT) AS sum_lev,
+        CAST(MIN(levenshtein(p_name, p_type)) AS INTEGER) AS min_lev,
+        CAST(MAX(levenshtein(p_name, p_type)) AS INTEGER) AS max_lev
+      FROM part GROUP BY 1 ORDER BY 1"""),
+    covers = Seq("STR-editdist"))
+
+  // ------------------------------------------------------------ argmax
+  // max_by semantics with a deterministic tiebreak via struct ordering
+  // (lexicographic field-by-field in both engines) — one aggregation,
+  // no window, no self-join.
+  private val q57 = QueryDef(
+    "q57_argmax",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val best = max(struct(col("o_totalprice").as("p"), col("o_orderkey").as("k")))
+      o.groupBy(col("o_custkey"))
+        .agg(best.as("best"))
+        .select(
+          col("o_custkey"),
+          col("best").getField("k").as("top_order"),
+          col("best").getField("p").as("top_price"))
+        .orderBy("o_custkey")
+    },
+    Some("""SELECT o_custkey,
+        struct_extract(max(struct_pack(p := o_totalprice, k := o_orderkey)), 'k') AS top_order,
+        CAST(struct_extract(max(struct_pack(p := o_totalprice, k := o_orderkey)), 'p') AS DOUBLE) AS top_price
+      FROM orders GROUP BY 1 ORDER BY o_custkey"""),
+    covers = Seq("AGG-argmax"))
+
+  val all: Seq[QueryDef] =
+    Seq(q48, q49, q50, q51, q52, q53, q54, q55, q56, q57)
+}

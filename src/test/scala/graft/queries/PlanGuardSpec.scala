@@ -14,7 +14,10 @@ class PlanGuardSpec extends SparkSpec {
     "q11_join_dims", "q13_anti_join", "q14_semi_join",
     "q20_overlap_join", "q22_ngram_jaccard", "q23_minhash_lsh",
     "q32_ns_station_severity", "q36_ns_overlap", "q41_asof_join",
-    "q42_sessionize_batch", "q46_cleaner_parity")
+    "q42_sessionize_batch", "q46_cleaner_parity", "q47_minhash_verified",
+    // q52 excluded: its one-row crossJoin(broadcast(N)) is the
+    // scalar-subquery pattern this guard deliberately allows
+    "q55_embedding_norms", "q56_levenshtein", "q57_argmax")
 
   test("no nested-loop or cartesian joins in shuffle-sensitive queries") {
     val dir = "/root/testdata/sf0.001"
