@@ -124,8 +124,12 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   }
 }
 
-/** `spark.sql.extensions` entry point registering the rewrite. */
+/** `spark.sql.extensions` entry point registering the overlap-join
+  * rewrite rule and the per-key top-k planner strategy.
+  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => RangeJoinRewrite)
+    ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
+  }
 }

@@ -344,6 +344,31 @@ object Round2Queries {
       FROM orders GROUP BY 1 ORDER BY o_custkey"""),
     covers = Seq("AGG-argmax"))
 
+  // ------------------------------------------------------------ custom physical top-k
+  // The graft.plans.TopKPerKey custom operator (logical node →
+  // strategy → partial/final physical heaps): bounded O(k) memory per
+  // key and map-side shuffle reduction, vs the row_number window form
+  // that sorts every row of every key. The oracle IS that window form
+  // — proving the custom operator's semantics equal Spark's built-in.
+  private val q58 = QueryDef(
+    "q58_topk_per_key",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      graft.plans.TopKPerKey.perKey(o, Seq("o_custkey"),
+          Seq(desc("o_totalprice"), asc("o_orderkey")), k = 3, rankName = "rk")
+        .orderBy("o_custkey", "rk")
+    },
+    Some("""WITH ranked AS (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+          ROW_NUMBER() OVER (PARTITION BY o_custkey
+            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        FROM orders)
+      SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+             CAST(rk AS BIGINT) AS rk
+      FROM ranked WHERE rk <= 3 ORDER BY o_custkey, rk"""),
+    covers = Seq("TOPK-perkey"))
+
   val all: Seq[QueryDef] =
-    Seq(q48, q49, q50, q51, q52, q53, q54, q55, q56, q57)
+    Seq(q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58)
 }
