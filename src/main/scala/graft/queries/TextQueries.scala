@@ -431,14 +431,15 @@ object TextQueries {
       val c = b.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
         col("bucket"))
       val cos = graft.functions.CosineSimilarity(s, col("q_emb"), col("n_emb"))
-      val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))
-      q.join(c, Seq("bucket"))
+      // per-query top-3 via the custom bounded-heap operator (see
+      // q58/graft.plans.TopKPerKey) — no full sort of each bucket's
+      // candidate list
+      val scored = q.join(c, Seq("bucket"))
         .filter(col("q_id") =!= col("n_id"))
         .withColumn("cos", cos)
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 3)
-        .select(col("bucket"), col("q_id"), col("n_id"), col("cos"),
-          col("rk").cast("long").as("rk"))
+        .select(col("bucket"), col("q_id"), col("n_id"), col("cos"))
+      graft.plans.TopKPerKey.perKey(scored, Seq("q_id"),
+          Seq(desc("cos"), asc("n_id")), 3, rankName = "rk")
         .orderBy("q_id", "rk")
     },
     Some("""WITH b AS (

@@ -116,13 +116,15 @@ object IvfIndex {
 
     val cos = graft.functions.CosineSimilarity(
       index.sparkSession, col("q_emb"), col(vecCol))
-    val rankW = Window.partitionBy("q_id").orderBy(desc("cos"), col(idCol))
-    probes.join(index, Seq("cid"))
+    val scored = probes.join(index, Seq("cid"))
       .filter(col("q_id") =!= col(idCol))
       .withColumn("cos", cos)
-      .withColumn("rk", row_number().over(rankW))
-      .filter(col("rk") <= topK)
-      .select(col("q_id"), col(idCol).as("n_id"), col("cos"),
-        col("rk").cast("long").as("rk"))
+      .select(col("q_id"), col(idCol).as("n_id"), col("cos"))
+    // bounded-heap top-k per query (graft.plans.TopKPerKey) instead of
+    // a row_number window: candidates never get fully sorted, and the
+    // partial phase caps shuffle volume at topK rows per query per
+    // partition
+    graft.plans.TopKPerKey.perKey(scored, Seq("q_id"),
+      Seq(desc("cos"), asc("n_id")), topK, rankName = "rk")
   }
 }

@@ -44,6 +44,31 @@ object EventStreams {
         col("window.end").as("window_end"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Stream-stream inner interval join: each click joins the same
+    * user's purchases that happen within `withinMinutes` AFTER it.
+    * Both sides carry watermarks and the time-bound condition is
+    * two-sided, so Spark can bound the join state and evict rows as
+    * the watermark passes — the only stream-stream join shape that
+    * doesn't grow state forever.
+    */
+  def clickToPurchase(
+      clicks: DataFrame,
+      purchases: DataFrame,
+      withinMinutes: Int,
+      lateness: String = "30 minutes"): DataFrame = {
+    val c = clicks.select(col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", lateness)
+    val p = purchases.select(col("user_id").as("p_user_id"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", lateness)
+    c.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $withinMinutes MINUTES"))
+      .select(col("user_id"), col("click_ts"),
+        col("purchase_ts"), col("purchase_value"))
+  }
+
   /** Gap-based sessionization via flatMapGroupsWithState: a session
     * closes when `gapMinutes` pass without an event for that user
     * (tracked with event-time timeouts against the watermark).

@@ -78,6 +78,36 @@ class EventStreamsSpec extends SparkSpec {
     assert(sessions(0).session_start == ts(0) && sessions(0).total_value == 1.0)
   }
 
+  test("stream-stream interval join matches clicks to in-window purchases") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val query = EventStreams.clickToPurchase(
+        clicks.toDF(), purchases.toDF(), withinMinutes = 10,
+        lateness = "0 seconds")
+      .writeStream.format("memory").queryName("cp_join")
+      .outputMode(OutputMode.Append()).start()
+
+    clicks.addData(Event(1L, ts(0), "click", 0.0), Event(2L, ts(0), "click", 0.0))
+    purchases.addData(
+      Event(1L, ts(5), "purchase", 42.0),   // within 10 min of user 1's click
+      Event(1L, ts(25), "purchase", 7.0),   // outside the window
+      Event(3L, ts(5), "purchase", 9.0))    // no matching click
+    query.processAllAvailable()
+    // advance both watermarks so joined rows flush in Append mode
+    clicks.addData(Event(9L, Timestamp.valueOf("2026-01-01 12:00:00"), "click", 0.0))
+    purchases.addData(Event(9L, Timestamp.valueOf("2026-01-01 12:00:00"), "purchase", 0.0))
+    query.processAllAvailable()
+    query.stop()
+
+    val rows = spark.table("cp_join").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Double]("purchase_value")))
+    assert(rows.count(_ == (1L, 42.0)) == 1)
+    assert(!rows.exists(_._2 == 7.0))   // outside interval
+    assert(!rows.exists(_._1 == 3L))    // unmatched user
+  }
+
   test("windowedCounts emits closed tumbling windows once (append + watermark)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
