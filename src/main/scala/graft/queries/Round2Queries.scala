@@ -369,6 +369,138 @@ object Round2Queries {
       FROM ranked WHERE rk <= 3 ORDER BY o_custkey, rk"""),
     covers = Seq("TOPK-perkey"))
 
+  // ------------------------------------------------------------ skew-salted join
+  // operators/SkewJoin under the gate: the salted join must be
+  // row-identical to the plain equi-join the oracle runs — salting is
+  // pure partitioning, invisible in the result.
+  private val q59 = QueryDef(
+    "q59_skew_salted_join",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders").withColumnRenamed("o_orderkey", "l_orderkey")
+      graft.operators.SkewJoin.saltedInnerJoin(li, o, "l_orderkey", saltFactor = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1 ORDER BY 1"""),
+    covers = Seq("JOIN-skew"))
+
+  // ------------------------------------------------------------ unpivot
+  // pivot's inverse (q44): wide columns → (kind, val) rows.
+  private val q60 = QueryDef(
+    "q60_unpivot",
+    (s, dir) => {
+      val p = t(s, dir, "part")
+        .select(col("p_partkey"),
+          col("p_size").cast("double").as("size_val"),
+          col("p_retailprice").cast("double").as("price_val"))
+      p.unpivot(Array(col("p_partkey")),
+          Array(col("size_val"), col("price_val")), "kind", "val")
+        .groupBy(col("kind"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("val").cast("decimal(18,2)")).cast("double").as("total"),
+          min(col("val")).as("mn"),
+          max(col("val")).as("mx"))
+        .orderBy("kind")
+    },
+    Some("""WITH u AS (
+        SELECT p_partkey, kind, val FROM (
+          SELECT p_partkey,
+            CAST(p_size AS DOUBLE) AS size_val,
+            CAST(p_retailprice AS DOUBLE) AS price_val
+          FROM part)
+        UNPIVOT (val FOR kind IN (size_val, price_val)))
+      SELECT kind, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        CAST(MIN(val) AS DOUBLE) AS mn, CAST(MAX(val) AS DOUBLE) AS mx
+      FROM u GROUP BY kind ORDER BY kind"""),
+    covers = Seq("RESHAPE-unpivot"))
+
+  // ------------------------------------------------------------ window function surface
+  // The ranking-family long tail: ntile buckets, cume_dist (exact
+  // integer ratio → identical double), first/nth value over an
+  // explicit ROWS frame.
+  private val q61 = QueryDef(
+    "q61_window_funcs",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      val framed = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      c.select(
+          col("c_custkey"), col("c_mktsegment"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          cume_dist().over(w).as("cd"),
+          first(col("c_custkey")).over(framed).as("poorest"),
+          nth_value(col("c_custkey"), 2).over(framed).as("second_poorest"))
+        .orderBy("c_mktsegment", "c_custkey")
+    },
+    Some("""WITH w AS (
+        SELECT c_custkey, c_mktsegment,
+          NTILE(4) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS quartile,
+          CUME_DIST() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS cd,
+          FIRST_VALUE(c_custkey) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS poorest,
+          NTH_VALUE(c_custkey, 2) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_poorest
+        FROM customer)
+      SELECT c_custkey, c_mktsegment, CAST(quartile AS BIGINT) AS quartile,
+             cd, poorest, second_poorest
+      FROM w ORDER BY c_mktsegment, c_custkey"""),
+    covers = Seq("WIN-ranking-tail"))
+
+  // ------------------------------------------------------------ ordered string agg
+  // listagg/string_agg parity via the deterministic sorted-collect
+  // form (array_join ∘ array_sort ∘ collect_list ≡ string_agg ORDER BY).
+  private val q62 = QueryDef(
+    "q62_listagg",
+    (s, dir) => {
+      val n = t(s, dir, "nation")
+      val c = t(s, dir, "customer")
+      n.join(c, col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_nationkey"), col("n_name"))
+        .agg(
+          array_join(array_sort(collect_list(col("c_mktsegment"))), ",").as("segs"),
+          count(lit(1)).as("n"))
+        .orderBy("n_nationkey")
+    },
+    Some("""SELECT n_nationkey, n_name,
+        string_agg(c_mktsegment, ',' ORDER BY c_mktsegment) AS segs,
+        CAST(COUNT(*) AS BIGINT) AS n
+      FROM nation JOIN customer ON c_nationkey = n_nationkey
+      GROUP BY 1, 2 ORDER BY n_nationkey"""),
+    covers = Seq("AGG-listagg"))
+
+  // ------------------------------------------------------------ bitwise aggregates
+  private val q63 = QueryDef(
+    "q63_bit_aggs",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      e.groupBy(col("event_type"))
+        .agg(
+          bit_and(col("user_id")).as("band"),
+          bit_or(col("user_id")).as("bor"),
+          bit_xor(col("user_id")).as("bxor"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type,
+        CAST(bit_and(user_id) AS BIGINT) AS band,
+        CAST(bit_or(user_id) AS BIGINT) AS bor,
+        CAST(bit_xor(user_id) AS BIGINT) AS bxor,
+        CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1 ORDER BY 1"""),
+    covers = Seq("AGG-bitwise"))
+
   val all: Seq[QueryDef] =
-    Seq(q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58)
+    Seq(q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58,
+      q59, q60, q61, q62, q63)
 }
