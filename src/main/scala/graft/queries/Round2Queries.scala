@@ -500,7 +500,43 @@ object Round2Queries {
       FROM events GROUP BY 1 ORDER BY 1"""),
     covers = Seq("AGG-bitwise"))
 
+  // ------------------------------------------------------------ recursive CTE
+  // Gap-filled daily series via WITH RECURSIVE (Spark 4 iterative CTE
+  // execution): a 30-day ladder from the recursive anchor left-joined
+  // to the real daily counts — the canonical time-series gap-fill.
+  private val q64 = QueryDef(
+    "q64_recursive_gapfill",
+    (s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql("""WITH RECURSIVE daily AS (
+          SELECT unix_micros(cast(o_orderdate as timestamp)) div 86400000000 AS d,
+                 COUNT(*) AS n
+          FROM orders_v GROUP BY 1),
+        bounds AS (SELECT MAX(d) AS hi FROM daily),
+        days(d) AS (
+          SELECT hi - 29 FROM bounds
+          UNION ALL
+          SELECT d + 1 FROM days WHERE d < (SELECT hi FROM bounds))
+        SELECT days.d, COALESCE(daily.n, 0L) AS n,
+          CAST(CASE WHEN daily.n IS NULL THEN 1 ELSE 0 END AS INT) AS is_gap
+        FROM days LEFT JOIN daily ON days.d = daily.d
+        ORDER BY days.d""")
+    },
+    Some("""WITH RECURSIVE daily AS (
+        SELECT epoch_us(o_orderdate) // 86400000000 AS d, CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders GROUP BY 1),
+      bounds AS (SELECT MAX(d) AS hi FROM daily),
+      days(d) AS (
+        SELECT hi - 29 FROM bounds
+        UNION ALL
+        SELECT d + 1 FROM days WHERE d < (SELECT hi FROM bounds))
+      SELECT days.d, COALESCE(daily.n, 0) AS n,
+        CAST(CASE WHEN daily.n IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_gap
+      FROM days LEFT JOIN daily ON days.d = daily.d
+      ORDER BY days.d"""),
+    covers = Seq("CTE-recursive"))
+
   val all: Seq[QueryDef] =
     Seq(q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58,
-      q59, q60, q61, q62, q63)
+      q59, q60, q61, q62, q63, q64)
 }
