@@ -13,6 +13,11 @@ import org.apache.spark.sql.functions._
   * partition into `saltFactor` even ones at the cost of an
   * `O(right × saltFactor)` blow-up — use with a moderate-sized right
   * side, or AQE skew-join for the general case.
+  *
+  * Project `left` down to the columns you need BEFORE calling: the
+  * salt hashes every input column (that's what makes the spread
+  * deterministic yet payload-sensitive), so an unpruned frame forces
+  * the scan to read its full schema.
   */
 object SkewJoin {
 

@@ -376,8 +376,12 @@ object Round2Queries {
   private val q59 = QueryDef(
     "q59_skew_salted_join",
     (s, dir) => {
-      val li = t(s, dir, "lineitem")
-      val o = t(s, dir, "orders").withColumnRenamed("o_orderkey", "l_orderkey")
+      // project BEFORE salting: the salt hashes every input column, so
+      // an unpruned frame would drag the full lineitem schema through
+      // the scan (ExplainAudit caught exactly that)
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
       graft.operators.SkewJoin.saltedInnerJoin(li, o, "l_orderkey", saltFactor = 8)
         .groupBy(col("o_orderpriority"))
         .agg(
