@@ -81,6 +81,38 @@ object MediaFeatures {
       }.toSeq
   }
 
+  /** One sampled frame: `frame_idx` counts kept frames (0,1,2… —
+    * original block index is `frame_idx * stride`).
+    */
+  case class FrameFeature(
+      media_id: Long,
+      frame_idx: Int,
+      frame_len: Int,
+      frame_sha256: String)
+
+  /** Frame sampling as a distributed flatMap: every media row fans out
+    * into its strided frames (the codec stub treats each 1 KiB block
+    * as a frame), with one digest instance per partition. The
+    * per-frame row is where a real pipeline would attach a vision
+    * model's embedding — the fan-out shape, batching and schema are
+    * the load-bearing parts at scale.
+    */
+  def sampleFrameFeatures(media: DataFrame, stride: Int): Dataset[FrameFeature] = {
+    implicit val enc = Encoders.product[FrameFeature]
+    implicit val rowEnc = Encoders.product[MediaRow]
+    media.as[MediaRow].mapPartitions { rows =>
+      val digest = MessageDigest.getInstance("SHA-256")
+      rows.flatMap { r =>
+        val bytes = if (r.content == null) Array.emptyByteArray else r.content
+        Codec.sampleFrames(bytes, stride).zipWithIndex.map { case (f, i) =>
+          digest.reset()
+          val sha = digest.digest(f).map("%02x".format(_)).mkString
+          FrameFeature(r.media_id, i, f.length, sha)
+        }
+      }
+    }
+  }
+
   /** Per-partition batch feature extraction. One codec/digest instance
     * per partition (not per row) — the batch shape that amortizes
     * model/codec init at scale; rows stream through without

@@ -540,7 +540,41 @@ object Round2Queries {
       ORDER BY days.d"""),
     covers = Seq("CTE-recursive"))
 
+  // ------------------------------------------------------------ multimodal frame sampling
+  // The frame-sample fan-out path (q48's sibling): payloads big enough
+  // to span several 1 KiB stub frames (text × 10), stride 2, one row
+  // per kept frame with its own digest — hash-gated end to end.
+  private val q65 = QueryDef(
+    "q65_media_frames",
+    (s, dir) => {
+      val d = spread(s, t(s, dir, "documents"))
+      val media = d.select(
+        col("doc_id").as("media_id"),
+        lit("video").as("media_type"),
+        lit(null).cast("string").as("uri"),
+        repeat(col("text"), 10).cast("binary").as("content"),
+        lit(null).cast("int").as("meta_width"),
+        lit(null).cast("int").as("meta_height"),
+        lit(null).cast("int").as("meta_sample_rate"))
+      graft.multimodal.MediaFeatures.sampleFrameFeatures(media, stride = 2)
+        .toDF()
+        .orderBy("media_id", "frame_idx")
+    },
+    Some("""WITH media AS (
+        SELECT doc_id AS media_id, repeat(text, 10) AS payload,
+          octet_length(encode(repeat(text, 10))) AS n
+        FROM documents),
+      frames AS (
+        SELECT media_id, payload,
+          unnest(range(0, (((n + 1023) // 1024) + 1) // 2)) AS k
+        FROM media)
+      SELECT media_id, CAST(k AS INTEGER) AS frame_idx,
+        CAST(length(substr(payload, CAST(1 + 2048*k AS BIGINT), 1024)) AS INTEGER) AS frame_len,
+        sha256(substr(payload, CAST(1 + 2048*k AS BIGINT), 1024)) AS frame_sha256
+      FROM frames ORDER BY media_id, frame_idx"""),
+    covers = Seq("MM-frames"))
+
   val all: Seq[QueryDef] =
     Seq(q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58,
-      q59, q60, q61, q62, q63, q64)
+      q59, q60, q61, q62, q63, q64, q65)
 }
