@@ -183,7 +183,9 @@ object Round2Queries {
     "q52_tfidf_topterms",
     (s, dir) => {
       val d = spread(s, t(s, dir, "documents"))
+      // the explode feeds both the tf and df aggregates — materialize once
       val tok = d.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .persist()
       val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       val df = tok.groupBy("term").agg(countDistinct("doc_id").as("df"))
       val nd = d.agg(count(lit(1)).as("nn"))
@@ -512,15 +514,18 @@ object Round2Queries {
     "q64_recursive_gapfill",
     (s, dir) => {
       t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      // bounds appear ONLY in the anchor: a scalar subquery in the
+      // recursive member would re-run the full orders aggregation on
+      // every iteration (it cost 8s at sf0.1 before this step counter)
       s.sql("""WITH RECURSIVE daily AS (
           SELECT unix_micros(cast(o_orderdate as timestamp)) div 86400000000 AS d,
                  COUNT(*) AS n
           FROM orders_v GROUP BY 1),
         bounds AS (SELECT MAX(d) AS hi FROM daily),
-        days(d) AS (
-          SELECT hi - 29 FROM bounds
+        days(d, step) AS (
+          SELECT hi - 29, 0 FROM bounds
           UNION ALL
-          SELECT d + 1 FROM days WHERE d < (SELECT hi FROM bounds))
+          SELECT d + 1, step + 1 FROM days WHERE step < 29)
         SELECT days.d, COALESCE(daily.n, 0L) AS n,
           CAST(CASE WHEN daily.n IS NULL THEN 1 ELSE 0 END AS INT) AS is_gap
         FROM days LEFT JOIN daily ON days.d = daily.d
@@ -530,10 +535,10 @@ object Round2Queries {
         SELECT epoch_us(o_orderdate) // 86400000000 AS d, CAST(COUNT(*) AS BIGINT) AS n
         FROM orders GROUP BY 1),
       bounds AS (SELECT MAX(d) AS hi FROM daily),
-      days(d) AS (
-        SELECT hi - 29 FROM bounds
+      days(d, step) AS (
+        SELECT hi - 29, 0 FROM bounds
         UNION ALL
-        SELECT d + 1 FROM days WHERE d < (SELECT hi FROM bounds))
+        SELECT d + 1, step + 1 FROM days WHERE step < 29)
       SELECT days.d, COALESCE(daily.n, 0) AS n,
         CAST(CASE WHEN daily.n IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_gap
       FROM days LEFT JOIN daily ON days.d = daily.d
