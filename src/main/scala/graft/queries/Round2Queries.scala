@@ -24,6 +24,9 @@ object Round2Queries {
   private def spread(s: SparkSession, df: DataFrame): DataFrame =
     df.repartition(s.sparkContext.defaultParallelism)
 
+  /** Word tokens (documents.text is single-space separated). */
+  private def toksOf(c: Column): Column = split(c, " ")
+
   // ------------------------------------------------------------ multimodal
   // The full binary-column pipeline under the hash gate: document text
   // bytes stand in for media payloads (the stub codec is deterministic
@@ -579,7 +582,71 @@ object Round2Queries {
       FROM frames ORDER BY media_id, frame_idx"""),
     covers = Seq("MM-frames"))
 
+  // ------------------------------------------------------------ SimHash multi-probe
+  // q24 finds identical signatures (Hamming 0); this is the distance-2
+  // generalization: 32-bit SimHash, probe set = signature ∪ its 32
+  // one-bit flips, so any pair within Hamming 2 shares a probe (flip
+  // one differing bit on each side) — bucket join on the probe, then
+  // exact popcount verification. Candidate volume stays o(n²) because
+  // 32-bit chance collisions are rare.
+  private val q66 = QueryDef(
+    "q66_simhash_probe",
+    (s, dir) => {
+      val bits = 32
+      val d = spread(s, t(s, dir, "documents"))
+      val tok = d.select(col("doc_id"), explode(toksOf(col("text"))).as("tok"))
+        .withColumn("h", md5(col("tok")))
+      val voteCols = (0 until bits).map { k =>
+        sum(when(
+          (instr(lit("0123456789abcdef"), substring(col("h"), k + 1, 1)) - 1)
+            .bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$k")
+      }
+      val votes = tok.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
+      val sim = (0 until bits).map { k =>
+        when(col(s"v$k") > 0, lit(1L << k)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      val sigs = votes.select(col("doc_id"), sim.as("simhash")).persist()
+      val probeArr = array(
+        (col("simhash") +:
+          (0 until bits).map(i => col("simhash").bitwiseXOR(lit(1L << i)))): _*)
+      val probes = sigs.select(col("doc_id"), col("simhash"),
+        explode(probeArr).as("probe"))
+      probes.as("a")
+        .join(probes.as("b"),
+          col("a.probe") === col("b.probe") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.simhash").as("sig_a"), col("b.simhash").as("sig_b"))
+        .distinct()
+        .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+        .filter(col("hamming") <= 2)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    },
+    Some {
+      val bits = 32
+      val vs = (0 until bits).map(k =>
+        s"SUM(CASE WHEN (strpos('0123456789abcdef', substr(md5(tok), ${k + 1}, 1)) - 1) & 1 = 1 THEN 1 ELSE -1 END) AS v$k"
+      ).mkString(", ")
+      val sim = (0 until bits).map(k =>
+        s"CASE WHEN v$k > 0 THEN ${1L << k} ELSE 0 END").mkString(" + ")
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      votes AS (SELECT doc_id, $vs FROM tok GROUP BY doc_id),
+      sigs AS (SELECT doc_id, CAST($sim AS BIGINT) AS simhash FROM votes),
+      probes AS (
+        SELECT doc_id, simhash, unnest(list_prepend(simhash,
+          list_transform(range(0, $bits), i -> xor(simhash, CAST(1 AS BIGINT) << i)))) AS probe
+        FROM sigs),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.simhash AS sig_a, b.simhash AS sig_b
+        FROM probes a JOIN probes b ON a.probe = b.probe AND a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
+      FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 2
+      ORDER BY doc_a, doc_b"""
+    },
+    covers = Seq("DEDUP-simhash"))
+
   val all: Seq[QueryDef] =
     Seq(q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58,
-      q59, q60, q61, q62, q63, q64, q65)
+      q59, q60, q61, q62, q63, q64, q65, q66)
 }
