@@ -646,7 +646,49 @@ object Round2Queries {
     },
     covers = Seq("DEDUP-simhash"))
 
+  // ------------------------------------------------------------ explicit grouping sets
+  // Arbitrary grouping-set lattice (not the cube/rollup specials of
+  // q49/q39): per-nation totals, per-(flag,status) totals, and the
+  // grand total in ONE pass — Catalyst plans a single Expand, reading
+  // the join output once instead of three aggregation jobs.
+  private val q67 = QueryDef(
+    "q67_grouping_sets",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val sup = t(s, dir, "supplier")
+      val nat = t(s, dir, "nation")
+      li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .groupingSets(
+          Seq(Seq(col("n_name")),
+            Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq.empty[Column]),
+          col("n_name"), col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            .as("revenue"))
+        .select(
+          coalesce(col("n_name"), lit("(all)")).as("nation"),
+          coalesce(col("l_returnflag"), lit("(all)")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("linestatus"),
+          col("n"), col("revenue"))
+        .orderBy("nation", "returnflag", "linestatus")
+    },
+    Some("""SELECT
+        COALESCE(n_name, '(all)') AS nation,
+        COALESCE(l_returnflag, '(all)') AS returnflag,
+        COALESCE(l_linestatus, '(all)') AS linestatus,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY GROUPING SETS ((n_name), (l_returnflag, l_linestatus), ())
+      ORDER BY nation, returnflag, linestatus"""),
+    covers = Seq("AGG-groupingsets"))
+
   val all: Seq[QueryDef] =
     Seq(q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58,
-      q59, q60, q61, q62, q63, q64, q65, q66)
+      q59, q60, q61, q62, q63, q64, q65, q66, q67)
 }

@@ -44,6 +44,19 @@ object EventStreams {
         col("window.end").as("window_end"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Streaming dedup with BOUNDED state: duplicate (user_id, ts)
+    * resends inside the watermark horizon collapse to one row, and —
+    * unlike plain `dropDuplicates`, whose key state grows forever —
+    * each key's state is dropped once the watermark passes it. The
+    * only dedup shape that survives an unbounded stream.
+    */
+  def dedupWithinWatermark(
+      events: DataFrame,
+      lateness: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("user_id", "ts")
+
   /** Stream-stream inner interval join: each click joins the same
     * user's purchases that happen within `withinMinutes` AFTER it.
     * Both sides carry watermarks and the time-bound condition is

@@ -78,6 +78,37 @@ class EventStreamsSpec extends SparkSpec {
     assert(sessions(0).session_start == ts(0) && sessions(0).total_value == 1.0)
   }
 
+  test("dedupWithinWatermark collapses resends and bounds state by the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventStreams.dedupWithinWatermark(input.toDF(), lateness = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_wm")
+      .outputMode(OutputMode.Append()).start()
+
+    // same (user_id, ts) resent three times in-horizon → one row
+    input.addData(
+      Event(1L, ts(0), "click", 1.0),
+      Event(1L, ts(0), "click", 1.0),
+      Event(2L, ts(1), "view", 2.0))
+    query.processAllAvailable()
+    input.addData(Event(1L, ts(0), "click", 1.0))
+    query.processAllAvailable()
+    // push the watermark far past ts(0) so its key state expires...
+    input.addData(Event(3L, Timestamp.valueOf("2026-01-01 11:00:00"), "view", 0.0))
+    query.processAllAvailable()
+    // ...then a late replay of the same key arrives after expiry: it
+    // is watermark-late and dropped by the operator's late-row filter
+    input.addData(Event(1L, ts(0), "click", 1.0))
+    query.processAllAvailable()
+    query.stop()
+
+    val rows = spark.table("dedup_wm").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Timestamp]("ts")))
+    assert(rows.count(_ == (1L, ts(0))) == 1)
+    assert(rows.count(_._1 == 2L) == 1)
+  }
+
   test("stream-stream interval join matches clicks to in-window purchases") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
