@@ -45,18 +45,19 @@ object TextQueries {
     * every consumer aggregates with duplicate-insensitive functions
     * (min for MinHash signatures, collect_set/countDistinct for
     * Jaccard), so a standalone distinct would only add a shuffle.
+    *
+    * Uses the native [[graft.functions.WordShingles]] expression (one
+    * byte scan + contiguous slices per row, fused in codegen) —
+    * byte-identical to the split/transform/concat_ws HOF chain it
+    * replaced (WordShinglesSpec pins the equivalence; a shingle of
+    * single-space-joined words IS a contiguous span of the original).
+    * Docs with fewer than 3 words yield an empty array and vanish in
+    * the explode, matching the old size filter.
     */
-  private def shingles(d: DataFrame): DataFrame = {
-    val tk = toks(col("text"))
-    d.filter(size(tk) >= 3)
-      .select(
-        col("doc_id"),
-        explode(transform(
-          sequence(lit(1), size(tk) - 2),
-          i => concat_ws(" ",
-            element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2))
-        )).as("s"))
-  }
+  private def shingles(d: DataFrame): DataFrame =
+    d.select(
+      col("doc_id"),
+      explode(graft.functions.WordShingles(d.sparkSession, col("text"), 3)).as("s"))
 
   /** DuckDB twin of [[shingles]] as a CTE body. */
   private val shinglesSql: String =
