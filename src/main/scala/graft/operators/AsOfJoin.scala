@@ -33,9 +33,13 @@ object AsOfJoin {
     * @param leftTime   event-time column in `left`
     * @param rightTime  event-time column in `right`
     * @param payload    right columns to carry (renamed as-is onto the output)
-    * @param tiebreak   right column ordering same-timestamp rights (larger wins)
-    * @param toleranceMs max staleness; payload older than
-    *                    leftTime - toleranceMs yields nulls (0 = unbounded)
+    * @param tiebreak   right column ordering same-timestamp rights
+    *                   (backward: larger wins; forward: smaller wins)
+    * @param toleranceMs max time gap between the left row and the
+    *                    matched right row; a farther match yields
+    *                    nulls (0 = unbounded)
+    * @param direction  "backward" (default): latest right at-or-before
+    *                   leftTime; "forward": earliest right at-or-after
     */
   def asof(
       left: DataFrame,
@@ -45,7 +49,11 @@ object AsOfJoin {
       rightTime: String,
       payload: Seq[String],
       tiebreak: String,
-      toleranceMs: Long = 0L): DataFrame = {
+      toleranceMs: Long = 0L,
+      direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward or forward, got $direction")
+    val fwd = direction == "forward"
     val lCols = left.columns.toSeq
 
     // The whole right row rides in one struct so `last(ignoreNulls)`
@@ -69,21 +77,31 @@ object AsOfJoin {
         lCols.filter(_ != key).map(c =>
           lit(null).cast(left.schema(c).dataType).as(s"__l_$c")): _*)
 
-    // Rights sort before lefts at equal time (__is_left 0 < 1) so an
-    // exactly-simultaneous right is visible; among equal-time rights
-    // the largest tiebreak is last, hence the one carried.
-    val w = Window.partitionBy(key)
-      .orderBy(col("__t"), col("__is_left"), col("__rtb"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Backward: rights sort BEFORE lefts at equal time (__is_left
+    // 0 < 1) and the frame looks back — an exactly-simultaneous right
+    // is visible, and among equal-time rights the largest tiebreak is
+    // last, hence the one carried by last(). Forward mirrors it:
+    // rights sort AFTER lefts (ascending on 1 - __is_left), the frame
+    // looks ahead, and first() picks the earliest right (smallest
+    // tiebreak at equal times).
+    val sideOrder = if (fwd) (lit(1) - col("__is_left")) else col("__is_left")
+    val base = Window.partitionBy(key)
+      .orderBy(col("__t"), sideOrder, col("__rtb"))
+    val w = if (fwd) base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      else base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val carried = l.unionByName(r)
-      .withColumn("__pkt", last(col("__pkt"), ignoreNulls = true).over(w))
+      .withColumn("__pkt",
+        (if (fwd) first(col("__pkt"), ignoreNulls = true)
+         else last(col("__pkt"), ignoreNulls = true)).over(w))
 
     // Freshness is judged on the matched row's own timestamp — the
     // same row every payload value comes from.
+    val gapMs =
+      if (fwd) unix_millis(col("__pkt").getField("__rt")) - unix_millis(col("__t"))
+      else unix_millis(col("__t")) - unix_millis(col("__pkt").getField("__rt"))
     val fresh = if (toleranceMs > 0)
-      col("__pkt").isNotNull &&
-        unix_millis(col("__t")) - unix_millis(col("__pkt").getField("__rt")) <= toleranceMs
+      col("__pkt").isNotNull && gapMs <= toleranceMs
     else col("__pkt").isNotNull
 
     carried.filter(col("__is_left") === 1)

@@ -688,7 +688,59 @@ object Round2Queries {
       ORDER BY nation, returnflag, linestatus"""),
     covers = Seq("AGG-groupingsets"))
 
+  // ------------------------------------------------------------ forward as-of join
+  // q41's mirror: each click matched to the user's NEXT purchase at or
+  // after it (attribution-window shape). Same union + window machinery
+  // — first(ignoreNulls) over a forward frame — and the oracle is the
+  // identical SQL construction.
+  private val q68 = QueryDef(
+    "q68_asof_forward",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"), col("event_id"))
+      graft.operators.AsOfJoin
+        .asof(clicks, purchases, "user_id", "ts", "ts",
+          Seq("value", "event_id"), tiebreak = "event_id",
+          direction = "forward")
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_clicks"),
+          count(col("asof_value")).as("n_matched"),
+          sum(col("asof_value").cast("decimal(18,2)")).cast("double")
+            .as("sum_next_value"),
+          min(col("asof_event_id")).as("first_next_id"))
+        .orderBy("user_id")
+    },
+    Some("""WITH clicks AS (
+        SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+      purch AS (
+        SELECT user_id, ts, value, event_id FROM events WHERE event_type = 'purchase'),
+      u AS (
+        SELECT user_id, ts AS t, 1 AS is_left, CAST(NULL AS BIGINT) AS rtb,
+               CAST(NULL AS DOUBLE) AS p_value, CAST(NULL AS BIGINT) AS p_id
+        FROM clicks
+        UNION ALL
+        SELECT user_id, ts, 0, event_id, value, event_id FROM purch),
+      c AS (
+        SELECT user_id, t, is_left,
+          first_value(CASE WHEN is_left = 0 THEN p_value END IGNORE NULLS) OVER w AS av,
+          first_value(CASE WHEN is_left = 0 THEN p_id END IGNORE NULLS) OVER w AS aid
+        FROM u
+        WINDOW w AS (PARTITION BY user_id ORDER BY t, 1 - is_left, rtb
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      SELECT user_id,
+        CAST(COUNT(*) AS BIGINT) AS n_clicks,
+        CAST(COUNT(av) AS BIGINT) AS n_matched,
+        CAST(SUM(CAST(av AS DECIMAL(18,2))) AS DOUBLE) AS sum_next_value,
+        CAST(MIN(aid) AS BIGINT) AS first_next_id
+      FROM c WHERE is_left = 1
+      GROUP BY user_id ORDER BY user_id"""),
+    covers = Seq("JOIN-asof"))
+
   val all: Seq[QueryDef] =
     Seq(q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58,
-      q59, q60, q61, q62, q63, q64, q65, q66, q67)
+      q59, q60, q61, q62, q63, q64, q65, q66, q67, q68)
 }

@@ -72,6 +72,29 @@ class AsOfJoinSpec extends SparkSpec {
     assert(tol.getAs[Long]("asof_event_id") == 211L)
   }
 
+  test("forward direction picks the earliest right at or after each left") {
+    val (l, r) = fixtures
+    val out = AsOfJoin.asof(l, r, "user_id", "ts", "ts",
+        Seq("value", "event_id"), tiebreak = "event_id", direction = "forward")
+      .collect().map(row => row.getAs[Long]("event_id") ->
+        Option(row.getAs[java.lang.Double]("asof_value")).map(_.toDouble)).toMap
+    assert(out(102L).contains(8.0))  // left@05 → right@08
+    assert(out(100L).contains(10.0)) // simultaneous right visible; SMALLEST id wins
+    assert(out(101L).isEmpty)        // nothing at or after 10:20 for user 1
+    assert(out(103L).isEmpty)        // user 2's only right is before 10:15
+  }
+
+  test("forward tolerance bounds the wait ahead") {
+    val (l, r) = fixtures
+    val out = AsOfJoin.asof(l, r, "user_id", "ts", "ts",
+        Seq("value"), tiebreak = "event_id", toleranceMs = 2 * 60000L,
+        direction = "forward")
+      .collect().map(row => row.getAs[Long]("event_id") ->
+        Option(row.getAs[java.lang.Double]("asof_value"))).toMap
+    assert(out(102L).isEmpty)   // right@08 is 3 min ahead of left@05 > 2 min
+    assert(out(100L).isDefined) // simultaneous match, gap 0
+  }
+
   test("matches a brute-force per-row computation on events data") {
     val e = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
     import org.apache.spark.sql.functions._
