@@ -740,7 +740,41 @@ object Round2Queries {
       GROUP BY user_id ORDER BY user_id"""),
     covers = Seq("JOIN-asof"))
 
+  // ------------------------------------------------------------ class rebalancing
+  // Training-corpus class balancing: every language downsampled to the
+  // minority class's size, selection DETERMINISTIC (rank by key hash,
+  // not rand()) so the balanced corpus is identical on every run and
+  // engine — reproducible dataset curation, q54's per-stratum sibling.
+  private val q69 = QueryDef(
+    "q69_class_balance",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val w = Window.partitionBy("lang")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      val ranked = d.select(col("doc_id"), col("lang"),
+        row_number().over(w).as("rk"))
+      val minCount = d.groupBy("lang").count()
+        .agg(min(col("count")).as("m"))
+      ranked.crossJoin(broadcast(minCount))
+        .filter(col("rk") <= col("m"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_ids"))
+        .orderBy("lang")
+    },
+    Some("""WITH ranked AS (
+        SELECT doc_id, lang,
+          ROW_NUMBER() OVER (PARTITION BY lang
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM documents),
+      mn AS (SELECT CAST(MIN(c) AS BIGINT) AS m
+             FROM (SELECT COUNT(*) AS c FROM documents GROUP BY lang)),
+      bal AS (SELECT doc_id, lang FROM ranked CROSS JOIN mn WHERE rk <= m)
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+      FROM bal GROUP BY lang ORDER BY lang"""),
+    covers = Seq("SAMPLE-balance"))
+
   val all: Seq[QueryDef] =
     Seq(q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58,
-      q59, q60, q61, q62, q63, q64, q65, q66, q67, q68)
+      q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69)
 }
