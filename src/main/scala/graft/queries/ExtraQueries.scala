@@ -277,8 +277,11 @@ object ExtraQueries {
   private val q45 = QueryDef(
     "q45_ivf_ann",
     (s, dir) => {
+      // persisted: training iterations + assign + search would
+      // otherwise each rescan the parquet
       val emb = Tables.load(s, dir, "embeddings")
         .repartition(s.sparkContext.defaultParallelism)
+        .persist()
       val cents = graft.similarity.IvfIndex
         .trainCentroids(emb, "vec_id", "embedding", k = 16, iters = 3)
       val index = graft.similarity.IvfIndex.assign(emb, cents, "vec_id", "embedding")
