@@ -774,7 +774,39 @@ object Round2Queries {
       FROM bal GROUP BY lang ORDER BY lang"""),
     covers = Seq("SAMPLE-balance"))
 
+  // ------------------------------------------------------------ map-typed columns
+  // MapType surface: build a term→count map per doc (the bag-of-words
+  // feature shape), then size / keyed lookup / key enumeration — the
+  // operations a feature store does on map columns.
+  private val q70 = QueryDef(
+    "q70_map_ops",
+    (s, dir) => {
+      val d = spread(s, t(s, dir, "documents"))
+      val tok = d.select(col("doc_id"), explode(toksOf(col("text"))).as("term"))
+      val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+      val m = tf.groupBy("doc_id")
+        .agg(map_from_entries(
+          sort_array(collect_list(struct(col("term"), col("c"))))).as("tfm"))
+      m.select(
+          col("doc_id"),
+          size(col("tfm")).as("n_terms"),
+          coalesce(element_at(col("tfm"), "the"), lit(0L)).as("the_count"),
+          array_min(map_keys(col("tfm"))).as("first_key"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+      m AS (SELECT doc_id,
+              map(list(term ORDER BY term), list(c ORDER BY term)) AS tfm
+            FROM tf GROUP BY doc_id)
+      SELECT doc_id,
+        CAST(cardinality(tfm) AS INTEGER) AS n_terms,
+        CAST(COALESCE(tfm['the'][1], 0) AS BIGINT) AS the_count,
+        list_sort(map_keys(tfm))[1] AS first_key
+      FROM m ORDER BY doc_id"""),
+    covers = Seq("MAP-ops"))
+
   val all: Seq[QueryDef] =
     Seq(q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58,
-      q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69)
+      q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70)
 }
