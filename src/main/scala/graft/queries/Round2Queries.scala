@@ -806,7 +806,44 @@ object Round2Queries {
       FROM m ORDER BY doc_id"""),
     covers = Seq("MAP-ops"))
 
+  // ------------------------------------------------------------ connected components
+  // graft.dedup.Dedup.clusters under the gate: near-dup pairs (q22's
+  // verified Jaccard pipeline) → connected components by pointer-
+  // jumping min-label propagation; the oracle computes ground truth
+  // with a recursive transitive closure, so a propagation that stops
+  // short (the round-1 advisory) would hash-mismatch.
+  private val q71 = QueryDef(
+    "q71_dedup_clusters",
+    (s, dir) => {
+      val pairs = graft.SparkEntry.queries("q22_ngram_jaccard")(s, dir)
+        .select("doc_a", "doc_b")
+      graft.dedup.Dedup.clusters(pairs)
+        .select(col("doc_id"), col("cluster_id"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH RECURSIVE toksrc AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, greatest(len(tk) - 1, 1)),
+                      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+             FROM toksrc WHERE len(tk) >= 3),
+      sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+      p0 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS common
+             FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      pairs AS (SELECT doc_a, doc_b FROM p0
+                JOIN sizes sa ON doc_a = sa.doc_id
+                JOIN sizes sb ON doc_b = sb.doc_id
+                WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.4),
+      edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                UNION SELECT doc_b, doc_a FROM pairs),
+      reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+      SELECT a AS doc_id, CAST(LEAST(a, MIN(b)) AS BIGINT) AS cluster_id
+      FROM reach GROUP BY a ORDER BY doc_id"""),
+    covers = Seq("DEDUP-components"))
+
   val all: Seq[QueryDef] =
     Seq(q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58,
-      q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70)
+      q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71)
 }
