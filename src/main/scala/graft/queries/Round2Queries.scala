@@ -843,7 +843,36 @@ object Round2Queries {
       FROM reach GROUP BY a ORDER BY doc_id"""),
     covers = Seq("DEDUP-components"))
 
+  // ------------------------------------------------------------ VARIANT semi-structured
+  // Spark 4's VARIANT path for semi-structured data (q43's modern
+  // sibling): parse once into the binary variant encoding, then typed
+  // variant_get extraction — at scale this parses each JSON document
+  // once instead of per-extracted-field.
+  private val q72 = QueryDef(
+    "q72_variant_json",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      e.select(col("event_type"),
+          expr("variant_get(parse_json(props), '$.k', 'int')").as("k"))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          count(col("k")).as("n_with_k"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(COUNT(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS n_with_k,
+        CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+        CAST(MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS min_k,
+        CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
+      FROM events GROUP BY event_type ORDER BY event_type"""),
+    covers = Seq("JSON-variant"))
+
   val all: Seq[QueryDef] =
     Seq(q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58,
-      q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71)
+      q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72)
 }
