@@ -872,7 +872,37 @@ object Round2Queries {
       FROM events GROUP BY event_type ORDER BY event_type"""),
     covers = Seq("JSON-variant"))
 
+  // ------------------------------------------------------------ equi-width histogram
+  // Distribution profiling in two passes (min/max scan → binning
+  // scan), the bin edge computed with the SAME double expression tree
+  // in both engines so the floor never disagrees; the top edge folds
+  // into the last bin (least(_, 9)).
+  private val q73 = QueryDef(
+    "q73_histogram",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val bounds = o.agg(
+        min(col("o_totalprice")).cast("double").as("mn"),
+        max(col("o_totalprice")).cast("double").as("mx"))
+      o.crossJoin(broadcast(bounds))
+        .select(least(
+            floor((col("o_totalprice") - col("mn")) /
+              ((col("mx") - col("mn")) / 10)), lit(9)).cast("long").as("bin"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bin")
+    },
+    Some("""WITH b AS (SELECT CAST(MIN(o_totalprice) AS DOUBLE) AS mn,
+                        CAST(MAX(o_totalprice) AS DOUBLE) AS mx FROM orders),
+      binned AS (
+        SELECT CAST(least(floor((o_totalprice - mn) / ((mx - mn) / 10)), 9) AS BIGINT) AS bin
+        FROM orders CROSS JOIN b)
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS n
+      FROM binned GROUP BY bin ORDER BY bin"""),
+    covers = Seq("AGG-histogram"))
+
   val all: Seq[QueryDef] =
     Seq(q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58,
-      q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72)
+      q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
+      q73)
 }
