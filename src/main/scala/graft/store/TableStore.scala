@@ -68,6 +68,51 @@ final class TableStore(spark: SparkSession, root: String) {
         swapWrite(table, merged)
     }
 
+  /** Type-2 slowly-changing-dimension upsert: history is kept instead
+    * of overwritten. Stored rows carry `valid_from`, `valid_to`
+    * (null = open) and `is_current`; an incoming row whose attributes
+    * differ (null-safe) from the key's current version closes that
+    * version at the new `tsCol` and appends a new open one. Re-running
+    * the same batch is a no-op (the reference's idempotency contract,
+    * pipeline.py:141, extended to versioned history). Set-based
+    * (joins + anti-joins), no per-row probes.
+    */
+  def scd2Upsert(table: String, df: DataFrame, key: String, tsCol: String): Unit = {
+    val attrs = df.columns.filterNot(c => c == key || c == tsCol).toSeq
+    def open(in: DataFrame): DataFrame =
+      in.select(
+        (col(key) +: attrs.map(col)) ++ Seq(
+          col(tsCol).as("valid_from"),
+          lit(null).cast(in.schema(tsCol).dataType).as("valid_to"),
+          lit(true).as("is_current")): _*)
+    // latest state per key within the batch
+    val incoming = dedupLatest(df.withColumn("__src", lit(1)), key, tsCol)
+
+    read(table) match {
+      case None => write(table, open(incoming))
+      case Some(existing) =>
+        val cur = existing.filter(col("is_current"))
+        val hist = existing.filter(!col("is_current"))
+        val curSlim = cur.select(col(key).as("__k") +:
+          attrs.map(c => col(c).as(s"__c_$c")): _*)
+        val joined = incoming.join(curSlim, col(key) === col("__k"), "left")
+        val differs = attrs.map(c => !(col(c) <=> col(s"__c_$c"))).reduce(_ || _)
+        // new keys + genuinely-changed keys get a fresh open version
+        val fresh = joined.filter(col("__k").isNull || differs)
+          .select(col(key) +: (attrs :+ tsCol).map(col): _*)
+        val freshKeys = fresh.select(col(key), col(tsCol).as("__new_from"))
+        // close the superseded current versions at the new valid_from
+        val closed = cur.join(freshKeys, Seq(key), "inner")
+          .withColumn("valid_to", col("__new_from"))
+          .withColumn("is_current", lit(false))
+          .drop("__new_from")
+        val untouched = cur.join(freshKeys.select(key), Seq(key), "left_anti")
+        swapWrite(table,
+          hist.unionByName(untouched).unionByName(closed)
+            .unionByName(open(fresh)))
+    }
+  }
+
   private def dedupLatest(df: DataFrame, key: String, versionCol: String): DataFrame = {
     val w = Window.partitionBy(key).orderBy(desc(versionCol), desc("__src"))
     df.withColumn("__rn", row_number().over(w))

@@ -58,4 +58,36 @@ class TableStoreSpec extends SparkSpec {
     store.upsert("w", Seq(("a", 1, 10L)).toDF("k", "v", "ver"), "k", "ver")
     assert(store.read("w").get.collect()(0).getInt(1) == 5)
   }
+
+  test("scd2Upsert versions changes, keeps history, and re-runs are no-ops") {
+    import spark.implicits._
+    val store = newStore()
+    // initial load: two keys
+    store.scd2Upsert("s", Seq(("a", 1, 10L), ("b", 2, 10L)).toDF("k", "v", "ts"),
+      "k", "ts")
+    // a changes, b unchanged, c is new
+    val batch2 = Seq(("a", 5, 20L), ("b", 2, 20L), ("c", 3, 20L)).toDF("k", "v", "ts")
+    store.scd2Upsert("s", batch2, "k", "ts")
+
+    def snap() = store.read("s").get.collect().map(r =>
+      (r.getAs[String]("k"), r.getAs[Int]("v"), r.getAs[Long]("valid_from"),
+        Option(r.getAs[java.lang.Long]("valid_to")).map(_.toLong),
+        r.getAs[Boolean]("is_current"))).toSet
+
+    val expected = Set(
+      ("a", 1, 10L, Some(20L), false),  // closed at the change
+      ("a", 5, 20L, None, true),
+      ("b", 2, 10L, None, true),        // unchanged: still the open v1
+      ("c", 3, 20L, None, true))
+    assert(snap() == expected)
+
+    // idempotent: replaying the same batch adds no versions
+    store.scd2Upsert("s", batch2, "k", "ts")
+    assert(snap() == expected)
+
+    // current view = one open row per key
+    val cur = store.read("s").get.filter($"is_current")
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(cur == Map("a" -> 5, "b" -> 2, "c" -> 3))
+  }
 }
