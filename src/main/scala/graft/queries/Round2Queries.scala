@@ -901,8 +901,61 @@ object Round2Queries {
       FROM binned GROUP BY bin ORDER BY bin"""),
     covers = Seq("AGG-histogram"))
 
+  // ------------------------------------------------------------ positional explode
+  // posexplode (ordinality-aware unnest): where does 'the' appear in
+  // each document — first/last 0-based position and occurrence count.
+  private val q74 = QueryDef(
+    "q74_posexplode",
+    (s, dir) => {
+      val d = spread(s, t(s, dir, "documents"))
+      d.select(col("doc_id"), posexplode(toksOf(col("text"))).as(Seq("pos", "tok")))
+        .filter(col("tok") === "the")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_the"),
+          min(col("pos")).as("first_pos"),
+          max(col("pos")).as("last_pos"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      p AS (SELECT doc_id, unnest(range(0, len(tk))) AS pos, unnest(tk) AS tok FROM t)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_the,
+        CAST(MIN(pos) AS INTEGER) AS first_pos,
+        CAST(MAX(pos) AS INTEGER) AS last_pos
+      FROM p WHERE tok = 'the' GROUP BY doc_id ORDER BY doc_id"""),
+    covers = Seq("J4-posexplode"))
+
+  // ------------------------------------------------------------ string surface, part 2
+  // The remaining scalar string family beyond q18: padding, reverse,
+  // character translation, prefix/suffix slicing, column-count repeat,
+  // substring position.
+  private val q75 = QueryDef(
+    "q75_string_funcs2",
+    (s, dir) => {
+      val p = t(s, dir, "part")
+      p.select(
+          col("p_partkey"),
+          lpad(col("p_partkey").cast("string"), 8, "0").as("padded"),
+          reverse(col("p_brand")).as("rev"),
+          translate(col("p_type"), "AEIOU", "aeiou").as("tr"),
+          expr("left(p_name, 5)").as("l5"),
+          expr("right(p_name, 3)").as("r3"),
+          expr("repeat('-', CAST(p_partkey % 4 AS INT))").as("dashes"),
+          instr(col("p_type"), "ED").as("pos_ed"))
+        .orderBy("p_partkey")
+    },
+    Some("""SELECT p_partkey,
+        lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded,
+        reverse(p_brand) AS rev,
+        translate(p_type, 'AEIOU', 'aeiou') AS tr,
+        left(p_name, 5) AS l5, right(p_name, 3) AS r3,
+        repeat('-', CAST(p_partkey % 4 AS INTEGER)) AS dashes,
+        CAST(strpos(p_type, 'ED') AS INTEGER) AS pos_ed
+      FROM part ORDER BY p_partkey"""),
+    covers = Seq("STR-surface2"))
+
   val all: Seq[QueryDef] =
     Seq(q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58,
       q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
-      q73)
+      q73, q74, q75)
 }
