@@ -58,13 +58,19 @@ final class TableStore(spark: SparkSession, root: String) {
     * incoming batch over the stored copy) wins.
     */
   def upsert(table: String, df: DataFrame, key: String, versionCol: String): Unit =
+    upsert(table, df, Seq(key), versionCol)
+
+  /** Composite-key latest-wins upsert (same semantics as the
+    * single-key form; the key is the tuple of `keys`).
+    */
+  def upsert(table: String, df: DataFrame, keys: Seq[String], versionCol: String): Unit =
     read(table) match {
-      case None => write(table, dedupLatest(df.withColumn("__src", lit(1)), key, versionCol))
+      case None => write(table, dedupLatest(df.withColumn("__src", lit(1)), keys, versionCol))
       case Some(existing) =>
         val merged = dedupLatest(
           existing.withColumn("__src", lit(0))
             .unionByName(df.withColumn("__src", lit(1))),
-          key, versionCol)
+          keys, versionCol)
         swapWrite(table, merged)
     }
 
@@ -86,7 +92,7 @@ final class TableStore(spark: SparkSession, root: String) {
           lit(null).cast(in.schema(tsCol).dataType).as("valid_to"),
           lit(true).as("is_current")): _*)
     // latest state per key within the batch
-    val incoming = dedupLatest(df.withColumn("__src", lit(1)), key, tsCol)
+    val incoming = dedupLatest(df.withColumn("__src", lit(1)), Seq(key), tsCol)
 
     read(table) match {
       case None => write(table, open(incoming))
@@ -113,11 +119,26 @@ final class TableStore(spark: SparkSession, root: String) {
     }
   }
 
-  private def dedupLatest(df: DataFrame, key: String, versionCol: String): DataFrame = {
-    val w = Window.partitionBy(key).orderBy(desc(versionCol), desc("__src"))
+  private def dedupLatest(df: DataFrame, keys: Seq[String], versionCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(desc(versionCol), desc("__src"))
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn", "__src")
+  }
+
+  /** Write `df` clustered by the Z-order (Morton) interleave of
+    * `zCols` into `nFiles` files: range-partition on the z-value, then
+    * sort within partitions, so parquet min/max stats stay tight on
+    * EVERY z-ordered column and selective filters on any of them skip
+    * most files/row-groups (see [[ZOrder]]).
+    */
+  def writeZOrdered(table: String, df: DataFrame, zCols: Seq[String], nFiles: Int): Unit = {
+    val z = ZOrder.zValue(df, zCols)
+    val clustered = df.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+    write(table, clustered)
   }
 
   /** Rewrite a table into ~`targetFileMB`-sized files. Repeated

@@ -4,7 +4,9 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+
+import graft.store.TableStore
 
 /** Streaming operators over the `events` shape: watermarked windowed
   * aggregation and custom-state sessionization — the two Structured
@@ -81,6 +83,45 @@ object EventStreams {
       .select(col("user_id"), col("click_ts"),
         col("purchase_ts"), col("purchase_value"))
   }
+
+  /** Continuously maintain a queryable per-(window, event_type) counts
+    * table from a stream: Update-mode windowed aggregation delivered
+    * through `foreachBatch` into a [[TableStore]] latest-wins upsert.
+    *
+    * End-to-end exactly-once without a transactional sink: the
+    * checkpoint makes batch ids stable across restarts, and the upsert
+    * keyed on (window_start, event_type) with the batch id as the
+    * version is idempotent — replaying a batch after a crash rewrites
+    * the same keys with the same values, and a newer batch's refined
+    * aggregate for a still-open window supersedes the older row. This
+    * is the pattern for landing streaming results anywhere only
+    * idempotent writes exist (JDBC, object stores, search indexes).
+    */
+  def countsToStore(
+      events: DataFrame,
+      store: TableStore,
+      table: String,
+      checkpointDir: String,
+      windowLength: String = "10 minutes",
+      lateness: String = "30 minutes"): StreamingQuery =
+    windowedCounts(events, windowLength, lateness)
+      .writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        upsertCountsBatch(store, table, batch, batchId)
+      }
+      .start()
+
+  /** The foreachBatch body of [[countsToStore]], callable directly so
+    * replay idempotency is testable without forcing a crash.
+    */
+  def upsertCountsBatch(
+      store: TableStore, table: String, batch: DataFrame, batchId: Long): Unit =
+    store.upsert(table,
+      batch.withColumn("__batch_id", lit(batchId)),
+      keys = Seq("window_start", "event_type"),
+      versionCol = "__batch_id")
 
   /** Gap-based sessionization via flatMapGroupsWithState: a session
     * closes when `gapMinutes` pass without an event for that user

@@ -139,6 +139,37 @@ class EventStreamsSpec extends SparkSpec {
     assert(!rows.exists(_._1 == 3L))    // unmatched user
   }
 
+  test("countsToStore lands windowed counts in the store; batch replay is idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("fb_store").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("fb_ckpt").toString
+    val store = new graft.store.TableStore(spark, root)
+    val input = MemoryStream[Event]
+    val query = EventStreams.countsToStore(input.toDF(), store, "wc_live",
+      ckpt, windowLength = "10 minutes", lateness = "0 seconds")
+
+    input.addData(Event(1L, ts(1), "click", 1.0), Event(2L, ts(3), "click", 2.0))
+    query.processAllAvailable()
+    // same still-open window refined by a later batch → row superseded
+    input.addData(Event(3L, ts(7), "click", 4.0))
+    query.processAllAvailable()
+    query.stop()
+
+    def counts() = store.read("wc_live").get.collect()
+      .map(r => (r.getAs[Timestamp]("window_start"), r.getAs[String]("event_type")) ->
+        (r.getAs[Long]("n_events"), r.getAs[Double]("total_value"))).toMap
+    val before = counts()
+    assert(before((ts(0), "click")) == (3L, 7.0)) // refined, not duplicated
+
+    // crash-replay: re-applying the last batch id with the same rows
+    // must leave the table unchanged (upsert keyed on window+type).
+    val replay = Seq((ts(0), ts(10), "click", 3L, 7.0))
+      .toDF("window_start", "window_end", "event_type", "n_events", "total_value")
+    EventStreams.upsertCountsBatch(store, "wc_live", replay, batchId = 1L)
+    assert(counts() == before)
+  }
+
   test("windowedCounts emits closed tumbling windows once (append + watermark)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
