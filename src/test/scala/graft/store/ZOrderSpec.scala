@@ -1,0 +1,73 @@
+package graft.store
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ZOrderSpec extends SparkSpec {
+
+  test("interleave weaves bits lowest-significance-first") {
+    import spark.implicits._
+    // a=101b, b=011b → z bits (pos = i*2 + j): a0@0,b0@1,a1@2,b1@3,a2@4,b2@5
+    //  = 1 + 2 + 0 + 8 + 16 + 0 = 27
+    val z = Seq((5L, 3L)).toDF("a", "b")
+      .select(ZOrder.interleave(Seq(col("a"), col("b")), 3).as("z"))
+      .head().getLong(0)
+    assert(z == 27L)
+  }
+
+  // per-file column ranges, as the parquet footer (and any file-stats
+  // catalog) would record them
+  private def fileRanges(path: String): Array[(Long, Long, Long, Long)] = {
+    val df = spark.read.parquet(path)
+    df.groupBy(input_file_name())
+      .agg(min("x").as("min_x"), max("x").as("max_x"),
+        min("y").as("min_y"), max("y").as("max_y"))
+      .collect()
+      .map(r => (r.getAs[Long]("min_x"), r.getAs[Long]("max_x"),
+        r.getAs[Long]("min_y"), r.getAs[Long]("max_y")))
+  }
+
+  private def candidates(
+      ranges: Array[(Long, Long, Long, Long)],
+      lo: Long, hi: Long, onY: Boolean): Int =
+    ranges.count { case (minX, maxX, minY, maxY) =>
+      if (onY) minY <= hi && maxY >= lo else minX <= hi && maxX >= lo
+    }
+
+  test("z-ordered layout prunes selective filters on BOTH dimensions") {
+    val root = java.nio.file.Files.createTempDirectory("zorder").toString
+    val store = new TableStore(spark, root)
+    // two independent uniform dimensions (deterministic, no rand())
+    val data: DataFrame = spark.range(20000)
+      .withColumn("x", col("id") % 10000)
+      .withColumn("y", (col("id") * 2654435761L) % 10000)
+      .drop("id")
+
+    // baseline: linear layout sorted on x only
+    store.write("lin", data.repartitionByRange(16, col("x"))
+      .sortWithinPartitions("x"))
+    store.writeZOrdered("zo", data, Seq("x", "y"), nFiles = 16)
+
+    val lin = fileRanges(store.path("lin"))
+    val zo = fileRanges(store.path("zo"))
+    assert(lin.length == 16 && zo.length == 16)
+
+    // 2%-selectivity predicates on each dimension
+    val xLin = candidates(lin, 4000, 4199, onY = false)
+    val yLin = candidates(lin, 4000, 4199, onY = true)
+    val xZo = candidates(zo, 4000, 4199, onY = false)
+    val yZo = candidates(zo, 4000, 4199, onY = true)
+
+    // linear: great on x, useless on y (every file spans all of y)
+    assert(xLin <= 2)
+    assert(yLin == 16)
+    // z-order: skips most files on BOTH dimensions
+    assert(xZo <= 8, s"x candidates on z-order layout: $xZo")
+    assert(yZo <= 8, s"y candidates on z-order layout: $yZo")
+
+    // layout is row-preserving
+    assert(spark.read.parquet(store.path("zo")).count() == 20000)
+  }
+}
