@@ -1,0 +1,270 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Round-3 coverage widening: lateral joins, correlated EXISTS,
+  * defensive try_* evaluation, median/deterministic mode, the regexp
+  * scalar surface, multiset (ALL) set operations, null-safe joins,
+  * and linear gap interpolation.
+  *
+  * Determinism rules as everywhere (QueryDef scaladoc): doubles from
+  * exact DECIMAL sums or a single shared IEEE expression tree, BIGINT
+  * casts on the DuckDB side, total ORDER BY.
+  */
+object Round3Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // ------------------------------------------------------------ lateral join
+  // Correlated LATERAL derived table with ORDER BY + LIMIT: per
+  // nation, its two richest customers. Catalyst decorrelates the
+  // limit into a per-key ranked join — the declarative form of the
+  // reference's per-group "top N" loops. (DataFrame twin of the same
+  // shape is q12/q58's window/TopKPerKey; this gates the SQL surface.)
+  private val q76 = QueryDef(
+    "q76_lateral_topk",
+    (s, dir) => {
+      t(s, dir, "nation").createOrReplaceTempView("nation_v")
+      t(s, dir, "customer").createOrReplaceTempView("customer_v")
+      s.sql("""SELECT n_name, c_name, c_acctbal
+        FROM nation_v,
+        LATERAL (SELECT c_name, c_acctbal FROM customer_v
+                 WHERE c_nationkey = n_nationkey
+                 ORDER BY c_acctbal DESC, c_name LIMIT 2) AS top2
+        ORDER BY n_name, c_acctbal DESC, c_name""")
+    },
+    Some("""SELECT n_name, c_name, c_acctbal
+      FROM nation,
+      LATERAL (SELECT c_name, c_acctbal FROM customer
+               WHERE c_nationkey = n_nationkey
+               ORDER BY c_acctbal DESC, c_name LIMIT 2) AS top2
+      ORDER BY n_name, c_acctbal DESC, c_name"""),
+    covers = Seq("C-lateral"))
+
+  // ------------------------------------------------------------ EXISTS / NOT EXISTS
+  // Correlated existential subqueries in SQL form; Catalyst plans
+  // them as semi/anti joins (the DataFrame twins are q13/q14).
+  private val q77 = QueryDef(
+    "q77_exists_subquery",
+    (s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("exists_c")
+      t(s, dir, "orders").createOrReplaceTempView("exists_o")
+      s.sql("""SELECT c_custkey, c_name FROM exists_c c
+        WHERE EXISTS (SELECT 1 FROM exists_o o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+          AND NOT EXISTS (SELECT 1 FROM exists_o o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderstatus = 'F')
+        ORDER BY c_custkey""")
+    },
+    Some("""SELECT c_custkey, c_name FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderpriority = '1-URGENT')
+        AND NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderstatus = 'F')
+      ORDER BY c_custkey"""),
+    covers = Seq("C-exists"))
+
+  // ------------------------------------------------------------ defensive try_*
+  // ANSI mode is on (Spark 4 default): bad casts and zero divisors
+  // THROW unless handled. The try_* family turns data errors into
+  // NULLs — row-level fault tolerance for dirty corpora, where one
+  // malformed record must not kill a 100 TB job.
+  private val q78 = QueryDef(
+    "q78_try_functions",
+    (s, dir) => {
+      val p = t(s, dir, "part")
+      p.select(
+          col("p_partkey"),
+          expr("try_cast(CASE WHEN p_partkey % 3 = 0 THEN CAST(p_size AS STRING) " +
+            "ELSE p_type END AS INT)").as("as_int"),
+          expr("try_divide(CAST(p_size AS DOUBLE), p_partkey % 5)").as("safe_div"),
+          expr("try_element_at(split(p_name, ' '), 3)").as("tok3"))
+        .orderBy("p_partkey")
+    },
+    Some("""SELECT p_partkey,
+        TRY_CAST(CASE WHEN p_partkey % 3 = 0 THEN CAST(p_size AS VARCHAR)
+                 ELSE p_type END AS INTEGER) AS as_int,
+        CAST(p_size AS DOUBLE) / nullif(p_partkey % 5, 0) AS safe_div,
+        string_split(p_name, ' ')[3] AS tok3
+      FROM part ORDER BY p_partkey"""),
+    covers = Seq("SC-try"))
+
+  // ------------------------------------------------------------ median + mode
+  // median() (exact, interpolated — dyadic midpoints so both engines
+  // agree bitwise) and a DETERMINISTIC mode: built-in mode() breaks
+  // ties arbitrarily, so the gateable form is argmax over (count,
+  // value) structs — ties go to the larger value in both engines.
+  private val q79 = QueryDef(
+    "q79_median_mode",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val med = li.groupBy(col("l_returnflag").as("flag"))
+        .agg(median(col("l_quantity")).as("med_qty"))
+      val cnt = li.groupBy(col("l_returnflag").as("flag"), col("l_linenumber").as("v"))
+        .agg(count(lit(1)).as("c"))
+      val mode = cnt.groupBy("flag")
+        .agg(max(struct(col("c"), col("v"))).as("mx"))
+        .select(col("flag"), col("mx").getField("v").as("mode_ln"))
+      med.join(mode, "flag").orderBy("flag")
+    },
+    Some("""WITH cnt AS (SELECT l_returnflag AS flag, l_linenumber AS v, COUNT(*) AS c
+               FROM lineitem GROUP BY 1, 2)
+      SELECT m.flag, m.med_qty, struct_extract(x.mx, 'v') AS mode_ln FROM
+       (SELECT l_returnflag AS flag, median(l_quantity) AS med_qty
+        FROM lineitem GROUP BY 1) m
+       JOIN (SELECT flag, max(struct_pack(c := c, v := v)) AS mx
+             FROM cnt GROUP BY flag) x USING (flag)
+      ORDER BY flag"""),
+    covers = Seq("AGG-median-mode"))
+
+  // ------------------------------------------------------------ regexp surface
+  // The regexp scalar family: extract-all + count, global replace,
+  // first-match extract, boolean match. All codegen'd expressions.
+  private val q80 = QueryDef(
+    "q80_regexp_funcs",
+    (s, dir) => {
+      val p = t(s, dir, "part")
+      p.select(
+          col("p_partkey"),
+          size(regexp_extract_all(col("p_name"), lit("[a-z]+"), lit(0))).as("n_alpha"),
+          regexp_replace(col("p_name"), "[aeiou]", "").as("novowel"),
+          regexp_extract(col("p_type"), "[A-Z]+", 0).as("first_upper"),
+          col("p_name").rlike("red|blue").as("is_colored"),
+          regexp_count(col("p_name"), lit("e")).as("n_e"))
+        .orderBy("p_partkey")
+    },
+    Some("""SELECT p_partkey,
+        CAST(len(regexp_extract_all(p_name, '[a-z]+')) AS INTEGER) AS n_alpha,
+        regexp_replace(p_name, '[aeiou]', '', 'g') AS novowel,
+        regexp_extract(p_type, '[A-Z]+') AS first_upper,
+        regexp_matches(p_name, 'red|blue') AS is_colored,
+        CAST(len(regexp_extract_all(p_name, 'e')) AS INTEGER) AS n_e
+      FROM part ORDER BY p_partkey"""),
+    covers = Seq("STR-regexp"))
+
+  // ------------------------------------------------------------ multiset set ops
+  // EXCEPT ALL / INTERSECT ALL: bag semantics (q38 gates the DISTINCT
+  // variants). Duplicate keys must survive with multiplicity
+  // arithmetic, not collapse.
+  private val q81 = QueryDef(
+    "q81_setops_all",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val a = o.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("k"))
+      val b = o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey").as("k"))
+      a.exceptAll(b).agg(count(lit(1)).as("n_except_all"))
+        .crossJoin(a.intersectAll(b).agg(count(lit(1)).as("n_intersect_all")))
+        .crossJoin(a.unionAll(b).agg(count(lit(1)).as("n_union_all")))
+    },
+    Some("""WITH a AS (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'),
+           b AS (SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT')
+      SELECT
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM
+         (SELECT k FROM a EXCEPT ALL SELECT k FROM b)) AS n_except_all,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM
+         (SELECT k FROM a INTERSECT ALL SELECT k FROM b)) AS n_intersect_all,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM
+         (SELECT k FROM a UNION ALL SELECT k FROM b)) AS n_union_all"""),
+    covers = Seq("SET-ops-all"))
+
+  // ------------------------------------------------------------ null-safe join
+  // <=> (IS NOT DISTINCT FROM) as an equi-join key: NULL matches NULL
+  // exactly once per pair. Still a hash join — Catalyst treats
+  // EqualNullSafe as a joinable key, no nested loop.
+  private val q82 = QueryDef(
+    "q82_nullsafe_join",
+    (s, dir) => {
+      val l = t(s, dir, "orders").select(
+        when(col("o_orderkey") % 7 === 0, lit(null).cast("long"))
+          .otherwise(col("o_custkey") % 100).as("lk"))
+      val r = t(s, dir, "customer")
+        .select(when(col("c_custkey") % 11 === 0, lit(null).cast("long"))
+          .otherwise(col("c_custkey") % 100).as("rk"))
+        .groupBy("rk").agg(count(lit(1)).as("c"))
+      l.join(r, col("lk") <=> col("rk"))
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          count(when(col("lk").isNull, lit(1))).as("n_null_pairs"),
+          sum(col("c")).as("sum_right"))
+    },
+    Some("""WITH l AS (SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                 ELSE o_custkey % 100 END AS k FROM orders),
+           r AS (SELECT CASE WHEN c_custkey % 11 = 0 THEN NULL
+                 ELSE c_custkey % 100 END AS k, COUNT(*) AS c
+               FROM customer GROUP BY 1)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        CAST(COUNT(*) FILTER (WHERE l.k IS NULL) AS BIGINT) AS n_null_pairs,
+        CAST(SUM(r.c) AS BIGINT) AS sum_right
+      FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k"""),
+    covers = Seq("J-nullsafe"))
+
+  // ------------------------------------------------------------ gap interpolation
+  // Linear interpolation of masked points in a daily series: carry
+  // (last non-null value, its day) forward and (next, its day)
+  // backward with IGNORE NULLS window frames, then one shared IEEE
+  // tree for the lerp — identical in both engines bit for bit. The
+  // window is over the AGGREGATED series (thousands of rows at any
+  // data scale), not raw events, so the single partition is fine.
+  private val q83 = QueryDef(
+    "q83_interpolate",
+    (s, dir) => {
+      val day = expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+      val daily = t(s, dir, "orders")
+        .groupBy(day.as("day"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("s"))
+        .select(col("day"),
+          when(col("day") % 5 =!= 0, col("s").cast("double")).as("v"))
+      val wPrev = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+      val wNext = Window.orderBy("day").rowsBetween(0, Window.unboundedFollowing)
+      val marked = daily.select(
+        col("day"), col("v"),
+        last(col("v"), ignoreNulls = true).over(wPrev).as("pv"),
+        last(when(col("v").isNotNull, col("day")), ignoreNulls = true)
+          .over(wPrev).as("pd"),
+        first(col("v"), ignoreNulls = true).over(wNext).as("nv"),
+        first(when(col("v").isNotNull, col("day")), ignoreNulls = true)
+          .over(wNext).as("nd"))
+      marked.select(
+          col("day"),
+          coalesce(
+            col("v"),
+            col("pv") + (col("nv") - col("pv")) * (col("day") - col("pd")) /
+              (col("nd") - col("pd")),
+            col("pv"), col("nv")).as("filled"),
+          col("v").isNull.as("was_gap"))
+        .orderBy("day")
+    },
+    Some("""WITH daily AS (
+        SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+          CASE WHEN (epoch_us(o_orderdate) // 86400000000) % 5 <> 0
+               THEN CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) END AS v
+        FROM orders GROUP BY 1),
+      marked AS (
+        SELECT day, v,
+          last_value(v IGNORE NULLS) OVER
+            (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+          last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER
+            (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+          first_value(v IGNORE NULLS) OVER
+            (ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+          first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER
+            (ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+        FROM daily)
+      SELECT day,
+        coalesce(v, pv + (nv - pv) * (day - pd) / (nd - pd), pv, nv) AS filled,
+        (v IS NULL) AS was_gap
+      FROM marked ORDER BY day"""),
+    covers = Seq("TS-interpolate"))
+
+  val all: Seq[QueryDef] = Seq(q76, q77, q78, q79, q80, q81, q82, q83)
+}
