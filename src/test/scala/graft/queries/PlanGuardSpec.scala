@@ -17,7 +17,8 @@ class PlanGuardSpec extends SparkSpec {
     "q42_sessionize_batch", "q46_cleaner_parity", "q47_minhash_verified",
     // q52 excluded: its one-row crossJoin(broadcast(N)) is the
     // scalar-subquery pattern this guard deliberately allows
-    "q55_embedding_norms", "q56_levenshtein", "q57_argmax")
+    "q55_embedding_norms", "q56_levenshtein", "q57_argmax",
+    "q76_lateral_topk", "q77_exists_subquery", "q82_nullsafe_join")
 
   test("no nested-loop or cartesian joins in shuffle-sensitive queries") {
     val dir = "/root/testdata/sf0.001"

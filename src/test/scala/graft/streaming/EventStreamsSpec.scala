@@ -170,6 +170,34 @@ class EventStreamsSpec extends SparkSpec {
     assert(counts() == before)
   }
 
+  test("streaming state runs on the RocksDB state store backend") {
+    // The default in-memory (HDFS-backed) state store caps state at
+    // executor heap; RocksDB spills to local disk, the backend for
+    // unbounded-key workloads (sessionization over millions of users).
+    // Same query, same results — state backend is a config, not code.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.get(key)
+    try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val input = MemoryStream[Event]
+      val query = EventStreams.windowedCounts(input.toDF(),
+          windowLength = "10 minutes", lateness = "0 seconds")
+        .writeStream.format("memory").queryName("wc_rocks")
+        .outputMode(OutputMode.Append()).start()
+      input.addData(Event(1L, ts(1), "click", 1.0), Event(2L, ts(3), "click", 2.0))
+      query.processAllAvailable()
+      input.addData(Event(4L, ts(25), "view", 1.0))
+      query.processAllAvailable()
+      query.stop()
+      val rows = spark.table("wc_rocks").collect()
+        .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_events")))
+      assert(rows.contains(("click", 2L)))
+    } finally spark.conf.set(key, old)
+  }
+
   test("windowedCounts emits closed tumbling windows once (append + watermark)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
