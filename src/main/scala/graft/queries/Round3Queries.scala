@@ -266,5 +266,75 @@ object Round3Queries {
       FROM marked ORDER BY day"""),
     covers = Seq("TS-interpolate"))
 
-  val all: Seq[QueryDef] = Seq(q76, q77, q78, q79, q80, q81, q82, q83)
+  // ------------------------------------------------------------ session_window
+  // Native session windows in batch: groupBy(session_window(ts, gap))
+  // — one shuffle on the user key, no window-function pass (q42 gates
+  // the flag + running-sum formulation; this gates the operator).
+  // Spark merges an event into a session iff it lands strictly before
+  // session_end (= last event + gap), so the oracle's new-session
+  // test is `diff >= gap`, unlike q42's `>`.
+  private val q84 = QueryDef(
+    "q84_session_window",
+    (s, dir) => {
+      val e = t(s, dir, "events").select(col("user_id"), col("ts"), col("value"))
+      e.groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+        .select(
+          col("user_id"),
+          unix_micros(col("sw.start")).as("session_start_us"),
+          unix_micros(col("sw.end")).as("session_end_us"),
+          col("n_events"), col("total_value"))
+        .orderBy("user_id", "session_start_us")
+    },
+    Some("""WITH ordered AS (
+        SELECT user_id, ts, event_id, value,
+          LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events),
+      flagged AS (
+        SELECT *, CASE WHEN prev IS NULL
+            OR epoch_us(ts) - epoch_us(prev) >= 30*60*1000000 THEN 1 ELSE 0 END AS new_s
+        FROM ordered),
+      numbered AS (
+        SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged)
+      SELECT user_id,
+        epoch_us(MIN(ts)) AS session_start_us,
+        epoch_us(MAX(ts)) + 30*60*1000000 AS session_end_us,
+        CAST(COUNT(*) AS BIGINT) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM numbered GROUP BY user_id, sid
+      ORDER BY user_id, session_start_us"""),
+    covers = Seq("W-session-window"))
+
+  // ------------------------------------------------------------ higher-order funcs
+  // Lambda functions over arrays — filter/transform/aggregate/
+  // contains — all codegen'd, no explode-shuffle round trip for
+  // per-row array work.
+  private val q85 = QueryDef(
+    "q85_hof_arrays",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val toks = split(col("text"), " ")
+      d.select(
+          col("doc_id"),
+          size(filter(toks, x => length(x) > 3)).as("n_long"),
+          array_join(transform(slice(toks, 1, 3), x => upper(x)), "_").as("upper3"),
+          aggregate(toks, lit(0), (a, x) => a + length(x)).cast("long")
+            .as("total_chars"),
+          array_contains(toks, "the").as("has_the"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+      SELECT doc_id,
+        CAST(len(list_filter(tk, x -> len(x) > 3)) AS INTEGER) AS n_long,
+        array_to_string(list_transform(tk[1:3], x -> upper(x)), '_') AS upper3,
+        CAST(list_sum(list_transform(tk, x -> len(x))) AS BIGINT) AS total_chars,
+        list_contains(tk, 'the') AS has_the
+      FROM t ORDER BY doc_id"""),
+    covers = Seq("SC-hof"))
+
+  val all: Seq[QueryDef] = Seq(q76, q77, q78, q79, q80, q81, q82, q83, q84, q85)
 }
