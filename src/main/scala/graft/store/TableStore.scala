@@ -126,6 +126,18 @@ final class TableStore(spark: SparkSession, root: String) {
       .drop("__rn", "__src")
   }
 
+  /** Write `df` hive-partitioned on `partitionCols` (directory per
+    * value combination): queries filtering on a partition column prune
+    * whole directories at plan time — no file is even listed, the
+    * parquet twin of the raw archive's `year=/month=/day=` JSONL
+    * layout. Use for the coarse, always-filtered dimension (e.g. day);
+    * combine with [[writeZOrdered]] within partitions for finer ones.
+    */
+  def writePartitioned(table: String, df: DataFrame, partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .parquet(path(table))
+
   /** Write `df` clustered by the Z-order (Morton) interleave of
     * `zCols` into `nFiles` files: range-partition on the z-value, then
     * sort within partitions, so parquet min/max stats stay tight on

@@ -70,4 +70,23 @@ class ZOrderSpec extends SparkSpec {
     // layout is row-preserving
     assert(spark.read.parquet(store.path("zo")).count() == 20000)
   }
+
+  test("hive-partitioned writes prune whole partitions at plan time") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val root = java.nio.file.Files.createTempDirectory("hivepart").toString
+    val store = new TableStore(spark, root)
+    val data = spark.range(1000)
+      .withColumn("day", col("id") % 10)
+      .withColumn("v", col("id") * 2)
+    store.writePartitioned("by_day", data, Seq("day"))
+
+    val q = spark.read.parquet(store.path("by_day")).filter(col("day") === 3)
+    val scan = q.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }.head
+    // 1 of 10 partition directories survives planning
+    assert(scan.selectedPartitions.partitionCount == 1,
+      s"expected 1 pruned partition, got ${scan.selectedPartitions.partitionCount}")
+    assert(q.count() == 100)
+  }
 }
