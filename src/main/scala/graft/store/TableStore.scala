@@ -74,6 +74,51 @@ final class TableStore(spark: SparkSession, root: String) {
         swapWrite(table, merged)
     }
 
+  /** Apply a CDC changelog: `changes` carries the table schema plus
+    * `opCol` ∈ {I, U, D} and a monotone `versionCol`. Per key the
+    * highest version wins (stored rows compete with their stored
+    * version, so an out-of-order older change can never clobber newer
+    * state); a winning D removes the row. MERGE INTO semantics —
+    * update + insert + conditional delete — as one set-based
+    * latest-wins pass, and replaying any batch is a no-op.
+    *
+    * Deletes leave a (key, version) tombstone in `<table>__tombstones`
+    * so a STALE change arriving after the delete cannot resurrect the
+    * row — without them an out-of-order insert would reappear because
+    * the deleted key has no stored competitor. At scale, expire
+    * tombstones past the pipeline's max out-of-orderness (they are
+    * the batch analogue of a streaming watermark horizon).
+    */
+  def applyCdc(
+      table: String,
+      changes: DataFrame,
+      key: String,
+      versionCol: String,
+      opCol: String = "op"): Unit = {
+    val tombTable = s"${table}__tombstones"
+    val incoming = changes.withColumn("__src", lit(1))
+    val existing = read(table)
+    val tombs = read(tombTable).map(_
+      .withColumn(opCol, lit("D")).withColumn("__src", lit(0)))
+    val stored = existing.map(_
+      .withColumn(opCol, lit("U")).withColumn("__src", lit(0)))
+    val all = (stored.toSeq ++ tombs.toSeq).foldLeft(incoming) {
+      (acc, df) => acc.unionByName(df, allowMissingColumns = true)
+    }
+    // materialized BEFORE the swaps: both outputs derive from the
+    // tables being replaced, and a lazy plan would re-list the old
+    // (deleted) part files after the first swap. At cluster scale use
+    // reliable checkpoint() instead.
+    val merged = dedupLatest(all, Seq(key), versionCol, dropSrc = false)
+      .localCheckpoint()
+    val state = merged.filter(col(opCol) =!= "D").drop(opCol, "__src")
+    val newTombs = merged.filter(col(opCol) === "D")
+      .select(col(key), col(versionCol))
+    if (existing.isDefined) swapWrite(table, state) else write(table, state)
+    if (read(tombTable).isDefined) swapWrite(tombTable, newTombs)
+    else write(tombTable, newTombs)
+  }
+
   /** Type-2 slowly-changing-dimension upsert: history is kept instead
     * of overwritten. Stored rows carry `valid_from`, `valid_to`
     * (null = open) and `is_current`; an incoming row whose attributes
@@ -119,11 +164,14 @@ final class TableStore(spark: SparkSession, root: String) {
     }
   }
 
-  private def dedupLatest(df: DataFrame, keys: Seq[String], versionCol: String): DataFrame = {
+  private def dedupLatest(
+      df: DataFrame, keys: Seq[String], versionCol: String,
+      dropSrc: Boolean = true): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(desc(versionCol), desc("__src"))
-    df.withColumn("__rn", row_number().over(w))
+    val deduped = df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .drop("__rn", "__src")
+      .drop("__rn")
+    if (dropSrc) deduped.drop("__src") else deduped
   }
 
   /** Write `df` hive-partitioned on `partitionCols` (directory per

@@ -90,4 +90,46 @@ class TableStoreSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
     assert(cur == Map("a" -> 5, "b" -> 2, "c" -> 3))
   }
+
+  test("applyCdc merges insert/update/delete, survives replay and out-of-order") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("store_cdc").toString
+    val store = new TableStore(spark, root)
+
+    def snap() = store.read("t").get.collect()
+      .map(r => (r.getAs[String]("k"), r.getAs[Int]("v"), r.getAs[Long]("ver"))).toSet
+
+    // batch 1: pure inserts
+    store.applyCdc("t",
+      Seq(("a", 1, 10L, "I"), ("b", 2, 10L, "I"), ("c", 3, 10L, "I"))
+        .toDF("k", "v", "ver", "op"), "k", "ver")
+    assert(snap() == Set(("a", 1, 10L), ("b", 2, 10L), ("c", 3, 10L)))
+
+    // batch 2: update a, delete b, insert d — plus an in-batch
+    // superseded change for a that must lose to the newer one
+    val batch2 = Seq(
+      ("a", 9, 15L, "U"), ("a", 5, 20L, "U"),
+      ("b", 0, 20L, "D"), ("d", 4, 20L, "I"))
+      .toDF("k", "v", "ver", "op")
+    store.applyCdc("t", batch2, "k", "ver")
+    val expected = Set(("a", 5, 20L), ("c", 3, 10L), ("d", 4, 20L))
+    assert(snap() == expected)
+
+    // replay of batch 2 is a no-op (idempotent recovery)
+    store.applyCdc("t", batch2, "k", "ver")
+    assert(snap() == expected)
+
+    // out-of-order: stale changes (older version) cannot clobber
+    // newer state, and the tombstone stops a stale insert from
+    // resurrecting the deleted key
+    store.applyCdc("t",
+      Seq(("a", 7, 12L, "U"), ("b", 2, 11L, "I")).toDF("k", "v", "ver", "op"),
+      "k", "ver")
+    assert(snap() == expected)
+
+    // a genuinely NEWER insert re-creates the key past its tombstone
+    store.applyCdc("t", Seq(("b", 8, 30L, "I")).toDF("k", "v", "ver", "op"),
+      "k", "ver")
+    assert(snap() == expected + (("b", 8, 30L)))
+  }
 }
