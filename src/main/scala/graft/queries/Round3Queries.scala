@@ -336,5 +336,81 @@ object Round3Queries {
       FROM t ORDER BY doc_id"""),
     covers = Seq("SC-hof"))
 
-  val all: Seq[QueryDef] = Seq(q76, q77, q78, q79, q80, q81, q82, q83, q84, q85)
+  // ------------------------------------------------------------ stopword removal
+  // Corpus cleaning: strip function words before dedup/fingerprinting
+  // so near-dup comparison weighs content words. Pure lambda filter —
+  // no explode, no join against a stopword table for a list this
+  // small (a broadcast join only wins once the list is thousands of
+  // entries).
+  private val q86 = QueryDef(
+    "q86_stopword_removal",
+    (s, dir) => {
+      val stop = typedlit(Seq("the", "a", "of", "and", "to", "in", "is"))
+      val d = t(s, dir, "documents")
+      val kept = filter(split(col("text"), " "), x => !array_contains(stop, x))
+      d.select(
+          col("doc_id"),
+          size(split(col("text"), " ")).as("n_tokens"),
+          size(kept).as("n_kept"),
+          array_join(slice(kept, 1, 5), " ").as("head_clean"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      f AS (SELECT doc_id, tk,
+        list_filter(tk, x -> NOT list_contains(
+          ['the','a','of','and','to','in','is'], x)) AS kept
+        FROM t)
+      SELECT doc_id,
+        CAST(len(tk) AS INTEGER) AS n_tokens,
+        CAST(len(kept) AS INTEGER) AS n_kept,
+        array_to_string(kept[1:5], ' ') AS head_clean
+      FROM f ORDER BY doc_id"""),
+    covers = Seq("TXT-stopwords"))
+
+  // ------------------------------------------------------------ PII redaction
+  // Pre-training redaction: emails and phone numbers (planted
+  // deterministically so the oracle can check the count AND the
+  // rewritten text) replaced with typed placeholder tags. Two chained
+  // regexp_replace passes — at 100 TB this is a narrow map over the
+  // corpus, no shuffle at all.
+  private val q87 = QueryDef(
+    "q87_pii_redact",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val planted = d.select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or 06-"),
+          lpad(col("doc_id").cast("string"), 8, "0")).as("txt"))
+      val clean = regexp_replace(
+        regexp_replace(col("txt"), "[a-z0-9.]+@[a-z0-9.]+", "<EMAIL>"),
+        "06-[0-9]{8}", "<PHONE>")
+      planted.select(
+          col("doc_id"),
+          regexp_count(col("txt"), lit("[a-z0-9.]+@[a-z0-9.]+")).as("n_emails"),
+          regexp_count(col("txt"), lit("06-[0-9]{8}")).as("n_phones"),
+          length(clean).as("clean_len"),
+          substring(clean, -16, 16).as("tail"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH planted AS (
+        SELECT doc_id,
+          concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+            '@example.com or 06-', lpad(CAST(doc_id AS VARCHAR), 8, '0')) AS txt
+        FROM documents),
+      red AS (
+        SELECT doc_id, txt,
+          regexp_replace(regexp_replace(txt,
+            '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+            '06-[0-9]{8}', '<PHONE>', 'g') AS clean
+        FROM planted)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(txt, '[a-z0-9.]+@[a-z0-9.]+')) AS INTEGER) AS n_emails,
+        CAST(len(regexp_extract_all(txt, '06-[0-9]{8}')) AS INTEGER) AS n_phones,
+        CAST(len(clean) AS INTEGER) AS clean_len,
+        right(clean, 16) AS tail
+      FROM red ORDER BY doc_id"""),
+    covers = Seq("TXT-pii"))
+
+  val all: Seq[QueryDef] =
+    Seq(q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87)
 }
