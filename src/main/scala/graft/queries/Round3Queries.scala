@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
@@ -411,6 +411,94 @@ object Round3Queries {
       FROM red ORDER BY doc_id"""),
     covers = Seq("TXT-pii"))
 
+  // ------------------------------------------------------------ column profiling
+  // Data-quality profile — null count, distinct count, min/max per
+  // column — in ONE pass over the table (multi-count-distinct plans
+  // as a single Expand), then stack() pivots the metrics row into a
+  // report. The per-column-scan UNION the oracle runs is exactly what
+  // this avoids at 100 TB.
+  private val q88 = QueryDef(
+    "q88_profile",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+        .withColumn("status_nf", expr("nullif(o_orderstatus, 'F')"))
+      def m(c: Column, i: Int) = Seq(
+        sum(when(c.isNull, 1).otherwise(0)).as(s"nu_$i"),
+        countDistinct(c).as(s"nd_$i"),
+        min(c).cast("string").as(s"mn_$i"),
+        max(c).cast("string").as(s"mx_$i"))
+      val aggs =
+        m(col("o_orderkey"), 0) ++ m(col("o_orderstatus"), 1) ++
+          m(col("status_nf"), 2) ++
+          (Seq(
+            sum(when(col("o_totalprice").isNull, 1).otherwise(0)).as("nu_3"),
+            countDistinct(col("o_totalprice")).as("nd_3"),
+            min(col("o_totalprice").cast(DecimalType(18, 2))).cast("string").as("mn_3"),
+            max(col("o_totalprice").cast(DecimalType(18, 2))).cast("string").as("mx_3")))
+      o.agg(aggs.head, aggs.tail: _*)
+        .selectExpr("""stack(4,
+            'o_orderkey',    nu_0, nd_0, mn_0, mx_0,
+            'o_orderstatus', nu_1, nd_1, mn_1, mx_1,
+            'status_nf',     nu_2, nd_2, mn_2, mx_2,
+            'o_totalprice',  nu_3, nd_3, mn_3, mx_3)
+          as (col_name, n_nulls, n_distinct, min_s, max_s)""")
+        .orderBy("col_name")
+    },
+    Some("""WITH o AS (SELECT *, NULLIF(o_orderstatus, 'F') AS status_nf FROM orders)
+      SELECT 'o_orderkey' AS col_name,
+        CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+        CAST(MIN(o_orderkey) AS VARCHAR) AS min_s,
+        CAST(MAX(o_orderkey) AS VARCHAR) AS max_s FROM o
+      UNION ALL
+      SELECT 'o_orderstatus',
+        CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+        CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR) FROM o
+      UNION ALL
+      SELECT 'status_nf',
+        CAST(SUM(CASE WHEN status_nf IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        CAST(COUNT(DISTINCT status_nf) AS BIGINT),
+        CAST(MIN(status_nf) AS VARCHAR), CAST(MAX(status_nf) AS VARCHAR) FROM o
+      UNION ALL
+      SELECT 'o_totalprice',
+        CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+        CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR),
+        CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) FROM o
+      ORDER BY col_name"""),
+    covers = Seq("QA-profile"))
+
+  // ------------------------------------------------------------ schema-drift union
+  // unionByName with missing columns: batches whose schemas drifted
+  // (reordered + dropped fields) combine positionally-safely, absent
+  // fields become NULL — the ingestion posture for a corpus collected
+  // over years of evolving upstream formats.
+  private val q89 = QueryDef(
+    "q89_union_by_name",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val a = o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"),
+          col("o_orderstatus").as("st"))
+      val b = o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderstatus").as("st"), col("o_orderkey").as("k"))
+      a.unionByName(b, allowMissingColumns = true)
+        .groupBy("st")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("price").isNull, 1).otherwise(0)).as("n_missing_price"))
+        .orderBy("st")
+    },
+    Some("""WITH a AS (SELECT o_orderkey AS k, o_totalprice AS price, o_orderstatus AS st
+               FROM orders WHERE o_orderkey % 2 = 0),
+           b AS (SELECT o_orderstatus AS st, o_orderkey AS k
+               FROM orders WHERE o_orderkey % 2 = 1),
+           u AS (SELECT * FROM a UNION ALL BY NAME SELECT * FROM b)
+      SELECT st, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CASE WHEN price IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_price
+      FROM u GROUP BY st ORDER BY st"""),
+    covers = Seq("SET-union-by-name"))
+
   val all: Seq[QueryDef] =
-    Seq(q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87)
+    Seq(q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89)
 }
