@@ -84,6 +84,27 @@ object EventStreams {
         col("purchase_ts"), col("purchase_value"))
   }
 
+  /** Native session windows in streaming: the built-in operator for
+    * gap-based sessions when only windowed aggregates are needed —
+    * state merging, watermark eviction and late-data handling come
+    * for free. [[sessionize]] (flatMapGroupsWithState) remains the
+    * escape hatch for session logic the aggregate form can't express
+    * (per-event ordering, custom close conditions). Batch twin:
+    * gate query q84.
+    */
+  def sessionCounts(
+      events: DataFrame,
+      gap: String = "30 minutes",
+      lateness: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("total_value"))
+
   /** Continuously maintain a queryable per-(window, event_type) counts
     * table from a stream: Update-mode windowed aggregation delivered
     * through `foreachBatch` into a [[TableStore]] latest-wins upsert.

@@ -170,6 +170,38 @@ class EventStreamsSpec extends SparkSpec {
     assert(counts() == before)
   }
 
+  test("native session_window sessions match the custom sessionize semantics") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventStreams.sessionCounts(input.toDF(),
+        gap = "10 minutes", lateness = "0 seconds")
+      .writeStream.format("memory").queryName("sw_sessions")
+      .outputMode(OutputMode.Append()).start()
+
+    // one session (10:00, 10:05), then a new one at 10:30
+    input.addData(
+      Event(1L, ts(0), "click", 1.0),
+      Event(1L, ts(5), "view", 2.0),
+      Event(1L, ts(30), "click", 5.0))
+    query.processAllAvailable()
+    // advance the watermark so both sessions close in Append mode
+    input.addData(Event(2L, Timestamp.valueOf("2026-01-01 12:00:00"), "view", 0.0))
+    query.processAllAvailable()
+    query.stop()
+
+    val sessions = spark.table("sw_sessions").collect()
+      .filter(_.getAs[Long]("user_id") == 1L)
+      .map(r => (r.getAs[Timestamp]("session_start"),
+        r.getAs[Timestamp]("session_end"), r.getAs[Long]("n_events"),
+        r.getAs[Double]("total_value")))
+      .sortBy(_._1.getTime)
+    assert(sessions.length == 2)
+    // session_end = last event + gap (unlike sessionize's last event)
+    assert(sessions(0) == (ts(0), ts(15), 2L, 3.0))
+    assert(sessions(1) == (ts(30), ts(40), 1L, 5.0))
+  }
+
   test("streaming state runs on the RocksDB state store backend") {
     // The default in-memory (HDFS-backed) state store caps state at
     // executor heap; RocksDB spills to local disk, the backend for
