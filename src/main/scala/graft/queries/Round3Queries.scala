@@ -499,6 +499,79 @@ object Round3Queries {
       FROM u GROUP BY st ORDER BY st"""),
     covers = Seq("SET-union-by-name"))
 
+  // ------------------------------------------------------------ bigram counts
+  // n-gram language-model statistics: adjacent-token pairs built
+  // in-row (no self-join on position), then one count shuffle and a
+  // per-language top-5.
+  private val q90 = QueryDef(
+    "q90_bigrams",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("tk"))
+        .filter(size(col("tk")) >= 2) // sequence(1,0) would descend
+      val bigrams = d.select(col("lang"),
+        explode(expr(
+          "transform(sequence(1, size(tk) - 1), " +
+            "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"))
+          .as("bigram"))
+      val counts = bigrams.groupBy("lang", "bigram").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("lang").orderBy(desc("n"), col("bigram"))
+      counts.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 5)
+        .orderBy("lang", "rk")
+    },
+    Some("""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS tk
+               FROM documents WHERE len(string_split(text, ' ')) >= 2),
+      b AS (SELECT lang, unnest(list_zip(tk[1:len(tk)-1], tk[2:len(tk)])) AS bg FROM t),
+      c AS (SELECT lang, bg[1] || ' ' || bg[2] AS bigram, COUNT(*) AS n
+            FROM b GROUP BY 1, 2),
+      r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rk
+            FROM c)
+      SELECT lang, bigram, CAST(n AS BIGINT) AS n, CAST(rk AS BIGINT) AS rk
+      FROM r WHERE rk <= 5 ORDER BY lang, rk"""),
+    covers = Seq("TXT-bigrams"))
+
+  // ------------------------------------------------------------ sparse similarity join
+  // Document similarity as a sparse term-vector dot product through an
+  // inverted index: explode to (doc, term, count) postings, self-join
+  // on term, sum the count products. Pure integer arithmetic — fully
+  // deterministic, no floating-point accumulation order to worry
+  // about. At scale this is THE text-similarity join shape: shuffle
+  // is bounded by posting-list sizes (cap heavy terms like q22), never
+  // all-pairs.
+  private val q91 = QueryDef(
+    "q91_sparse_dot",
+    (s, dir) => {
+      val tc = t(s, dir, "documents")
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+      val a = tc.select(col("doc_id").as("doc_a"), col("term"), col("c").as("ca"))
+      val b = tc.select(col("doc_id").as("doc_b"), col("term"), col("c").as("cb"))
+      val pairs = a.join(b, Seq("term"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(sum(col("ca") * col("cb")).as("dot"))
+      val w = Window.partitionBy("doc_a").orderBy(desc("dot"), col("doc_b"))
+      pairs.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .orderBy("doc_a", "rk")
+    },
+    Some("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+               FROM documents WHERE doc_id < 100),
+      tc AS (SELECT doc_id, term, COUNT(*) AS c FROM t GROUP BY 1, 2),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          CAST(SUM(a.c * b.c) AS BIGINT) AS dot
+        FROM tc a JOIN tc b ON a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      r AS (SELECT *, row_number() OVER (PARTITION BY doc_a ORDER BY dot DESC, doc_b) AS rk
+            FROM pairs)
+      SELECT doc_a, doc_b, dot, CAST(rk AS BIGINT) AS rk
+      FROM r WHERE rk <= 3 ORDER BY doc_a, rk"""),
+    covers = Seq("SIM-sparse-dot"))
+
   val all: Seq[QueryDef] =
-    Seq(q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89)
+    Seq(q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
+      q90, q91)
 }
