@@ -39,7 +39,9 @@ object AsOfJoin {
     *                    matched right row; a farther match yields
     *                    nulls (0 = unbounded)
     * @param direction  "backward" (default): latest right at-or-before
-    *                   leftTime; "forward": earliest right at-or-after
+    *                   leftTime; "forward": earliest right at-or-after;
+    *                   "nearest": whichever of the two is closer in
+    *                   time (tie → the backward match)
     */
   def asof(
       left: DataFrame,
@@ -51,8 +53,8 @@ object AsOfJoin {
       tiebreak: String,
       toleranceMs: Long = 0L,
       direction: String = "backward"): DataFrame = {
-    require(direction == "backward" || direction == "forward",
-      s"direction must be backward or forward, got $direction")
+    require(Set("backward", "forward", "nearest")(direction),
+      s"direction must be backward, forward or nearest, got $direction")
     val fwd = direction == "forward"
     val lCols = left.columns.toSeq
 
@@ -84,25 +86,52 @@ object AsOfJoin {
     // rights sort AFTER lefts (ascending on 1 - __is_left), the frame
     // looks ahead, and first() picks the earliest right (smallest
     // tiebreak at equal times).
-    val sideOrder = if (fwd) (lit(1) - col("__is_left")) else col("__is_left")
-    val base = Window.partitionBy(key)
-      .orderBy(col("__t"), sideOrder, col("__rtb"))
-    val w = if (fwd) base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-      else base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wBack = Window.partitionBy(key)
+      .orderBy(col("__t"), col("__is_left"), col("__rtb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFwd = Window.partitionBy(key)
+      .orderBy(col("__t"), lit(1) - col("__is_left"), col("__rtb"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val pktBack = last(col("__pkt"), ignoreNulls = true).over(wBack)
+    val pktFwd = first(col("__pkt"), ignoreNulls = true).over(wFwd)
 
-    val carried = l.unionByName(r)
-      .withColumn("__pkt",
-        (if (fwd) first(col("__pkt"), ignoreNulls = true)
-         else last(col("__pkt"), ignoreNulls = true)).over(w))
+    // micro precision: a millis comparison would mis-pick the nearest
+    // side when the two gaps differ only below the millisecond
+    def backGap(p: Column) = unix_micros(col("__t")) - unix_micros(p.getField("__rt"))
+    def fwdGap(p: Column) = unix_micros(p.getField("__rt")) - unix_micros(col("__t"))
+    def inTol(g: Column) = if (toleranceMs > 0) g <= toleranceMs * 1000L else lit(true)
+
+    // "nearest" evaluates both one-sided carries over the SAME key
+    // partitioning — two window sorts, still exactly one shuffle —
+    // and keeps the closer in-tolerance match (tie → backward).
+    val carried = direction match {
+      case "backward" => l.unionByName(r).withColumn("__pkt", pktBack)
+      case "forward"  => l.unionByName(r).withColumn("__pkt", pktFwd)
+      case _ =>
+        val validB = col("__pb").isNotNull && inTol(backGap(col("__pb")))
+        val validF = col("__pf").isNotNull && inTol(fwdGap(col("__pf")))
+        l.unionByName(r)
+          .withColumn("__pb", pktBack)
+          .withColumn("__pf", pktFwd)
+          .withColumn("__pkt",
+            when(validB && validF,
+              when(backGap(col("__pb")) <= fwdGap(col("__pf")), col("__pb"))
+                .otherwise(col("__pf")))
+              .when(validB, col("__pb"))
+              .when(validF, col("__pf")))
+          .drop("__pb", "__pf")
+    }
 
     // Freshness is judged on the matched row's own timestamp — the
-    // same row every payload value comes from.
-    val gapMs =
-      if (fwd) unix_millis(col("__pkt").getField("__rt")) - unix_millis(col("__t"))
-      else unix_millis(col("__t")) - unix_millis(col("__pkt").getField("__rt"))
-    val fresh = if (toleranceMs > 0)
-      col("__pkt").isNotNull && gapMs <= toleranceMs
-    else col("__pkt").isNotNull
+    // same row every payload value comes from. (For "nearest" the
+    // tolerance was already applied when choosing the side.)
+    val fresh = direction match {
+      case "nearest" => col("__pkt").isNotNull
+      case _ =>
+        val gapMs =
+          if (fwd) fwdGap(col("__pkt")) else backGap(col("__pkt"))
+        col("__pkt").isNotNull && inTol(gapMs)
+    }
 
     carried.filter(col("__is_left") === 1)
       .select(

@@ -571,7 +571,82 @@ object Round3Queries {
       FROM r WHERE rk <= 3 ORDER BY doc_a, rk"""),
     covers = Seq("SIM-sparse-dot"))
 
+  // ------------------------------------------------------------ nearest as-of
+  // The third as-of direction (q41 backward, q68 forward): closest
+  // right row on EITHER side, ties to backward. Both one-sided
+  // carries evaluate over the same key partitioning — two window
+  // sorts, one shuffle. The oracle re-implements the dual-window
+  // choose in SQL.
+  private val q92 = QueryDef(
+    "q92_asof_nearest",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"), col("event_id"))
+      graft.operators.AsOfJoin
+        .asof(clicks, purchases, "user_id", "ts", "ts",
+          Seq("value", "ts"), tiebreak = "event_id", direction = "nearest")
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_clicks"),
+          count(col("asof_value")).as("n_matched"),
+          sum(when(col("asof_ts").isNotNull &&
+            unix_micros(col("asof_ts")) <= unix_micros(col("ts")), 1)
+            .otherwise(0)).as("n_backward"),
+          sum(abs(unix_micros(col("ts")) - unix_micros(col("asof_ts"))))
+            .as("sum_gap_us"),
+          sum(col("asof_value").cast(DecimalType(18, 2))).cast("double")
+            .as("sum_nearest_value"))
+        .orderBy("user_id")
+    },
+    Some("""WITH clicks AS (
+        SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+      purch AS (
+        SELECT user_id, ts, value, event_id FROM events WHERE event_type = 'purchase'),
+      u AS (
+        SELECT user_id, ts AS t, 1 AS is_left, CAST(NULL AS BIGINT) AS rtb,
+               CAST(NULL AS DOUBLE) AS p_value, CAST(NULL AS TIMESTAMP) AS p_rt
+        FROM clicks
+        UNION ALL
+        SELECT user_id, ts, 0, event_id, value, ts FROM purch),
+      c AS (
+        SELECT user_id, t, is_left,
+          last_value(CASE WHEN is_left = 0 THEN p_value END IGNORE NULLS) OVER wb AS bv,
+          last_value(CASE WHEN is_left = 0 THEN p_rt END IGNORE NULLS) OVER wb AS brt,
+          first_value(CASE WHEN is_left = 0 THEN p_value END IGNORE NULLS) OVER wf AS fv,
+          first_value(CASE WHEN is_left = 0 THEN p_rt END IGNORE NULLS) OVER wf AS frt
+        FROM u
+        WINDOW
+          wb AS (PARTITION BY user_id ORDER BY t, is_left, rtb
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+          wf AS (PARTITION BY user_id ORDER BY t, 1 - is_left, rtb
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+      chosen AS (
+        SELECT user_id, t,
+          CASE WHEN brt IS NOT NULL AND frt IS NOT NULL THEN
+                 CASE WHEN epoch_us(t) - epoch_us(brt) <= epoch_us(frt) - epoch_us(t)
+                      THEN bv ELSE fv END
+               WHEN brt IS NOT NULL THEN bv ELSE fv END AS nv,
+          CASE WHEN brt IS NOT NULL AND frt IS NOT NULL THEN
+                 least(epoch_us(t) - epoch_us(brt), epoch_us(frt) - epoch_us(t))
+               WHEN brt IS NOT NULL THEN epoch_us(t) - epoch_us(brt)
+               WHEN frt IS NOT NULL THEN epoch_us(frt) - epoch_us(t) END AS gap_us,
+          CASE WHEN brt IS NOT NULL AND (frt IS NULL OR
+                 epoch_us(t) - epoch_us(brt) <= epoch_us(frt) - epoch_us(t))
+               THEN 1 ELSE 0 END AS back_chosen
+        FROM c WHERE is_left = 1)
+      SELECT user_id,
+        CAST(COUNT(*) AS BIGINT) AS n_clicks,
+        CAST(COUNT(nv) AS BIGINT) AS n_matched,
+        CAST(SUM(back_chosen) AS BIGINT) AS n_backward,
+        CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us,
+        CAST(SUM(CAST(nv AS DECIMAL(18,2))) AS DOUBLE) AS sum_nearest_value
+      FROM chosen GROUP BY user_id ORDER BY user_id"""),
+    covers = Seq("JOIN-asof-nearest"))
+
   val all: Seq[QueryDef] =
     Seq(q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
-      q90, q91)
+      q90, q91, q92)
 }

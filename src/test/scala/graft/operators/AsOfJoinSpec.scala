@@ -95,6 +95,31 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(100L).isDefined) // simultaneous match, gap 0
   }
 
+  test("nearest picks the closer side, ties to backward, tolerance bounds both") {
+    val (l, r) = fixtures
+    def run(tolMs: Long) = AsOfJoin.asof(l, r, "user_id", "ts", "ts",
+        Seq("value", "event_id"), tiebreak = "event_id",
+        toleranceMs = tolMs, direction = "nearest")
+      .collect().map(row => row.getAs[Long]("event_id") ->
+        Option(row.getAs[java.lang.Double]("asof_value")).map(_.toDouble)).toMap
+
+    val out = run(0L)
+    // left@10: backward gap 0 (simultaneous right) vs forward gap 8 min
+    assert(out(100L).contains(11.0))
+    // left@20: backward 10:18 (2 min) beats nothing ahead
+    assert(out(101L).contains(18.0))
+    // left@05: nothing before, nearest ahead is 10:08
+    assert(out(102L).contains(8.0))
+    // user 2: only a backward match exists
+    assert(out(103L).contains(1.0))
+
+    // 2-minute tolerance: left@05's forward match (3 min ahead) is now
+    // too far; left@20's backward (2 min) still qualifies
+    val tight = run(2L * 60 * 1000)
+    assert(tight(102L).isEmpty)
+    assert(tight(101L).contains(18.0))
+  }
+
   test("matches a brute-force per-row computation on events data") {
     val e = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
     import org.apache.spark.sql.functions._
