@@ -1,0 +1,85 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+import graft.store.TableStore
+
+/** Persistent MinHash-LSH band index for INCREMENTAL near-duplicate
+  * detection: each ingested batch is checked against the whole indexed
+  * corpus by joining band keys — the corpus is never re-paired with
+  * itself. This is the only dedup shape that survives a 100 TB corpus
+  * with daily ingest: per batch the work is
+  * O(batch bands + matched buckets), not O(corpus²) and not even
+  * O(corpus) re-hashing.
+  *
+  * Band construction matches the gate-verified q23 pipeline (3-word
+  * shingles → [[graft.functions.MinHashSignature]] → banded md5 keys),
+  * so index hits have the same candidate semantics the oracle proved.
+  * Verify candidates with exact Jaccard (q47's pattern) before
+  * deleting anything.
+  */
+final class LshIndex(
+    store: TableStore,
+    table: String = "lsh_bands",
+    nHashes: Int = 8,
+    bandSize: Int = 2) {
+  require(nHashes % bandSize == 0, "nHashes must be a multiple of bandSize")
+
+  /** (doc_id, bkey) band rows for a batch of (doc_id, text) docs. */
+  def bands(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val sh = docs.select(col("doc_id"),
+      explode(graft.functions.WordShingles(spark, col("text"), 3)).as("s"))
+    val sig = sh.groupBy("doc_id")
+      .agg(graft.functions.MinHashSignature(spark, col("s"), nHashes).as("sig"))
+      .select(col("doc_id") +:
+        (0 until nHashes).map(j => element_at(col("sig"), j + 1).as(s"h$j")): _*)
+    val bandCols = (0 until nHashes / bandSize).map { b =>
+      val parts = (0 until bandSize).map(k => col(s"h${b * bandSize + k}"))
+      md5(concat(lit(s"band$b:") +: parts: _*))
+    }
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bkey"))
+  }
+
+  /** Near-dup candidate pairs for a new batch: batch-vs-index plus
+    * batch-internal, as (doc_a < doc_b, shared_bands). Existing
+    * index pairs are NOT re-emitted.
+    */
+  def candidates(newDocs: DataFrame): DataFrame = {
+    // reused by two joins; without materialization the whole
+    // shingle+minhash stage would run twice
+    val nb = bands(newDocs).localCheckpoint()
+    val internal = nb.as("a").join(nb.as("b"),
+      col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val all = store.read(table) match {
+      case None => internal
+      case Some(idx0) =>
+        // docs present in both the batch and the index (re-ingest)
+        // pair via `internal` only — otherwise their shared_bands
+        // would double-count
+        val idx = idx0.join(nb.select("doc_id").distinct(),
+          Seq("doc_id"), "left_anti")
+        // normalized order: pairs are undirected
+        val vsIndex = nb.as("a").join(idx.as("b"),
+          col("a.bkey") === col("b.bkey") && col("a.doc_id") =!= col("b.doc_id"))
+          .select(
+            least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+            greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+        internal.unionByName(vsIndex)
+    }
+    all.groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared_bands"))
+  }
+
+  /** Index the batch: append bands for doc ids not yet present. */
+  def add(newDocs: DataFrame): Unit = {
+    val nb = bands(newDocs)
+    store.read(table) match {
+      case None => store.write(table, nb)
+      case Some(idx) =>
+        nb.join(idx.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+          .write.mode(SaveMode.Append).parquet(store.path(table))
+    }
+  }
+}

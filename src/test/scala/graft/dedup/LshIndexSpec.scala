@@ -1,0 +1,70 @@
+package graft.dedup
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.store.TableStore
+
+class LshIndexSpec extends SparkSpec {
+
+  private def newIndex(): (LshIndex, TableStore) = {
+    val store = new TableStore(spark, Files.createTempDirectory("lsh_index").toString)
+    (new LshIndex(store), store)
+  }
+
+  private val base = "the quick brown fox jumps over the lazy dog again and again"
+
+  test("batch-internal candidates found before any index exists") {
+    import spark.implicits._
+    val (idx, _) = newIndex()
+    val docs = Seq(
+      (1L, base), (2L, base), (3L, "completely different words entirely unrelated content here now")
+    ).toDF("doc_id", "text")
+    val cands = idx.candidates(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 2L)))
+    assert(!cands.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("new batch pairs against the index, not the index against itself") {
+    import spark.implicits._
+    val (idx, _) = newIndex()
+    // index two near-identical docs plus an unrelated one
+    idx.add(Seq(
+      (1L, base), (2L, base),
+      (3L, "some totally other document about trains and stations in holland")
+    ).toDF("doc_id", "text"))
+    // a new batch with one doc matching the indexed near-dup cluster
+    val batch = Seq((10L, base)).toDF("doc_id", "text")
+    val cands = idx.candidates(batch).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch-vs-index pairs only: (1,10) and (2,10) — never the
+    // index-internal (1,2), which a full self-join would re-emit
+    assert(cands == Set((1L, 10L), (2L, 10L)))
+  }
+
+  test("re-ingested doc ids pair once (no double count via index copy)") {
+    import spark.implicits._
+    val (idx, _) = newIndex()
+    idx.add(Seq((1L, base)).toDF("doc_id", "text"))
+    // batch contains doc 1 again plus a near-dup 2
+    val batch = Seq((1L, base), (2L, base)).toDF("doc_id", "text")
+    val rows = idx.candidates(batch).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // exactly one (1,2) pair; shared_bands bounded by the band count
+    assert(rows.keySet == Set((1L, 2L)))
+    assert(rows((1L, 2L)) <= 4L)
+  }
+
+  test("add is idempotent: re-adding indexed docs appends no bands") {
+    import spark.implicits._
+    val (idx, store) = newIndex()
+    val docs = Seq((1L, base), (2L, base + " extra tail words here")).toDF("doc_id", "text")
+    idx.add(docs)
+    def bandCount: Long = store.read("lsh_bands").map(_.count()).getOrElse(0L)
+    val n1 = bandCount
+    assert(n1 > 0)
+    idx.add(docs)
+    assert(bandCount == n1)
+  }
+}
