@@ -15,9 +15,10 @@ import graft.store.TableStore
   *
   * Band construction matches the gate-verified q23 pipeline (3-word
   * shingles → [[graft.functions.MinHashSignature]] → banded md5 keys),
-  * so index hits have the same candidate semantics the oracle proved.
-  * Verify candidates with exact Jaccard (q47's pattern) before
-  * deleting anything.
+  * so index hits have the same candidate semantics the oracle proved;
+  * the stateless core ([[LshIndex.candidatePairs]]) is itself
+  * oracle-gated as `q93_lsh_incremental`. Verify candidates with exact
+  * Jaccard (q47's pattern) before deleting anything.
   */
 final class LshIndex(
     store: TableStore,
@@ -27,7 +28,39 @@ final class LshIndex(
   require(nHashes % bandSize == 0, "nHashes must be a multiple of bandSize")
 
   /** (doc_id, bkey) band rows for a batch of (doc_id, text) docs. */
-  def bands(docs: DataFrame): DataFrame = {
+  def bands(docs: DataFrame): DataFrame = LshIndex.bands(docs, nHashes, bandSize)
+
+  /** Near-dup candidate pairs for a new batch: batch-vs-index plus
+    * batch-internal, as (doc_a < doc_b, shared_bands). Existing
+    * index pairs are NOT re-emitted.
+    */
+  def candidates(newDocs: DataFrame): DataFrame = {
+    // reused by two joins; without materialization the whole
+    // shingle+minhash stage would run twice
+    val nb = bands(newDocs).localCheckpoint()
+    LshIndex.candidatePairs(nb, store.read(table))
+  }
+
+  /** Index the batch: append bands for doc ids not yet present. */
+  def add(newDocs: DataFrame): Unit = {
+    val nb = bands(newDocs)
+    store.read(table) match {
+      case None => store.write(table, nb)
+      case Some(idx) =>
+        nb.join(idx.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+          .write.mode(SaveMode.Append).parquet(store.path(table))
+    }
+  }
+}
+
+object LshIndex {
+
+  /** (doc_id, bkey) band rows for (doc_id, text) docs — the q23
+    * construction: 3-word shingles → nHashes-wide MinHash signature →
+    * one md5 key per band of bandSize signature slots.
+    */
+  def bands(docs: DataFrame, nHashes: Int = 8, bandSize: Int = 2): DataFrame = {
+    require(nHashes % bandSize == 0, "nHashes must be a multiple of bandSize")
     val spark = docs.sparkSession
     val sh = docs.select(col("doc_id"),
       explode(graft.functions.WordShingles(spark, col("text"), 3)).as("s"))
@@ -42,18 +75,17 @@ final class LshIndex(
     sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bkey"))
   }
 
-  /** Near-dup candidate pairs for a new batch: batch-vs-index plus
-    * batch-internal, as (doc_a < doc_b, shared_bands). Existing
-    * index pairs are NOT re-emitted.
+  /** Stateless incremental-candidate core: pairs for new-batch bands
+    * `nb` against an optional corpus band index, batch-internal plus
+    * batch-vs-index, normalized to doc_a < doc_b with a shared-band
+    * count. Index-internal pairs are never produced — the corpus does
+    * not re-pair with itself.
     */
-  def candidates(newDocs: DataFrame): DataFrame = {
-    // reused by two joins; without materialization the whole
-    // shingle+minhash stage would run twice
-    val nb = bands(newDocs).localCheckpoint()
+  def candidatePairs(nb: DataFrame, index: Option[DataFrame]): DataFrame = {
     val internal = nb.as("a").join(nb.as("b"),
       col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-    val all = store.read(table) match {
+    val all = index match {
       case None => internal
       case Some(idx0) =>
         // docs present in both the batch and the index (re-ingest)
@@ -70,16 +102,5 @@ final class LshIndex(
         internal.unionByName(vsIndex)
     }
     all.groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared_bands"))
-  }
-
-  /** Index the batch: append bands for doc ids not yet present. */
-  def add(newDocs: DataFrame): Unit = {
-    val nb = bands(newDocs)
-    store.read(table) match {
-      case None => store.write(table, nb)
-      case Some(idx) =>
-        nb.join(idx.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
-          .write.mode(SaveMode.Append).parquet(store.path(table))
-    }
   }
 }

@@ -646,7 +646,48 @@ object Round3Queries {
       FROM chosen GROUP BY user_id ORDER BY user_id"""),
     covers = Seq("JOIN-asof-nearest"))
 
+  // ------------------------------------------------------------ incremental LSH dedup
+  // The stateless core of dedup/LshIndex under the oracle gate: new
+  // batch (doc_id % 10 = 0) vs already-indexed corpus (the rest).
+  // Candidates are batch-internal plus batch-vs-corpus band-key hits;
+  // corpus-internal pairs are never produced — at 100 TB the corpus
+  // re-pairs with itself exactly never, only each day's batch pays.
+  private val q93 = QueryDef(
+    "q93_lsh_incremental",
+    (s, dir) => {
+      // one small file → spread before the md5/shingle-heavy compute
+      val docs = t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)
+      val isNew = col("doc_id") % 10 === 0
+      val nb = graft.dedup.LshIndex.bands(docs.filter(isNew))
+      val idx = graft.dedup.LshIndex.bands(docs.filter(!isNew))
+      graft.dedup.LshIndex.candidatePairs(nb, Some(idx))
+        .orderBy("doc_a", "doc_b")
+    },
+    Some {
+      val hs = (0 until 8).map(j => s"min(md5('$j:' || s)) AS h$j").mkString(", ")
+      val bandList = (0 until 4)
+        .map(b => s"md5('band$b:' || h${2 * b} || h${2 * b + 1})").mkString(", ")
+      s"""WITH toksrc AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, greatest(len(tk) - 1, 1)),
+                      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+             FROM toksrc WHERE len(tk) >= 3),
+      sig AS (SELECT doc_id, $hs FROM sh GROUP BY doc_id),
+      bands AS (SELECT doc_id, doc_id % 10 = 0 AS is_new, unnest([$bandList]) AS bkey FROM sig),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+        WHERE a.is_new AND b.is_new
+        UNION ALL
+        SELECT least(a.doc_id, b.doc_id) AS doc_a, greatest(a.doc_id, b.doc_id) AS doc_b
+        FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id <> b.doc_id
+        WHERE a.is_new AND NOT b.is_new)
+      SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS shared_bands
+      FROM pairs GROUP BY 1, 2 ORDER BY doc_a, doc_b"""
+    },
+    covers = Seq("DEDUP-minhash-incremental"))
+
   val all: Seq[QueryDef] =
     Seq(q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
-      q90, q91, q92)
+      q90, q91, q92, q93)
 }
