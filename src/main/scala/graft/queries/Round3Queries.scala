@@ -687,7 +687,30 @@ object Round3Queries {
     },
     covers = Seq("DEDUP-minhash-incremental"))
 
+  // ------------------------------------------------------------ incremental aggregate maintenance
+  // store/AggTable's mergeable-partials core under the oracle gate:
+  // events arrive as three disjoint batches (event_id % 3), each is
+  // aggregated alone, the partials fold pairwise — and the finished
+  // result hash-matches DuckDB's ONE-PASS aggregate of the whole
+  // table. Exact DECIMAL sums make the maintained view bit-identical
+  // no matter how the data was batched; at 100 TB each refresh costs
+  // O(new batch + touched groups), never a corpus rescan.
+  private val q94 = QueryDef(
+    "q94_incremental_agg",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      val spec = graft.store.AggSpec(Seq("event_type"), Seq("value"))
+      val parts = (0 until 3).map(i => spec.partial(e.filter(col("event_id") % 3 === i)))
+      spec.finish(parts.reduce(spec.merge)).orderBy("event_type")
+    },
+    Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value,
+      MIN(value) AS min_value, MAX(value) AS max_value
+      FROM events GROUP BY 1 ORDER BY 1"""),
+    covers = Seq("AGG-incremental-maintenance"))
+
   val all: Seq[QueryDef] =
     Seq(q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
-      q90, q91, q92, q93)
+      q90, q91, q92, q93, q94)
 }

@@ -227,7 +227,7 @@ final class TableStore(spark: SparkSession, root: String) {
     * only deleted once the new data is confirmed in place — a failed
     * swap must never lose the table.
     */
-  private def swapWrite(table: String, df: DataFrame): Unit = {
+  private[store] def swapWrite(table: String, df: DataFrame): Unit = {
     val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
     val target = new Path(path(table))
     val tmp = new Path(path(table) + "__tmp")
