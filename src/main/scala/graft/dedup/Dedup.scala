@@ -23,12 +23,40 @@ object Dedup extends Logging {
 
   /** Connected components over undirected `pairs` (doc_a, doc_b).
     * Returns (doc_id, cluster_id = min doc id reachable).
+    *
+    * Candidate-pair edge sets are the OUTPUT of near-dup detection —
+    * orders of magnitude smaller than the corpus they came from. Below
+    * `localEdgeCap` the component solve runs exactly on the driver
+    * (path-compressed union-find over the collected pairs — the same
+    * small-side principle as a broadcast join, and ~free next to the
+    * pair generation); past the cap, or for non-integral ids, the
+    * distributed label-propagation loop below takes over. Both paths
+    * produce identical (doc_id, min-reachable-id) labelings
+    * (DedupSpec pins the equivalence; q71 oracle-gates the result
+    * against a recursive closure).
     */
-  def clusters(pairs: DataFrame, maxIters: Int = 8): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+  def clusters(
+      pairs: DataFrame,
+      maxIters: Int = 8,
+      localEdgeCap: Long = 1L << 20): DataFrame = {
+    val idType = pairs.schema("doc_a").dataType
+    val integralIds = idType == org.apache.spark.sql.types.LongType ||
+      idType == org.apache.spark.sql.types.IntegerType
+    // materialize pair generation ONCE: it appears in both branches of
+    // the direction union, and upstream near-dup pipelines are far too
+    // expensive to run twice (at cluster scale use reliable
+    // checkpoint() instead)
+    val p = pairs.localCheckpoint()
+    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
       .cache()
+    val nEdges = edges.count()
+    if (integralIds && nEdges <= localEdgeCap) {
+      val out = localClusters(edges, idType)
+      edges.unpersist()
+      return out
+    }
     var labels = edges.select(col("src").as("doc_id"))
       .distinct()
       .withColumn("label", col("doc_id"))
@@ -45,9 +73,12 @@ object Dedup extends Logging {
         .agg(min(col("label")).as("nmin"))
       // checkpointed so the jump self-join reads it instead of
       // re-running the propagation twice (measured 6x slower without)
+      // `old` rides along so convergence is a scan of the checkpointed
+      // result, not another shuffle join against the previous labels
       val propagated = labels.join(neighbourMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
+          col("label").as("old"))
         .localCheckpoint()
       // (2) pointer jumping: adopt your label's label (labels only
       // shrink, so this is safe and halves chain depth per round)
@@ -56,11 +87,11 @@ object Dedup extends Logging {
           propagated.select(col("doc_id").as("p_id"), col("label").as("p_label")),
           col("a.label") === col("p_id"), "left")
         .select(col("a.doc_id").as("doc_id"),
-          coalesce(col("p_label"), col("a.label")).as("label"))
+          coalesce(col("p_label"), col("a.label")).as("label"),
+          col("a.old").as("old"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
-        .filter(col("label") =!= col("old")).isEmpty
-      labels = next
+      converged = next.filter(col("label") =!= col("old")).isEmpty
+      labels = next.drop("old")
       i += 1
     }
     if (!converged)
@@ -68,6 +99,35 @@ object Dedup extends Logging {
         "some duplicate chains may retain multiple canonical docs — raise maxIters")
     edges.unpersist()
     labels.withColumnRenamed("label", "cluster_id")
+  }
+
+  /** Driver-side exact components: path-compressed union-find over the
+    * collected (already-distinct, cached) edge list, then min-id per
+    * component as the cluster label.
+    */
+  private def localClusters(
+      edges: DataFrame,
+      idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val es = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    es.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val labeled = parent.keys.toSeq.sorted.map(d => (d, find(d)))
+    labeled.toDF("doc_id", "cluster_id")
+      .select(col("doc_id").cast(idType), col("cluster_id").cast(idType))
   }
 
   /** Remove near-duplicates: given the corpus and its near-dup pairs,

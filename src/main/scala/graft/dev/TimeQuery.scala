@@ -1,0 +1,38 @@
+package graft.dev
+
+import org.apache.spark.sql.SparkSession
+
+import graft.{SparkEntry, Tables}
+
+/** Dev tool: time selected queries with Bench's protocol (untimed
+  * warm pass for Janino compilation, then min of two timed passes) —
+  * for iterating on one hot query without a full Bench run.
+  *
+  * Usage: runMain graft.dev.TimeQuery <sfDir> <query...>
+  */
+object TimeQuery {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val names = args.drop(1).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Tables.names.foreach(n => Tables.load(spark, dir, n).count())
+    def time(n: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(n)(spark, dir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    names.foreach(time) // warm
+    names.foreach { n =>
+      val t = math.min(time(n), time(n))
+      println(f"TIMED $n%-28s $t%7.3f s")
+    }
+    spark.stop()
+  }
+}

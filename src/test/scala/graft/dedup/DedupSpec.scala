@@ -17,11 +17,29 @@ class DedupSpec extends SparkSpec {
   test("long chain converges within default rounds (pointer jumping)") {
     import spark.implicits._
     // a 41-node path graph: one-hop-only propagation would need 40
-    // rounds; doubling must collapse it within the default 8
+    // rounds; doubling must collapse it within the default 8.
+    // localEdgeCap = 0 forces the distributed loop (the small edge set
+    // would otherwise take the driver-side path).
     val pairs = (0L until 40L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val cl = Dedup.clusters(pairs).collect()
+    val cl = Dedup.clusters(pairs, localEdgeCap = 0).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cl.size == 41 && cl.values.forall(_ == 0L))
+  }
+
+  test("driver-side union-find and distributed loop label identically") {
+    import spark.implicits._
+    // mixed shapes: chain, triangle+tail, star, singletons-by-absence
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (20L, 21L), (21L, 22L), (22L, 20L), (22L, 23L),
+      (30L, 31L), (30L, 32L), (30L, 33L),
+      (40L, 41L)).toDF("doc_a", "doc_b")
+    def toMapOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = toMapOf(Dedup.clusters(pairs))
+    val dist = toMapOf(Dedup.clusters(pairs, localEdgeCap = 0))
+    assert(local == dist)
+    assert(local(23L) == 20L && local(33L) == 30L && local(41L) == 40L)
   }
 
   test("dropNearDuplicates keeps one canonical doc per cluster") {
