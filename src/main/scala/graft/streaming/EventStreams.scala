@@ -144,6 +144,41 @@ object EventStreams {
       keys = Seq("window_start", "event_type"),
       versionCol = "__batch_id")
 
+  /** Maintain a [[graft.store.AggTable]] from a stream: every
+    * micro-batch folds its mergeable partial into the persisted
+    * aggregate state (O(batch + touched groups) per trigger — the
+    * stored view is never recomputed). Exactly-once to the
+    * non-transactional parquet store comes from pairing the streaming
+    * engine's replay-stable batch ids with the AggTable ledger: a
+    * replayed batch after a crash is recognized and skipped
+    * ([[maintainAggregateBatch]] is the testable body).
+    */
+  def maintainAggregate(
+      events: DataFrame,
+      store: TableStore,
+      table: String,
+      spec: graft.store.AggSpec,
+      checkpointDir: String): StreamingQuery =
+    events.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        maintainAggregateBatch(store, table, spec, batch, batchId)
+      }
+      .start()
+
+  /** The foreachBatch body of [[maintainAggregate]]. */
+  def maintainAggregateBatch(
+      store: TableStore,
+      table: String,
+      spec: graft.store.AggSpec,
+      batch: DataFrame,
+      batchId: Long): Unit = {
+    new graft.store.AggTable(store, table, spec)
+      .accumulate(s"stream_$batchId", batch)
+    ()
+  }
+
   /** Gap-based sessionization via flatMapGroupsWithState: a session
     * closes when `gapMinutes` pass without an event for that user
     * (tracked with event-time timeouts against the watermark).

@@ -170,6 +170,35 @@ class EventStreamsSpec extends SparkSpec {
     assert(counts() == before)
   }
 
+  test("maintainAggregate folds micro-batches into the stored view exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("agg_store").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("agg_ckpt").toString
+    val store = new graft.store.TableStore(spark, root)
+    val spec = graft.store.AggSpec(Seq("event_type"), Seq("value"))
+    val input = MemoryStream[Event]
+    val query = EventStreams.maintainAggregate(input.toDF(), store, "ev_stats", spec, ckpt)
+
+    input.addData(Event(1L, ts(1), "click", 1.50), Event(2L, ts(2), "view", 4.00))
+    query.processAllAvailable()
+    input.addData(Event(3L, ts(3), "click", 2.50))
+    query.processAllAvailable()
+    query.stop()
+
+    def result() = spec.finish(store.read("ev_stats").get).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val before = result()
+    // two batches folded: click = both rows, view = one
+    assert(before("click") == (2L, 4.00) && before("view") == (1L, 4.00))
+
+    // crash-replay: the engine re-runs a batch id it already committed;
+    // the ledger recognizes it and the view is unchanged
+    EventStreams.maintainAggregateBatch(store, "ev_stats", spec,
+      Seq(("click", 2.50)).toDF("event_type", "value"), batchId = 1L)
+    assert(result() == before)
+  }
+
   test("native session_window sessions match the custom sessionize semantics") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
