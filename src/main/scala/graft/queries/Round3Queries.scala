@@ -710,7 +710,56 @@ object Round3Queries {
       FROM events GROUP BY 1 ORDER BY 1"""),
     covers = Seq("AGG-incremental-maintenance"))
 
+  // ------------------------------------------------------------ embedding-cosine near-dup
+  // Near-duplicate detection in EMBEDDING space (the prompt's
+  // "embedding-cosine near-dup"): hyperplane sign-buckets (q30's
+  // scheme) propose intra-bucket candidate pairs, the native
+  // CosineSimilarity expression verifies them exactly, and pairs at or
+  // above the threshold survive. Never all-pairs: candidates are
+  // bucket-local, and at 100 TB the bucket id is the shuffle key so
+  // each bucket pairs independently. The float→double promotion +
+  // sequential fold is bit-identical in Spark and DuckDB, so even the
+  // threshold filter is deterministic.
+  private val q95 = QueryDef(
+    "q95_embedding_neardup",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings").repartition(s.sparkContext.defaultParallelism)
+      def bucketOf(emb: Column): Column =
+        concat(Seq(1, 9, 17, 25).map(d =>
+          when(element_at(emb, d) >= 0, "1").otherwise("0")): _*)
+      val b = e.select(col("vec_id"), col("embedding"),
+        bucketOf(col("embedding")).as("bucket"))
+      val cos = graft.functions.CosineSimilarity(s, col("a_emb"), col("b_emb"))
+      b.select(col("vec_id").as("id_a"), col("embedding").as("a_emb"), col("bucket"))
+        .join(b.select(col("vec_id").as("id_b"), col("embedding").as("b_emb"), col("bucket")),
+          Seq("bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("cos", cos)
+        .filter(col("cos") >= 0.35)
+        .select("id_a", "id_b", "bucket", "cos")
+        .orderBy("id_a", "id_b")
+    },
+    Some("""WITH b AS (
+        SELECT vec_id, embedding,
+          (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END) ||
+          (CASE WHEN embedding[9] >= 0 THEN '1' ELSE '0' END) ||
+          (CASE WHEN embedding[17] >= 0 THEN '1' ELSE '0' END) ||
+          (CASE WHEN embedding[25] >= 0 THEN '1' ELSE '0' END) AS bucket
+        FROM embeddings),
+      scored AS (
+        SELECT a.vec_id AS id_a, c.vec_id AS id_b, a.bucket,
+          list_sum(list_transform(list_zip(a.embedding, c.embedding),
+            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+          (sqrt(list_sum(list_transform(list_zip(a.embedding, a.embedding),
+            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))) *
+           sqrt(list_sum(list_transform(list_zip(c.embedding, c.embedding),
+            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))))) AS cos
+        FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+      SELECT id_a, id_b, bucket, cos FROM scored WHERE cos >= 0.35
+      ORDER BY id_a, id_b"""),
+    covers = Seq("DEDUP-embedding-cosine"))
+
   val all: Seq[QueryDef] =
     Seq(q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
-      q90, q91, q92, q93, q94)
+      q90, q91, q92, q93, q94, q95)
 }
