@@ -658,8 +658,12 @@ object Round3Queries {
       // one small file → spread before the md5/shingle-heavy compute
       val docs = t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)
       val isNew = col("doc_id") % 10 === 0
-      val nb = graft.dedup.LshIndex.bands(docs.filter(isNew))
-      val idx = graft.dedup.LshIndex.bands(docs.filter(!isNew))
+      // both band sets feed multiple joins inside candidatePairs —
+      // materialize the shingle+minhash work once per side, exactly as
+      // LshIndex.candidates does (the stored index is parquet there,
+      // already materialized)
+      val nb = graft.dedup.LshIndex.bands(docs.filter(isNew)).localCheckpoint()
+      val idx = graft.dedup.LshIndex.bands(docs.filter(!isNew)).localCheckpoint()
       graft.dedup.LshIndex.candidatePairs(nb, Some(idx))
         .orderBy("doc_a", "doc_b")
     },

@@ -144,6 +144,18 @@ object EventStreams {
       keys = Seq("window_start", "event_type"),
       versionCol = "__batch_id")
 
+  /** Stream-static dimension enrichment: every micro-batch hash-joins
+    * the small static dimension, broadcast so the stream side never
+    * shuffles and no streaming state exists at all (unmatched rows
+    * keep NULL dimension columns — enrichment must not drop events).
+    * The static side is re-resolvable per batch, so a dimension
+    * backed by a mutable store reflects updates without restarting
+    * the query — the streaming twin of the batch fact×dim broadcast
+    * join (q11).
+    */
+  def enrich(events: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
+    events.join(broadcast(dim), keys, "left")
+
   /** Maintain a [[graft.store.AggTable]] from a stream: every
     * micro-batch folds its mergeable partial into the persisted
     * aggregate state (O(batch + touched groups) per trigger — the

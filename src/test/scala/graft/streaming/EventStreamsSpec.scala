@@ -170,6 +170,25 @@ class EventStreamsSpec extends SparkSpec {
     assert(counts() == before)
   }
 
+  test("enrich joins each micro-batch to the broadcast static dim; misses keep NULLs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq(("click", "engagement"), ("view", "passive"))
+      .toDF("event_type", "category")
+    val input = MemoryStream[Event]
+    val query = EventStreams.enrich(input.toDF(), dim, Seq("event_type"))
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(
+      Event(1L, ts(1), "click", 1.0),
+      Event(2L, ts(2), "purchase", 9.0)) // no dim row
+    query.processAllAvailable()
+    query.stop()
+    val rows = spark.table("enriched").collect()
+      .map(r => r.getAs[String]("event_type") -> Option(r.getAs[String]("category"))).toMap
+    assert(rows == Map("click" -> Some("engagement"), "purchase" -> None))
+  }
+
   test("maintainAggregate folds micro-batches into the stored view exactly once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
