@@ -60,6 +60,22 @@ object Main {
     // Transform: the zero-UDF cleaning plan.
     val cleaned = DisruptionCleaner.clean(raw, clock)
 
+    // Days whose gold stats this batch invalidates: the incoming rows'
+    // days plus the days of any stored versions they replace (an
+    // upsert can move a disruption across days). Collected BEFORE the
+    // upsert swaps the files the stored-side plan reads; the set is
+    // small (days per batch), so a driver-side collect is free.
+    def dates(df: org.apache.spark.sql.DataFrame): Seq[Option[java.sql.Date]] =
+      df.select(to_date(col("start_time")).as("d")).distinct()
+        .collect().map(r => Option(r.getDate(0))).toSeq
+    val touched = (dates(cleaned) ++ store.read("disruptions").toSeq.flatMap(ex =>
+      dates(ex.join(cleaned.select("disruption_id"), Seq("disruption_id"), "left_semi")))
+      ).distinct
+    val touchedDays = touched.flatten
+    // a NULL start_time is its own refreshable "day": the stats table
+    // carries a null-date group and it must stay in sync too
+    val touchedNull = touched.contains(None)
+
     // Load 2 (silver): latest-wins upsert — re-running the same batch
     // is a no-op, later batches update ongoing disruptions.
     store.upsert("disruptions", cleaned, "disruption_id", "updated_at")
@@ -71,9 +87,21 @@ object Main {
     store.appendIfAbsent("stations", stations, "station_code")
 
     // Gold: materialize the daily_stats table the reference declared
-    // but never populated.
+    // but never populated — refreshed ONLY for the touched days (the
+    // reference recomputes from the full table every run, which at
+    // 100 TB rescans the corpus; per-day stats depend only on that
+    // day's rows, so a partition-grain replaceWhere is exact).
     val silver = store.read("disruptions").get
-    store.write("daily_stats", NsQueries.dailyStats(silver, clock))
+    def touchedCond(day: org.apache.spark.sql.Column): Option[org.apache.spark.sql.Column] = {
+      val inDays = if (touchedDays.nonEmpty) Some(day.isInCollection(touchedDays)) else None
+      val isNull = if (touchedNull) Some(day.isNull) else None
+      (inDays.toSeq ++ isNull.toSeq).reduceOption(_ || _)
+    }
+    touchedCond(to_date(col("start_time"))).foreach { silverCond =>
+      store.replaceWhere("daily_stats",
+        NsQueries.dailyStats(silver.filter(silverCond), clock),
+        touchedCond(col("date")).get)
+    }
 
     // Report (pipeline.py:304-342).
     val report = NsQueries.todaysReport(silver, clock).collect()(0)
@@ -81,7 +109,7 @@ object Main {
       "extracted" -> raw.count(),
       "bronze_inserted" -> bronzeInserted,
       "silver_rows" -> silver.count(),
-      "daily_stats_rows" -> store.read("daily_stats").get.count(),
+      "daily_stats_rows" -> store.read("daily_stats").map(_.count()).getOrElse(0L),
       "report_total_today" -> report.getAs[Long]("total"))
   }
 }

@@ -174,6 +174,21 @@ final class TableStore(spark: SparkSession, root: String) {
     if (dropSrc) deduped.drop("__src") else deduped
   }
 
+  /** Selective overwrite (Delta's `replaceWhere` / dynamic partition
+    * overwrite): stored rows matching `cond` are replaced by `df`,
+    * everything else is untouched — including removing matched rows
+    * that `df` no longer contains, which an upsert cannot express.
+    * The refresh primitive for partition-grain recomputes: rewrite
+    * the touched partitions, never the table.
+    */
+  def replaceWhere(table: String, df: DataFrame, cond: org.apache.spark.sql.Column): Unit =
+    read(table) match {
+      case None => write(table, df)
+      case Some(existing) =>
+        swapWrite(table,
+          existing.filter(!coalesce(cond, lit(false))).unionByName(df))
+    }
+
   /** Write `df` hive-partitioned on `partitionCols` (directory per
     * value combination): queries filtering on a partition column prune
     * whole directories at plan time — no file is even listed, the

@@ -29,5 +29,14 @@ class MainSpec extends SparkSpec {
     val again = Main.run(spark, goldenRaw, root, clock).toMap
     assert(again("bronze_inserted") == 0L)
     assert(again("silver_rows") == 125L)
+
+    // The touched-day incremental gold refresh must equal a full
+    // recompute over silver (per-day stats depend only on that day).
+    val store = new graft.store.TableStore(spark, root)
+    val silver = store.read("disruptions").get
+    def set(df: org.apache.spark.sql.DataFrame) =
+      df.drop("calculated_at").collect().map(_.toSeq).toSet
+    assert(set(store.read("daily_stats").get) ==
+      set(graft.analytics.NsQueries.dailyStats(silver, clock)))
   }
 }

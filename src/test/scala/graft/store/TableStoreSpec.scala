@@ -36,6 +36,21 @@ class TableStoreSpec extends SparkSpec {
     assert(again == Map("a" -> 1, "b" -> 20, "c" -> 3))
   }
 
+  test("replaceWhere rewrites only matching rows, including removals") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val store = newStore()
+    store.write("rw", Seq(("d1", "a", 1), ("d1", "b", 2), ("d2", "c", 3)).toDF("day", "k", "v"))
+    // refresh day d1: row a changed, row b disappeared, row x is new
+    store.replaceWhere("rw",
+      Seq(("d1", "a", 10), ("d1", "x", 5)).toDF("day", "k", "v"),
+      col("day") === "d1")
+    val rows = store.read("rw").get.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getInt(2)).toMap
+    // b is GONE (an upsert could not express that); d2 untouched
+    assert(rows == Map(("d1", "a") -> 10, ("d1", "x") -> 5, ("d2", "c") -> 3))
+  }
+
   test("compact collapses many small append files, preserving rows") {
     import spark.implicits._
     val store = newStore()
