@@ -763,7 +763,34 @@ object Round3Queries {
       ORDER BY id_a, id_b"""),
     covers = Seq("DEDUP-embedding-cosine"))
 
+  // ------------------------------------------------------------ mergeable HLL sketches
+  // Incremental DISTINCT-count maintenance: exact distincts do not
+  // merge (|A ∪ B| ≠ |A| + |B|), so an incrementally-maintained
+  // count-distinct view stores DataSketches HLL state instead —
+  // per-batch hll_sketch_agg partials fold with hll_union_agg exactly
+  // like q94's decimal sums, and the estimate is read at the end.
+  // Unlike the decimal sums the fold is not bit-invariant to batching
+  // (a union densifies the sketch), but the drift is bounded by the
+  // sketch's error (HllSketchSpec: 3-batch fold within 1% of the
+  // one-shot sketch, both within 5% of exact).
+  // No SQL oracle (DuckDB has no compatible sketch) → rows-only gate,
+  // like q40's HLL estimate.
+  private val q96 = QueryDef(
+    "q96_hll_incremental_distinct",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      val parts = (0 until 3).map(i =>
+        e.filter(col("event_id") % 3 === i)
+          .groupBy("event_type").agg(hll_sketch_agg(col("user_id")).as("sk")))
+      parts.reduce(_ unionByName _)
+        .groupBy("event_type").agg(hll_union_agg(col("sk")).as("sk"))
+        .select(col("event_type"), hll_sketch_estimate(col("sk")).as("n_users_approx"))
+        .orderBy("event_type")
+    },
+    None,
+    covers = Seq("AGG-sketch-incremental"))
+
   val all: Seq[QueryDef] =
     Seq(q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
-      q90, q91, q92, q93, q94, q95)
+      q90, q91, q92, q93, q94, q95, q96)
 }
