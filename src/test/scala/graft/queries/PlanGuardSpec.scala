@@ -18,7 +18,9 @@ class PlanGuardSpec extends SparkSpec {
     // q52 excluded: its one-row crossJoin(broadcast(N)) is the
     // scalar-subquery pattern this guard deliberately allows
     "q55_embedding_norms", "q56_levenshtein", "q57_argmax",
-    "q76_lateral_topk", "q77_exists_subquery", "q82_nullsafe_join")
+    "q76_lateral_topk", "q77_exists_subquery", "q82_nullsafe_join",
+    "q91_sparse_dot", "q93_lsh_incremental", "q94_incremental_agg",
+    "q95_embedding_neardup")
 
   test("no nested-loop or cartesian joins in shuffle-sensitive queries") {
     val dir = "/root/testdata/sf0.001"
