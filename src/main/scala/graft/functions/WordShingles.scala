@@ -49,7 +49,11 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
 }
 
 object WordShingles {
-  private val name = "graft_word_shingles"
+  // n is baked into the registered builder's closure, and temp-function
+  // registration is session-global by NAME — so the name must encode n,
+  // or apply(_, _, 4) after apply(_, _, 3) would silently re-point
+  // already-built (lazily analyzed) Columns at the wrong shingle size.
+  private def nameFor(n: Int) = s"graft_word_shingles_$n"
 
   /** Shingling kernel, also called from generated code. Space is
     * ASCII, so byte offsets of ' ' are always character boundaries in
@@ -84,13 +88,16 @@ object WordShingles {
     new GenericArrayData(out)
   }
 
-  def register(spark: SparkSession, n: Int): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name, exprs => WordShingles(exprs.head, n), "built-in")
+  def register(spark: SparkSession, n: Int): Unit = {
+    val fn = org.apache.spark.sql.catalyst.FunctionIdentifier(nameFor(n))
+    if (!spark.sessionState.functionRegistry.functionExists(fn))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        nameFor(n), exprs => WordShingles(exprs.head, n), "built-in")
+  }
 
   /** Column handle: array of word `n`-grams of `c`. */
   def apply(spark: SparkSession, c: Column, n: Int): Column = {
     register(spark, n)
-    call_function(name, c)
+    call_function(nameFor(n), c)
   }
 }

@@ -30,21 +30,26 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   * `spark.sql.extensions=graft.plans.GraftExtensions`. Bin width:
   * `spark.graft.rangeJoin.binMinutes` (default 360).
   *
-  * Fan-out bound: each row explodes into at most
+  * Fan-out bound: each row may explode into at most
   * `spark.graft.rangeJoin.maxBins` (default 2048) bins, so one
   * corrupt or open-ended interval (an end_time years after start)
-  * cannot generate millions of rows. The clamp never produces false
-  * matches (the original overlap predicate is kept); it can only DROP
-  * a pair when one interval genuinely spans more than maxBins bins
-  * (≈ 512 days at the default bin width) AND the other starts beyond
-  * the clamp horizon — raise maxBins or binMinutes if such intervals
-  * are legitimate.
+  * cannot generate millions of rows. An optimizer rule must never
+  * silently change results, so by default an interval that EXCEEDS
+  * the bound fails the query with a clear runtime error naming the
+  * confs (`spark.graft.rangeJoin.onClamp=error`); within the bound
+  * the rewrite is pair-exact. Users who prefer the old
+  * drop-the-far-match clamp set `onClamp=silent` (the original
+  * overlap predicate is still kept, so false POSITIVES are impossible
+  * either way — a truncated interval can only lose pairs whose other
+  * interval starts beyond the clamp horizon, ≈512 days at defaults);
+  * `maxBins=0` removes the bound entirely.
   */
 object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   val binMinutesKey = "spark.graft.rangeJoin.binMinutes"
   val maxBinsKey = "spark.graft.rangeJoin.maxBins"
   val enabledKey = "spark.graft.rangeJoin.enabled"
+  val onClampKey = "spark.graft.rangeJoin.onClamp"
 
   /** (aStart, aEnd, bStart, bEnd): a.start < b.end && a.end > b.start
     * with `a` side referencing only `left` and `b` only `right`.
@@ -89,6 +94,11 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     val binMicros =
       conf.getConfString(binMinutesKey, "360").toLong * 60000000L
     val maxBins = conf.getConfString(maxBinsKey, "2048").toLong
+    val onClamp = conf.getConfString(onClampKey, "error")
+    if (maxBins > 0 && onClamp == "silent")
+      logWarning(s"$onClampKey=silent: overlap-join pairs whose intervals span " +
+        s"more than $maxBins bins may be silently dropped (set $onClampKey=error " +
+        s"to fail instead, or $maxBinsKey=0 to unbound the explode)")
 
     plan.transform {
       case j @ Join(left, right, Inner | Cross, Some(cond), hint) =>
@@ -101,12 +111,27 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
               new IntegralDivide(UnixMicros(e), Literal(binMicros))
             def binned(child: LogicalPlan, s: Expression, e: Expression) = {
               val attr = AttributeReference("__graft_bin", LongType)()
-              // Clamp the explode to maxBins bins per row so corrupt
-              // intervals stay bounded (doc above for lost-match
-              // semantics). Sequence is TimeZoneAwareExpression; the
-              // analyzer that normally fills timeZoneId has already
-              // run, so set it.
-              val endBin = Least(Seq(binOf(e), Add(binOf(s), Literal(maxBins))))
+              // Bound the explode to maxBins bins per row so corrupt
+              // intervals stay bounded (doc above). onClamp=error
+              // (default) fails loudly when the bound would actually
+              // truncate — an optimizer rule must not silently drop
+              // matches; onClamp=silent keeps the old clamp; maxBins=0
+              // means unbounded. Sequence is TimeZoneAwareExpression;
+              // the analyzer that normally fills timeZoneId has
+              // already run, so set it.
+              val rawEnd = binOf(e)
+              val limit = Add(binOf(s), Literal(maxBins))
+              val endBin =
+                if (maxBins <= 0) rawEnd
+                else if (onClamp == "silent") Least(Seq(rawEnd, limit))
+                else If(GreaterThan(rawEnd, limit),
+                  Cast(new RaiseError(Literal(
+                    s"graft range-join rewrite: interval spans more than $maxBins " +
+                      s"bins of ${binMicros / 60000000L} minutes; raise $maxBinsKey " +
+                      s"or $binMinutesKey, set $onClampKey=silent to drop such " +
+                      s"matches, or $maxBinsKey=0 to unbound the explode")),
+                    LongType),
+                  rawEnd)
               val gen = Explode(Sequence(binOf(s), endBin, None,
                 Some(conf.sessionLocalTimeZone)))
               (Generate(gen, Nil, outer = false, None, Seq(attr), child), attr)

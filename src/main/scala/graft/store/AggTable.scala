@@ -69,15 +69,20 @@ final case class AggSpec(keys: Seq[String], measures: Seq[String]) {
   * `accumulate(batchId, batch)` folds one batch's [[AggSpec.partial]]
   * into the persisted state; already-applied batch ids are skipped, so
   * re-running a batch (the reference's "safe to re-run" contract) is a
-  * no-op. The applied-ids ledger and the state swap are two writes —
-  * a crash between them re-applies the batch on retry; at scale put
-  * both under one transactional table-format commit.
+  * no-op. The state and the applied-ids ledger live under ONE table
+  * directory (`<table>/state`, `<table>/ledger`) installed by a single
+  * atomic rename ([[TableStore.swapWriteParts]]), so a crash can never
+  * persist one without the other — on retry the batch either replays
+  * cleanly (neither landed) or is skipped (both landed). Exactly-once
+  * is therefore as strong as the filesystem's rename; on a store
+  * without atomic rename (S3), use a transactional table format.
   */
 final class AggTable(store: TableStore, table: String, spec: AggSpec) {
 
-  private val ledger = s"${table}__batches"
+  private val statePart = s"$table/state"
+  private val ledgerPart = s"$table/ledger"
 
-  def state: Option[DataFrame] = store.read(table)
+  def state: Option[DataFrame] = store.read(statePart)
 
   /** Final aggregates of everything accumulated so far. */
   def result: Option[DataFrame] = state.map(spec.finish)
@@ -88,22 +93,23 @@ final class AggTable(store: TableStore, table: String, spec: AggSpec) {
   def accumulate(batchId: String, batch: DataFrame): Boolean = {
     val spark = batch.sparkSession
     import spark.implicits._
-    val applied = store.read(ledger)
-      .exists(_.filter(col("batch_id") === batchId).limit(1).count() > 0)
+    val ledger = store.read(ledgerPart)
+    val applied =
+      ledger.exists(_.filter(col("batch_id") === batchId).limit(1).count() > 0)
     if (applied) false
     else {
       val p = spec.partial(batch)
-      state match {
-        case None => store.write(table, p)
-        case Some(st) =>
-          // materialize before the swap: the merged plan reads the
-          // files the swap replaces
-          store.swapWrite(table, spec.merge(st, p).localCheckpoint())
-      }
       val id = Seq(batchId).toDF("batch_id")
-      if (store.exists(ledger))
-        id.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(store.path(ledger))
-      else store.write(ledger, id)
+      state match {
+        case None =>
+          store.swapWriteParts(table, Seq("state" -> p, "ledger" -> id))
+        case Some(st) =>
+          // materialize before the swap: both plans read the files the
+          // swap replaces
+          val merged = spec.merge(st, p).localCheckpoint()
+          val ids = ledger.fold(id)(_.unionByName(id).localCheckpoint())
+          store.swapWriteParts(table, Seq("state" -> merged, "ledger" -> ids))
+      }
       true
     }
   }

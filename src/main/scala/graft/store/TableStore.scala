@@ -125,7 +125,11 @@ final class TableStore(spark: SparkSession, root: String) {
     * differ (null-safe) from the key's current version closes that
     * version at the new `tsCol` and appends a new open one. Re-running
     * the same batch is a no-op (the reference's idempotency contract,
-    * pipeline.py:141, extended to versioned history). Set-based
+    * pipeline.py:141, extended to versioned history). Latest-wins on
+    * out-of-order arrivals: an incoming row older than (or tied with)
+    * the key's current `valid_from` is discarded as stale, matching
+    * [[upsert]]/[[applyCdc]] — history stays monotone
+    * (`valid_from < valid_to`, one open version per key). Set-based
     * (joins + anti-joins), no per-row probes.
     */
   def scd2Upsert(table: String, df: DataFrame, key: String, tsCol: String): Unit = {
@@ -144,12 +148,18 @@ final class TableStore(spark: SparkSession, root: String) {
       case Some(existing) =>
         val cur = existing.filter(col("is_current"))
         val hist = existing.filter(!col("is_current"))
-        val curSlim = cur.select(col(key).as("__k") +:
+        val curSlim = cur.select(col(key).as("__k") +: col("valid_from").as("__c_from") +:
           attrs.map(c => col(c).as(s"__c_$c")): _*)
         val joined = incoming.join(curSlim, col(key) === col("__k"), "left")
         val differs = attrs.map(c => !(col(c) <=> col(s"__c_$c"))).reduce(_ || _)
-        // new keys + genuinely-changed keys get a fresh open version
-        val fresh = joined.filter(col("__k").isNull || differs)
+        // new keys + genuinely-changed keys get a fresh open version.
+        // Monotonicity guard (latest-wins, mirroring upsert/applyCdc):
+        // a late-arriving row whose ts is not strictly after the
+        // current version's valid_from is stale — without the guard it
+        // would close the newer version at an OLDER timestamp
+        // (valid_to < valid_from) and install the stale row as current.
+        val fresh = joined.filter(col("__k").isNull ||
+            (differs && col(tsCol) > col("__c_from")))
           .select(col(key) +: (attrs :+ tsCol).map(col): _*)
         val freshKeys = fresh.select(col(key), col(tsCol).as("__new_from"))
         // close the superseded current versions at the new valid_from
@@ -242,25 +252,46 @@ final class TableStore(spark: SparkSession, root: String) {
     * only deleted once the new data is confirmed in place — a failed
     * swap must never lose the table.
     */
-  private[store] def swapWrite(table: String, df: DataFrame): Unit = {
+  private[store] def swapWrite(table: String, df: DataFrame): Unit =
+    swapDir(table)(tmp => df.write.mode(SaveMode.Overwrite).parquet(tmp))
+
+  /** Multi-dataset variant of [[swapWrite]]: each `(name, df)` lands at
+    * `<table>/<name>`, and the ONE parent-directory rename installs all
+    * of them together — the commit primitive for state that spans
+    * datasets (e.g. an aggregate plus its applied-batch ledger, see
+    * [[AggTable]]): after a crash either every part reflects the batch
+    * or none does. Atomicity is the filesystem rename's (HDFS/POSIX
+    * yes; on S3 use a transactional table format instead).
+    */
+  private[store] def swapWriteParts(table: String, parts: Seq[(String, DataFrame)]): Unit =
+    swapDir(table) { tmp =>
+      parts.foreach { case (name, df) =>
+        df.write.mode(SaveMode.Overwrite).parquet(s"$tmp/$name")
+      }
+    }
+
+  private def swapDir(table: String)(writeTo: String => Unit): Unit = {
     val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
     val target = new Path(path(table))
     val tmp = new Path(path(table) + "__tmp")
     val old = new Path(path(table) + "__old")
-    df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    writeTo(tmp.toString)
     if (fs.exists(old)) fs.delete(old, true)
-    if (!fs.rename(target, old)) {
+    val hadTarget = fs.exists(target)
+    if (hadTarget && !fs.rename(target, old)) {
       fs.delete(tmp, true)
       throw new java.io.IOException(
         s"swapWrite($table): could not move current table aside ($target -> $old)")
     }
     if (!fs.rename(tmp, target)) {
-      val restored = fs.rename(old, target)
+      val restored = hadTarget && fs.rename(old, target)
       fs.delete(tmp, true)
       throw new java.io.IOException(
         s"swapWrite($table): could not install new data ($tmp -> $target); " +
-          (if (restored) "previous table restored" else s"RESTORE FAILED, data is at $old"))
+          (if (restored) "previous table restored"
+           else if (hadTarget) s"RESTORE FAILED, data is at $old"
+           else "no previous table existed"))
     }
-    fs.delete(old, true)
+    if (hadTarget) fs.delete(old, true)
   }
 }

@@ -39,21 +39,28 @@ object ZOrder {
     * the input (one tiny agg for the ranges, then the projection).
     */
   def zValue(df: DataFrame, cols: Seq[String], bits: Int = 15): Column = {
+    // try_cast: a non-numeric dimension yields null min/max (→ rank 0
+    // below) instead of an ANSI cast error / NPE failing the write
     val aggs = cols.flatMap(c => Seq(
-      min(col(c).cast("double")).as(s"__min_$c"),
-      max(col(c).cast("double")).as(s"__max_$c")))
+      min(col(c).try_cast("double")).as(s"__min_$c"),
+      max(col(c).try_cast("double")).as(s"__max_$c")))
     val stats = df.agg(aggs.head, aggs.tail: _*).head()
     val top = (1L << bits) - 1
     val scaled = cols.zipWithIndex.map { case (c, i) =>
+      // an all-null (or empty) column has null min/max — its dimension
+      // degenerates to rank 0 like any other zero-width range
+      if (stats.isNullAt(2 * i) || stats.isNullAt(2 * i + 1)) lit(0L)
+      else {
       val lo = stats.getDouble(2 * i)
       val hi = stats.getDouble(2 * i + 1)
       if (hi <= lo) lit(0L)
       else coalesce( // nulls sort as rank 0
         least(
           lit(top),
-          floor((col(c).cast("double") - lit(lo)) / lit(hi - lo) * lit(top.toDouble + 1))
+          floor((col(c).try_cast("double") - lit(lo)) / lit(hi - lo) * lit(top.toDouble + 1))
             .cast("long")),
         lit(0L))
+      }
     }
     interleave(scaled, bits)
   }

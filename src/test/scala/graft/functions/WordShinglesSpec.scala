@@ -38,6 +38,19 @@ class WordShinglesSpec extends SparkSpec {
     }
   }
 
+  test("different n coexist in one query (registered name encodes n)") {
+    import spark.implicits._
+    // call_function resolves at analysis time; if the temp function were
+    // keyed by bare name, building an n=2 column then an n=3 column
+    // would silently re-point BOTH at n=3
+    val df = Seq("a b c d").toDF("text")
+    val s2 = WordShingles(spark, col("text"), 2)
+    val s3 = WordShingles(spark, col("text"), 3)
+    val r = df.select(s2.as("a"), s3.as("b")).head()
+    assert(r.getSeq[String](0) == Seq("a b", "b c", "c d"))
+    assert(r.getSeq[String](1) == Seq("a b c", "b c d"))
+  }
+
   test("matches on the full documents corpus (explode-count parity)") {
     val d = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val native = d.select(col("doc_id"),

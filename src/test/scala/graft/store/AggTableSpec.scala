@@ -57,4 +57,19 @@ class AggTableSpec extends SparkSpec {
     assert(r("a") == ((2L, 5.00, 2.50, 1.00, 4.00)))
     assert(r("b") == ((1L, 2.00, 2.00, 2.00, 2.00)))
   }
+
+  test("state and ledger commit together under one table directory") {
+    import spark.implicits._
+    val store = new TableStore(spark, Files.createTempDirectory("graft-agg2").toString)
+    val agg = new AggTable(store, "stats", spec)
+    agg.accumulate("b1", Seq(("a", 1.00)).toDF("k", "v"))
+    agg.accumulate("b2", Seq(("a", 2.00)).toDF("k", "v"))
+    // both live under <table>/ and are installed by ONE rename — a
+    // crash can never persist the ledger without the matching state
+    assert(store.exists("stats/state") && store.exists("stats/ledger"))
+    assert(!store.exists("stats__batches"))
+    assert(store.read("stats/ledger").get.collect()
+      .map(_.getString(0)).toSet == Set("b1", "b2"))
+    assert(rows(agg.result.get)("a") == ((2L, 3.00, 1.50, 1.00, 2.00)))
+  }
 }

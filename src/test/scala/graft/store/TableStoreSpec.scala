@@ -106,6 +106,23 @@ class TableStoreSpec extends SparkSpec {
     assert(cur == Map("a" -> 5, "b" -> 2, "c" -> 3))
   }
 
+  test("scd2Upsert discards late-arriving stale rows (history stays monotone)") {
+    import spark.implicits._
+    val store = newStore()
+    store.scd2Upsert("late", Seq(("a", 1, 10L)).toDF("k", "v", "ts"), "k", "ts")
+    store.scd2Upsert("late", Seq(("a", 5, 20L)).toDF("k", "v", "ts"), "k", "ts")
+    // a late batch with OLDER ts and different attrs must not close the
+    // newer version at ts=15 (valid_to < valid_from) nor become current
+    store.scd2Upsert("late", Seq(("a", 9, 15L)).toDF("k", "v", "ts"), "k", "ts")
+    val rows = store.read("late").get.collect().map(r =>
+      (r.getAs[Int]("v"), r.getAs[Long]("valid_from"),
+        Option(r.getAs[java.lang.Long]("valid_to")).map(_.toLong),
+        r.getAs[Boolean]("is_current"))).toSet
+    assert(rows == Set((1, 10L, Some(20L), false), (5, 20L, None, true)))
+    // every closed version is monotone and exactly one row is open
+    assert(rows.forall { case (_, from, to, _) => to.forall(_ > from) })
+  }
+
   test("applyCdc merges insert/update/delete, survives replay and out-of-order") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("store_cdc").toString

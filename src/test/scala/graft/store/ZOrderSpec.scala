@@ -17,6 +17,17 @@ class ZOrderSpec extends SparkSpec {
     assert(z == 27L)
   }
 
+  test("zValue tolerates an all-null or non-numeric dimension") {
+    import spark.implicits._
+    val df = Seq((1L, Option.empty[Long], "x"), (7L, None, "y"))
+      .toDF("x", "y", "s")
+    // null min/max (all-null y; non-castable s) degenerate to rank 0
+    // instead of throwing; x still orders the z-value
+    val z = df.select(ZOrder.zValue(df, Seq("x", "y", "s")).as("z"))
+      .collect().map(_.getLong(0))
+    assert(z.length == 2 && z(0) < z(1))
+  }
+
   // per-file column ranges, as the parquet footer (and any file-stats
   // catalog) would record them
   private def fileRanges(path: String): Array[(Long, Long, Long, Long)] = {

@@ -205,8 +205,8 @@ class EventStreamsSpec extends SparkSpec {
     query.processAllAvailable()
     query.stop()
 
-    def result() = spec.finish(store.read("ev_stats").get).collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def result() = new graft.store.AggTable(store, "ev_stats", spec).result.get
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
     val before = result()
     // two batches folded: click = both rows, view = one
     assert(before("click") == (2L, 4.00) && before("view") == (1L, 4.00))
