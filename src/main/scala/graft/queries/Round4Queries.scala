@@ -1,0 +1,346 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{DecimalType, LongType}
+
+import graft.Tables
+import graft.dedup.BloomDedup
+import graft.functions.{StripAccents, WordShingles}
+
+/** Round-4 additions: corpus-quality repetition filters (Gopher-style),
+  * accent/unicode text normalization via a native expression,
+  * bloom-prefiltered exact dedup, deterministic weighted (systematic)
+  * sampling, vocabulary construction + OOV rates, a star-schema join,
+  * windowed distinct counts, and shingle-containment near-dup
+  * detection.
+  *
+  * Determinism rules as everywhere (QueryDef scaladoc): doubles from
+  * exact integer/DECIMAL sums through ONE shared IEEE tree, BIGINT
+  * casts on the DuckDB side, total ORDER BY.
+  */
+object Round4Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // --------------------------------------------- repetition quality filter
+  // Gopher-style repetition stats per document: duplicate-word
+  // fraction, most-common-word share, most-common-bigram share, and
+  // the keep/drop verdict a pretraining cleaning pass would apply.
+  // All ratios are single divisions of exact integer counts, so the
+  // doubles (and the threshold comparisons on them) are bit-identical
+  // across engines. One explode for words, one for bigrams; both
+  // aggregate before the join, so the shuffle carries per-doc stats,
+  // not tokens.
+  private val q97 = QueryDef(
+    "q97_repetition",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val tk = d.select(col("doc_id"), split(col("text"), " ").as("tk"))
+      val wc = tk.select(col("doc_id"), explode(col("tk")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      val stats = wc.groupBy("doc_id").agg(
+        sum("c").as("n_words"),
+        count(lit(1)).as("n_distinct"),
+        max("c").as("max_word"))
+      val bigrams = tk.select(col("doc_id"),
+        explode(when(size(col("tk")) >= 2,
+          transform(sequence(lit(1), size(col("tk")) - 1),
+            i => concat_ws(" ", element_at(col("tk"), i), element_at(col("tk"), i + 1))))
+          .otherwise(array())).as("bg"))
+      val bstats = bigrams.groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max("c").as("max_bigram"), sum("c").as("n_bigrams"))
+      val repFrac = (col("n_words") - col("n_distinct")).cast("double") / col("n_words")
+      val topWord = col("max_word").cast("double") / col("n_words")
+      val topBigram = col("max_bigram").cast("double") / col("n_bigrams")
+      stats.join(bstats, "doc_id")
+        .select(col("doc_id"), col("n_words"), col("n_distinct"),
+          col("max_word"), col("max_bigram"),
+          repFrac.as("rep_word_frac"),
+          topWord.as("top_word_frac"),
+          topBigram.as("top_bigram_frac"),
+          (topWord < 0.2 && repFrac < 0.8).as("keep"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH tok AS (
+        SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents
+      ), wc AS (
+        SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w
+      ), stats AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) n_words, count(*) n_distinct,
+               CAST(max(c) AS BIGINT) max_word
+        FROM wc GROUP BY doc_id
+      ), big AS (
+        SELECT doc_id, bg, count(*) c FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(string_split(text,' '))),
+              i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1])) AS bg
+          FROM documents) GROUP BY doc_id, bg
+      ), bigstats AS (
+        SELECT doc_id, CAST(max(c) AS BIGINT) max_bigram, CAST(sum(c) AS BIGINT) n_bigrams
+        FROM big GROUP BY doc_id
+      )
+      SELECT s.doc_id, n_words, n_distinct, max_word, max_bigram,
+        CAST(n_words - n_distinct AS DOUBLE)/n_words AS rep_word_frac,
+        CAST(max_word AS DOUBLE)/n_words AS top_word_frac,
+        CAST(max_bigram AS DOUBLE)/n_bigrams AS top_bigram_frac,
+        (CAST(max_word AS DOUBLE)/n_words < 0.2
+          AND CAST(n_words - n_distinct AS DOUBLE)/n_words < 0.8) AS keep
+      FROM stats s JOIN bigstats b USING (doc_id)
+      ORDER BY s.doc_id"""),
+    covers = Seq("T-quality-repetition"))
+
+  // --------------------------------------------------- text normalization
+  // Accent stripping + case folding + whitespace collapse — the
+  // canonicalization pass before dedup/language-id. The accented
+  // input is planted deterministically (translate on a substring) so
+  // the native StripAccents expression is exercised against DuckDB's
+  // built-in strip_accents on identical text.
+  private val q98 = QueryDef(
+    "q98_normalize_text",
+    (s, dir) => {
+      val messy = t(s, dir, "documents").select(col("doc_id"),
+        concat(translate(upper(substring(col("text"), 1, 60)), "AEO", "ÁÉÖ"),
+          lit("  ")).as("raw"))
+      val norm = trim(regexp_replace(StripAccents(s, lower(col("raw"))), " +", " "))
+      messy.select(col("doc_id"), col("raw"), norm.as("norm"),
+          (length(col("raw")) - length(norm)).cast(LongType).as("removed"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH messy AS (
+        SELECT doc_id,
+          translate(upper(substr(text,1,60)), 'AEO', 'ÁÉÖ') || '  ' AS raw
+        FROM documents)
+      SELECT doc_id, raw,
+        trim(regexp_replace(strip_accents(lower(raw)), ' +', ' ', 'g')) AS norm,
+        CAST(len(raw) -
+          len(trim(regexp_replace(strip_accents(lower(raw)), ' +', ' ', 'g'))) AS BIGINT)
+          AS removed
+      FROM messy ORDER BY doc_id"""),
+    covers = Seq("T-normalize", "P2", "P3"))
+
+  // ------------------------------------------------- bloom-prefilter dedup
+  // Which documents of an incoming batch (doc_id % 5 = 0) are NOT
+  // already in the corpus (the rest)? BloomDedup: corpus-side bloom
+  // filter prunes the batch before an exact verify join — result is
+  // bit-identical to the plain NOT EXISTS the oracle runs.
+  private val q99 = QueryDef(
+    "q99_bloom_prefilter",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val corpus = d.filter(col("doc_id") % 5 =!= 0)
+      val batch = d.filter(col("doc_id") % 5 === 0)
+      BloomDedup.newRows(batch, corpus, Seq("text"), expectedItems = 100000L)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, n_chars FROM documents b
+      WHERE doc_id % 5 = 0 AND NOT EXISTS (
+        SELECT 1 FROM documents c WHERE c.doc_id % 5 <> 0 AND c.text = b.text)
+      ORDER BY doc_id"""),
+    covers = Seq("T-dedup-bloom", "S7"))
+
+  // ------------------------------------------- deterministic weighted sample
+  // Systematic sampling proportional to n_chars, ~5 docs per source:
+  // walk each stratum in doc_id order accumulating weight and emit
+  // every row whose cumulative weight crosses a multiple of
+  // total/5 — weight-proportional, reproducible (no RNG), and
+  // integer-exact so it hash-matches across engines. The
+  // curated-corpus twin of q54's uniform hash sampling.
+  private val q100 = QueryDef(
+    "q100_weighted_sample",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val wCum = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy("source")
+      d.select(col("doc_id"), col("source"), col("n_chars"),
+          sum("n_chars").over(wCum).as("cum"),
+          sum("n_chars").over(wAll).as("total"))
+        .withColumn("step", expr("total DIV 5 + 1"))
+        .filter(expr("cum DIV step > (cum - n_chars) DIV step"))
+        .select(col("doc_id"), col("source"), col("n_chars"), col("cum"))
+        .orderBy("source", "doc_id")
+    },
+    Some("""WITH w AS (
+        SELECT doc_id, source, n_chars,
+          CAST(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+          CAST(sum(n_chars) OVER (PARTITION BY source) AS BIGINT) AS total
+        FROM documents)
+      SELECT doc_id, source, n_chars, cum
+      FROM w WHERE cum // (total // 5 + 1) > (cum - n_chars) // (total // 5 + 1)
+      ORDER BY source, doc_id"""),
+    covers = Seq("T-weighted-sample", "W1"))
+
+  // ------------------------------------------------- vocabulary construction
+  // Corpus vocabulary: id by (frequency desc, term) with cumulative
+  // corpus coverage — the token-id assignment step of tokenizer
+  // training. The unpartitioned windows run over the POST-AGGREGATE
+  // term table (tiny), not the corpus.
+  private val q101 = QueryDef(
+    "q101_vocab_coverage",
+    (s, dir) => {
+      val tc = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val tot = tc.agg(sum("c").as("t"))
+      val wOrd = Window.orderBy(desc("c"), asc("w"))
+      tc.crossJoin(broadcast(tot))
+        .select(col("w").as("term"),
+          row_number().over(wOrd).cast(LongType).as("vocab_id"),
+          col("c").as("n_occurrences"),
+          (sum("c").over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double") / col("t")).as("cum_share"))
+        .orderBy("vocab_id")
+    },
+    Some("""WITH tok AS (SELECT unnest(string_split(text,' ')) AS w FROM documents),
+      tc AS (SELECT w, CAST(count(*) AS BIGINT) c FROM tok GROUP BY w),
+      tot AS (SELECT CAST(sum(c) AS BIGINT) t FROM tc),
+      vocab AS (SELECT w, CAST(row_number() OVER (ORDER BY c DESC, w) AS BIGINT) AS vocab_id,
+        c, CAST(sum(c) OVER (ORDER BY c DESC, w ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM tc)
+      SELECT w AS term, vocab_id, c AS n_occurrences,
+        CAST(cum AS DOUBLE) / t AS cum_share
+      FROM vocab, tot ORDER BY vocab_id"""),
+    covers = Seq("T-vocab", "W7"))
+
+  // ------------------------------------------------------------- OOV rate
+  // Per-document out-of-vocabulary rate against the top-10 corpus
+  // vocabulary — the coverage metric that drives vocab-size choices.
+  // The vocab is broadcast (tiny by construction); tokens never
+  // shuffle except for the per-doc count aggregate.
+  private val q102 = QueryDef(
+    "q102_oov_rate",
+    (s, dir) => {
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val top = tok.groupBy("w").agg(count(lit(1)).as("c"))
+        .select(col("w"), row_number().over(Window.orderBy(desc("c"), asc("w"))).as("rn"))
+        .filter(col("rn") <= 10)
+        .select(col("w").as("vw"))
+      tok.join(broadcast(top), col("w") === col("vw"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          (count(lit(1)) - count(col("vw"))).as("n_oov"))
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+          (col("n_oov").cast("double") / col("n_tokens")).as("oov_rate"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+      tc AS (SELECT w, count(*) c FROM tok GROUP BY w),
+      top AS (SELECT w FROM (SELECT w, row_number() OVER (ORDER BY c DESC, w) rn FROM tc)
+              WHERE rn <= 10)
+      SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        CAST(count(*) - count(top.w) AS BIGINT) AS n_oov,
+        CAST(count(*) - count(top.w) AS DOUBLE) / count(*) AS oov_rate
+      FROM tok t LEFT JOIN top ON t.w = top.w
+      GROUP BY t.doc_id ORDER BY t.doc_id"""),
+    covers = Seq("T-vocab", "J1"))
+
+  // ----------------------------------------------------------- star join
+  // Five-dimension star query: the fact table joins every dim
+  // broadcast (each is fact/10000th the size), so the only shuffle in
+  // the plan is the final group-by — the canonical warehouse shape
+  // the reference pushes to Athena. Gross revenue from exact DECIMAL
+  // sums.
+  private val q103 = QueryDef(
+    "q103_star_join",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val dec = DecimalType(18, 2)
+      li.join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .filter(col("p_size") <= 25 && col("s_acctbal") > 0)
+        .groupBy(col("r_name").as("region"), col("l_returnflag").as("flag"),
+          col("p_brand").as("brand"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_extendedprice").cast(dec)).cast("double").as("gross"))
+        .orderBy("region", "flag", "brand")
+    },
+    Some("""SELECT r_name AS region, l_returnflag AS flag, p_brand AS brand,
+        CAST(count(*) AS BIGINT) AS n_items,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS gross
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      JOIN part ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      WHERE p_size <= 25 AND s_acctbal > 0
+      GROUP BY r_name, l_returnflag, p_brand
+      ORDER BY region, flag, brand"""),
+    covers = Seq("J1", "A4"))
+
+  // ----------------------------------------------- windowed distinct counts
+  // COUNT(DISTINCT) as a window function — Spark's window operator
+  // does not support DISTINCT aggregates, so the idiomatic form is
+  // size(collect_set() OVER w): per-order distinct suppliers and
+  // return flags on every line item, no self-join.
+  private val q104 = QueryDef(
+    "q104_windowed_distinct",
+    (s, dir) => {
+      val w = Window.partitionBy("l_orderkey")
+      t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+          size(collect_set(col("l_suppkey")).over(w)).cast(LongType).as("n_supp"),
+          size(collect_set(col("l_returnflag")).over(w)).cast(LongType).as("n_flags"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some("""SELECT l_orderkey, l_linenumber,
+        CAST(count(distinct l_suppkey) OVER (PARTITION BY l_orderkey) AS BIGINT) AS n_supp,
+        CAST(count(distinct l_returnflag) OVER (PARTITION BY l_orderkey) AS BIGINT) AS n_flags
+      FROM lineitem ORDER BY l_orderkey, l_linenumber"""),
+    covers = Seq("W-distinct", "A3"))
+
+  // ------------------------------------------------- containment near-dup
+  // Shingle-containment join: containment(A→B) = |S(A)∩S(B)| / |S(A)|
+  // over distinct word trigrams, via inverted-index postings (the
+  // asymmetric complement of Jaccard — catches documents EMBEDDED in
+  // larger ones, which symmetric similarity underweights). Pairs form
+  // only where a shingle is shared, so the shuffle is
+  // posting-bounded, not O(n²).
+  private val q105 = QueryDef(
+    "q105_containment",
+    (s, dir) => {
+      val sh = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(WordShingles(s, col("text"), 3))).as("sh"))
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val pairs = sh.as("a")
+        .join(sh.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") =!= col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("shared"))
+      val containment = col("shared").cast("double") / col("n")
+      pairs.join(sizes.withColumnRenamed("doc_id", "a_id"), "a_id")
+        .filter(containment >= 0.5)
+        .select(col("a_id"), col("b_id"), col("shared"), containment.as("containment"))
+        .orderBy("a_id", "b_id")
+    },
+    Some("""WITH sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+          range(1, greatest(len(string_split(text,' ')) - 1, 1)),
+          i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+               || ' ' || string_split(text,' ')[i+2]))) AS s
+        FROM documents),
+      sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) n FROM sh GROUP BY doc_id),
+      pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(count(*) AS BIGINT) AS shared
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+        GROUP BY a.doc_id, b.doc_id)
+      SELECT a_id, b_id, shared,
+        CAST(shared AS DOUBLE) / sa.n AS containment
+      FROM pairs JOIN sizes sa ON a_id = sa.doc_id
+      WHERE CAST(shared AS DOUBLE) / sa.n >= 0.5
+      ORDER BY a_id, b_id"""),
+    covers = Seq("T-dedup-containment", "J2"))
+
+  val all: Seq[QueryDef] =
+    Seq(q97, q98, q99, q100, q101, q102, q103, q104, q105)
+}

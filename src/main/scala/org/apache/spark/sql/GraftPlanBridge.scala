@@ -26,6 +26,14 @@ object GraftPlanBridge {
   def expression(c: Column): Expression =
     classic.ColumnNodeToExpressionConverter(c.node)
 
+  /** Public Column over a raw catalyst expression (inverse of
+    * [[expression]]) — lets library code use internal expressions
+    * (e.g. the bloom-filter aggregate behind runtime filters) through
+    * the normal DataFrame API.
+    */
+  def column(e: Expression): Column =
+    classic.ExpressionUtils.column(e)
+
   /** Idempotently register an extra planner strategy on a live session
     * (the `spark.sql.extensions` path covers new sessions; this covers
     * sessions already running).
