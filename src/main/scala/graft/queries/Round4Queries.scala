@@ -308,15 +308,33 @@ object Round4Queries {
   private val q105 = QueryDef(
     "q105_containment",
     (s, dir) => {
+      // postings feed both sizes and pair expansion — one explode,
+      // materialized once (q22's pattern). Shared-shingle counts are
+      // SYMMETRIC, so enumerate unordered pairs with array HOFs over
+      // each shingle's grouped posting list (no self-join, no hash
+      // build) and mirror them afterwards; only the containment
+      // denominator differs per direction. The posting-size cap
+      // bounds the quadratic expansion against degenerate boilerplate
+      // shingles at scale (far above any list in this corpus, so the
+      // oracle's self-join stays equivalent).
       val sh = t(s, dir, "documents")
         .select(col("doc_id"),
           explode(array_distinct(WordShingles(s, col("text"), 3))).as("sh"))
+        .persist()
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val pairs = sh.as("a")
-        .join(sh.as("b"),
-          col("a.sh") === col("b.sh") && col("a.doc_id") =!= col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      val ds = col("ds")
+      val half = sh.groupBy("sh")
+        .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+        .filter(size(ds).between(2, 100000))
+        .select(explode(flatten(transform(
+          sequence(lit(1), size(ds) - 1),
+          i => transform(
+            sequence(i + 1, size(ds)),
+            j => struct(element_at(ds, i).as("a"), element_at(ds, j).as("b")))))).as("p"))
+        .groupBy(col("p.a").as("a_id"), col("p.b").as("b_id"))
         .agg(count(lit(1)).as("shared"))
+      val pairs = half.unionAll(half.select(
+        col("b_id").as("a_id"), col("a_id").as("b_id"), col("shared")))
       val containment = col("shared").cast("double") / col("n")
       pairs.join(sizes.withColumnRenamed("doc_id", "a_id"), "a_id")
         .filter(containment >= 0.5)
@@ -341,6 +359,28 @@ object Round4Queries {
       ORDER BY a_id, b_id"""),
     covers = Seq("T-dedup-containment", "J2"))
 
+  // ------------------------------------------------------ PQ compressed ANN
+  // Product-quantization ANN (similarity/PqIndex): train 8×16
+  // codebooks, encode the corpus 32× smaller, ADC-generate candidates
+  // from the codes alone, exact-cosine refine to top-5. Approximate by
+  // construction → rows-only gate (like q45's IVF); recall vs brute
+  // force is pinned in PqIndexSpec.
+  private val q106 = QueryDef(
+    "q106_pq_ann",
+    (s, dir) => {
+      import graft.similarity.PqIndex
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val book = PqIndex.train(emb, "vec_id", "embedding", m = 8, k = 16, iters = 2)
+      val codes = PqIndex.encode(emb, "vec_id", "embedding", book)
+      PqIndex.searchRefined(codes, emb, queries, book,
+          "vec_id", "embedding", topK = 5, refine = 50)
+        .orderBy("q_id", "rk")
+    },
+    None,
+    covers = Seq("T-ann-pq"))
+
   val all: Seq[QueryDef] =
-    Seq(q97, q98, q99, q100, q101, q102, q103, q104, q105)
+    Seq(q97, q98, q99, q100, q101, q102, q103, q104, q105, q106)
 }
