@@ -1,0 +1,126 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.{StripAccents, WordShingles}
+
+/** End-to-end training-corpus curation: the operators the engine
+  * provides individually (normalization, repetition quality filters,
+  * exact dedup, near-dup detection), composed in the order a
+  * pretraining data pipeline runs them, with a full per-document audit
+  * trail.
+  *
+  * Stages (each consumes the previous stage's survivors):
+  *  1. normalize  — strip accents, lowercase, collapse whitespace
+  *     ([[StripAccents]]; the reference cleaner's canonicalization,
+  *     `src/transformation/cleaners.py:63-88`, at character level);
+  *  2. quality    — Gopher-style repetition gates: ≥ `minWords` words,
+  *     top-word share < `maxTopWordFrac`, duplicate-word fraction <
+  *     `maxRepWordFrac`;
+  *  3. exact dedup — lowest doc_id survives per md5(norm_text);
+  *  4. near dedup  — word-trigram Jaccard ≥ `jaccardThreshold` against
+  *     ANY smaller-id stage-3 survivor drops a doc (greedy pairwise
+  *     rule: the blocker keeps blocking even if itself near-dup-dropped
+  *     — deterministic without computing transitive closures; use
+  *     [[graft.dedup.Dedup]] connected components when cluster
+  *     canonicalization is required instead).
+  *
+  * Every stage is set-based and inverted-index shaped (no all-pairs
+  * work): the near-dup candidates come from grouped shingle postings
+  * expanded with array HOFs, so shuffle volume is O(postings). Flags
+  * are false for documents that never reached a stage; `kept` is the
+  * end-to-end verdict. The whole audit frame is oracle-gated
+  * (`q109_curation_pipeline`) against a single SQL re-implementation.
+  */
+object CorpusCuration {
+
+  final case class Config(
+      minWords: Int = 10,
+      maxTopWordFrac: Double = 0.2,
+      maxRepWordFrac: Double = 0.8,
+      jaccardThreshold: Double = 0.5,
+      maxPostingLen: Int = 100000)
+
+  /** Per-document audit: (doc_id, n_words, q_keep, is_exact_dup,
+    * is_near_dup, kept), totally ordered by doc_id.
+    */
+  def audit(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+    val spark = docs.sparkSession
+
+    // 1. normalize
+    val norm = docs.select(col("doc_id"),
+      trim(regexp_replace(StripAccents(spark, lower(col("text"))), " +", " "))
+        .as("ntext"))
+
+    // 2. quality: word-repetition stats from one explode
+    val wc = norm.select(col("doc_id"), explode(split(col("ntext"), " ")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+    val qual = wc.groupBy("doc_id").agg(
+        sum("c").as("n_words"),
+        count(lit(1)).as("n_distinct"),
+        max("c").as("max_word"))
+      .select(col("doc_id"), col("n_words"),
+        (col("n_words") >= cfg.minWords &&
+          col("max_word").cast("double") / col("n_words") < cfg.maxTopWordFrac &&
+          (col("n_words") - col("n_distinct")).cast("double") / col("n_words")
+            < cfg.maxRepWordFrac).as("q_keep"))
+
+    // 3. exact dedup among quality survivors (lowest doc_id wins)
+    val exact = norm.join(qual.filter(col("q_keep")).select("doc_id"), "doc_id")
+      .select(col("doc_id"),
+        (row_number().over(
+          Window.partitionBy(md5(col("ntext"))).orderBy("doc_id")) > 1)
+          .as("is_exact_dup"))
+
+    // 4. near dedup among exact survivors: trigram Jaccard pairs via
+    // grouped postings (symmetric counts → expand unordered, the
+    // smaller id is always the blocker)
+    val surv = exact.filter(!col("is_exact_dup")).select("doc_id")
+    val sh = norm.join(surv, "doc_id")
+      .select(col("doc_id"),
+        explode(array_distinct(WordShingles(spark, col("ntext"), 3))).as("s"))
+      .persist()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val ds = col("ds")
+    val pairs = sh.groupBy("s")
+      .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+      .filter(size(ds).between(2, cfg.maxPostingLen))
+      .select(explode(flatten(transform(
+        sequence(lit(1), size(ds) - 1),
+        i => transform(
+          sequence(i + 1, size(ds)),
+          j => struct(element_at(ds, i).as("da"), element_at(ds, j).as("db")))))).as("p"))
+      .groupBy(col("p.da").as("da"), col("p.db").as("db"))
+      .agg(count(lit(1)).as("common"))
+    val near = pairs
+      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .filter(col("common").cast("double") /
+        (col("na") + col("nb") - col("common")) >= cfg.jaccardThreshold)
+      .select(col("db").as("doc_id")).distinct()
+      .withColumn("is_near_dup", lit(true))
+
+    // assemble the audit; flags default false for unreached stages
+    def flag(c: Column): Column = coalesce(c, lit(false))
+    qual
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"), col("q_keep"),
+        flag(col("is_exact_dup")).as("is_exact_dup"),
+        flag(col("is_near_dup")).as("is_near_dup"))
+      .withColumn("kept",
+        col("q_keep") && !col("is_exact_dup") && !col("is_near_dup"))
+      .orderBy("doc_id")
+  }
+
+  /** The curated corpus itself: normalized text of every kept doc. */
+  def curate(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+    val spark = docs.sparkSession
+    docs.join(audit(docs, cfg).filter(col("kept")).select("doc_id"), "doc_id")
+      .select(col("doc_id"),
+        trim(regexp_replace(StripAccents(spark, lower(col("text"))), " +", " "))
+          .as("text"))
+  }
+}

@@ -381,6 +381,110 @@ object Round4Queries {
     None,
     covers = Seq("T-ann-pq"))
 
+  // ---------------------------------------------------------- full outer join
+  // FULL OUTER over two sparse aggregates — both sides contribute
+  // unmatched keys (nulls on each side at gate scale). NULL counts are
+  // kept as NULLs (outer semantics, not coalesced away); the total
+  // order is on the coalesced key.
+  private val q107 = QueryDef(
+    "q107_full_outer",
+    (s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_acctbal") > 9900)
+        .groupBy(col("c_nationkey").as("cnk")).agg(count(lit(1)).as("n_cust"))
+      val sup = t(s, dir, "supplier").filter(col("s_acctbal") > 4000)
+        .groupBy(col("s_nationkey").as("snk")).agg(count(lit(1)).as("n_supp"))
+      c.join(sup, col("cnk") === col("snk"), "full_outer")
+        .select(coalesce(col("cnk"), col("snk")).as("nk"),
+          col("n_cust"), col("n_supp"))
+        .orderBy("nk")
+    },
+    Some("""WITH c AS (SELECT c_nationkey nk, CAST(count(*) AS BIGINT) n_cust
+               FROM customer WHERE c_acctbal > 9900 GROUP BY 1),
+      s AS (SELECT s_nationkey nk, CAST(count(*) AS BIGINT) n_supp
+            FROM supplier WHERE s_acctbal > 4000 GROUP BY 1)
+      SELECT coalesce(c.nk, s.nk) nk, n_cust, n_supp
+      FROM c FULL OUTER JOIN s ON c.nk = s.nk ORDER BY nk"""),
+    covers = Seq("J-full-outer"))
+
+  // ------------------------------------------------------------------ EWMA
+  // Exponentially weighted moving average (α = 1/2) over each user's
+  // last 16 event values: the frame-ordered value list folds through
+  // (acc + x)/2 — a SEQUENTIAL reduction, so the IEEE tree is fixed
+  // (windowed SUM would be partial-agg-order nondeterministic), and
+  // dividing by 2 is exponent arithmetic (exact), so both engines
+  // produce identical bits. The time-series smoothing primitive
+  // alongside q07's flat rolling mean and q83's interpolation.
+  private val q108 = QueryDef(
+    "q108_ewma",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(-15, Window.currentRow)
+      val l = col("l")
+      t(s, dir, "events")
+        .withColumn("l", collect_list(col("value")).over(w))
+        .select(col("event_id"), col("user_id"),
+          aggregate(slice(l, 2, 1000), element_at(l, 1),
+            (acc, x) => (acc + x) / 2).as("ewma"))
+        .orderBy("user_id", "event_id")
+    },
+    Some("""SELECT event_id, user_id,
+        list_reduce(list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN 15 PRECEDING AND CURRENT ROW), (acc, x) -> (acc + x)/2) AS ewma
+      FROM events ORDER BY user_id, event_id"""),
+    covers = Seq("W-ewma", "W1"))
+
+  // ------------------------------------------------ end-to-end curation
+  // The full corpus-curation pipeline (pipelines/CorpusCuration):
+  // normalize → repetition quality gates → exact dedup → trigram-
+  // Jaccard near-dup, with the complete per-document audit trail
+  // hash-matched against a single SQL re-implementation of all four
+  // stages. The integration gate on top of the per-operator gates
+  // (q97/q98/q21/q22).
+  private val q109 = QueryDef(
+    "q109_curation_pipeline",
+    (s, dir) =>
+      graft.pipelines.CorpusCuration.audit(t(s, dir, "documents")),
+    Some("""WITH norm AS (
+        SELECT doc_id, trim(regexp_replace(strip_accents(lower(text)), ' +', ' ', 'g')) AS ntext
+        FROM documents),
+      tok AS (SELECT doc_id, string_split(ntext,' ') AS tk FROM norm),
+      wc AS (SELECT doc_id, w, count(*) c
+             FROM (SELECT doc_id, unnest(tk) w FROM tok) GROUP BY doc_id, w),
+      qual AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) n_words,
+          (CAST(sum(c) AS BIGINT) >= 10
+           AND CAST(max(c) AS DOUBLE)/sum(c) < 0.2
+           AND CAST(sum(c) - count(*) AS DOUBLE)/sum(c) < 0.8) AS q_keep
+        FROM wc GROUP BY doc_id),
+      ex AS (
+        SELECT n.doc_id,
+          row_number() OVER (PARTITION BY md5(ntext) ORDER BY n.doc_id) > 1 AS is_exact_dup
+        FROM norm n JOIN qual USING (doc_id) WHERE q_keep),
+      surv AS (SELECT doc_id FROM ex WHERE NOT is_exact_dup),
+      sh AS (
+        SELECT DISTINCT t.doc_id,
+          unnest(list_transform(range(1, greatest(len(tk)-1, 1)),
+            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+        FROM tok t JOIN surv USING (doc_id) WHERE len(tk) >= 3),
+      sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+      pairs AS (
+        SELECT a.doc_id da, b.doc_id db, count(*) common
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id),
+      near AS (
+        SELECT DISTINCT db AS doc_id FROM pairs
+        JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+        WHERE CAST(common AS DOUBLE)/(sa.n + sb.n - common) >= 0.5)
+      SELECT q.doc_id, q.n_words, q.q_keep,
+        coalesce(ex.is_exact_dup, FALSE) AS is_exact_dup,
+        (near.doc_id IS NOT NULL) AS is_near_dup,
+        (q.q_keep AND NOT coalesce(ex.is_exact_dup, FALSE) AND near.doc_id IS NULL) AS kept
+      FROM qual q
+      LEFT JOIN ex ON q.doc_id = ex.doc_id
+      LEFT JOIN near ON q.doc_id = near.doc_id
+      ORDER BY q.doc_id"""),
+    covers = Seq("T-curation-pipeline"))
+
   val all: Seq[QueryDef] =
-    Seq(q97, q98, q99, q100, q101, q102, q103, q104, q105, q106)
+    Seq(q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109)
 }
