@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.{DecimalType, LongType}
@@ -485,6 +485,95 @@ object Round4Queries {
       ORDER BY q.doc_id"""),
     covers = Seq("T-curation-pipeline"))
 
+  // ---------------------------------------------------- constraint checking
+  // Deequ-style data-quality suite: completeness, key uniqueness,
+  // range, accepted values, positivity — ONE aggregation pass over the
+  // fact table — plus an anti-join referential-integrity probe; the
+  // report pivots out of the metric row with explode(array(struct)).
+  // The declared-schema validation step of the reference's cleaner
+  // (cleaners.py:229-252), as a reusable report. The uniqueness
+  // constraint genuinely FAILS on this corpus (duplicate
+  // (l_orderkey, l_linenumber) pairs exist) — the report shows it.
+  private val q110 = QueryDef(
+    "q110_constraints",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val m = li.agg(
+        count(lit(1)).as("n"),
+        count(col("l_shipdate")).as("ship_nonnull"),
+        countDistinct(col("l_orderkey"), col("l_linenumber")).as("pk_distinct"),
+        sum(when(col("l_discount").between(0, 0.1), 1).otherwise(0)).as("disc_in_range"),
+        sum(when(col("l_returnflag").isin("A", "N", "R"), 1).otherwise(0)).as("flag_ok"),
+        sum(when(col("l_quantity") > 0, 1).otherwise(0)).as("qty_pos"))
+      val ri = li.join(t(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("orphans"))
+      def c(name: String, actual: Column, expected: Column) =
+        struct(lit(name).as("name"), actual.as("actual"), expected.as("expected"))
+      m.crossJoin(ri)
+        .select(explode(array(
+          c("completeness_l_shipdate", col("ship_nonnull"), col("n")),
+          c("uniqueness_pk", col("pk_distinct"), col("n")),
+          c("range_l_discount", col("disc_in_range"), col("n")),
+          c("accepted_l_returnflag", col("flag_ok"), col("n")),
+          c("positive_l_quantity", col("qty_pos"), col("n")),
+          c("ri_orderkey", col("orphans"), lit(0L)))).as("c"))
+        .select(col("c.name"), col("c.actual"), col("c.expected"),
+          (col("c.actual") === col("c.expected")).as("pass"))
+        .orderBy("name")
+    },
+    Some("""WITH m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(count(l_shipdate) AS BIGINT) AS ship_nonnull,
+          CAST(count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS pk_distinct,
+          CAST(sum(CASE WHEN l_discount BETWEEN 0 AND 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS disc_in_range,
+          CAST(sum(CASE WHEN l_returnflag IN ('A','N','R') THEN 1 ELSE 0 END) AS BIGINT) AS flag_ok,
+          CAST(sum(CASE WHEN l_quantity > 0 THEN 1 ELSE 0 END) AS BIGINT) AS qty_pos
+        FROM lineitem),
+      ri AS (
+        SELECT CAST(count(*) AS BIGINT) AS orphans
+        FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderkey IS NULL)
+      SELECT c.name, c.actual, c.expected, c.actual = c.expected AS pass FROM (
+        SELECT 'completeness_l_shipdate' AS name, ship_nonnull AS actual, n AS expected FROM m
+        UNION ALL SELECT 'uniqueness_pk', pk_distinct, n FROM m
+        UNION ALL SELECT 'range_l_discount', disc_in_range, n FROM m
+        UNION ALL SELECT 'accepted_l_returnflag', flag_ok, n FROM m
+        UNION ALL SELECT 'positive_l_quantity', qty_pos, n FROM m
+        UNION ALL SELECT 'ri_orderkey', orphans, CAST(0 AS BIGINT) FROM ri) c
+      ORDER BY c.name"""),
+    covers = Seq("P9-validate", "A2"))
+
+  // ------------------------------------------------- mergeable histogram
+  // Fixed-edge histogram as MERGEABLE state: per-batch partial bin
+  // counts/sums (batches = user_id % 3) re-aggregate to exactly the
+  // one-shot histogram the oracle computes — integer bin counts and
+  // DECIMAL bin sums are associative, so the equality is bitwise. The
+  // distribution-sketch analogue of q94's incremental sums: approximate
+  // percentiles at any batch boundary cost O(bins), never a corpus
+  // rescan.
+  private val q111 = QueryDef(
+    "q111_mergeable_histogram",
+    (s, dir) => {
+      val dec = DecimalType(18, 2)
+      val binned = t(s, dir, "events").select(
+        least(greatest(floor(col("value") / 25.0), lit(0)), lit(7))
+          .cast(LongType).as("bin"),
+        (col("user_id") % 3).as("b"),
+        col("value"))
+      val partial = binned.groupBy("b", "bin").agg(
+        count(lit(1)).as("n"), sum(col("value").cast(dec)).cast(dec).as("total"))
+      partial.groupBy("bin").agg(
+          sum("n").as("n"), sum("total").cast(dec).cast("double").as("total"))
+        .orderBy("bin")
+    },
+    Some("""SELECT CAST(least(greatest(floor(value / 25.0), 0), 7) AS BIGINT) AS bin,
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM events GROUP BY 1 ORDER BY 1"""),
+    covers = Seq("A-hist-mergeable"))
+
   val all: Seq[QueryDef] =
-    Seq(q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109)
+    Seq(q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
+      q109, q110, q111)
 }
