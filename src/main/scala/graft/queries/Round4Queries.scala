@@ -573,7 +573,75 @@ object Round4Queries {
       FROM events GROUP BY 1 ORDER BY 1"""),
     covers = Seq("A-hist-mergeable"))
 
+  // ---------------------------------------------------------- snapshot diff
+  // Table-version diff: FULL OUTER on the key classifies every row as
+  // added / removed / changed (null-free attribute compare), emitting
+  // only the delta — the inverse of applyCdc (derive a changelog FROM
+  // two snapshots when the upstream has none, e.g. the reference's
+  // daily full refetch). The two versions are derived deterministically
+  // from customer (dropped keys, bumped balances); the `+ 10` is a
+  // single IEEE add, identical bits in both engines.
+  private val q112 = QueryDef(
+    "q112_snapshot_diff",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val v1 = c.filter(col("c_custkey") % 13 =!= 0)
+        .select(col("c_custkey").as("k1"), col("c_name").as("name1"),
+          col("c_acctbal").as("bal1"))
+      val v2 = c.filter(col("c_custkey") % 11 =!= 0)
+        .select(col("c_custkey").as("k2"), col("c_name").as("name2"),
+          when(col("c_custkey") % 7 === 0, col("c_acctbal") + 10)
+            .otherwise(col("c_acctbal")).as("bal2"))
+      v1.join(v2, col("k1") === col("k2"), "full_outer")
+        .select(coalesce(col("k1"), col("k2")).as("k"),
+          when(col("k1").isNull, "added")
+            .when(col("k2").isNull, "removed")
+            .when(col("bal1") =!= col("bal2") || col("name1") =!= col("name2"), "changed")
+            .otherwise("same").as("change"),
+          col("bal1").as("old_bal"), col("bal2").as("new_bal"))
+        .filter(col("change") =!= "same")
+        .orderBy("k")
+    },
+    Some("""WITH v1 AS (SELECT c_custkey k, c_name, c_acctbal
+               FROM customer WHERE c_custkey % 13 <> 0),
+      v2 AS (SELECT c_custkey k, c_name,
+               CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 10 ELSE c_acctbal END AS c_acctbal
+             FROM customer WHERE c_custkey % 11 <> 0)
+      SELECT coalesce(v1.k, v2.k) AS k,
+        CASE WHEN v1.k IS NULL THEN 'added'
+             WHEN v2.k IS NULL THEN 'removed'
+             WHEN v1.c_acctbal <> v2.c_acctbal OR v1.c_name <> v2.c_name THEN 'changed'
+             ELSE 'same' END AS change,
+        v1.c_acctbal AS old_bal, v2.c_acctbal AS new_bal
+      FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k
+      WHERE v1.k IS NULL OR v2.k IS NULL
+         OR v1.c_acctbal <> v2.c_acctbal OR v1.c_name <> v2.c_name
+      ORDER BY k"""),
+    covers = Seq("S-diff", "J-full-outer"))
+
+  // ------------------------------------------ incremental corpus admission
+  // store/DedupStore folded over three arrival batches (doc_id % 3,
+  // admitted in order): bloom-prefiltered exactly-once admission whose
+  // final corpus must equal the oracle's one-shot first-seen-wins
+  // dedup — (arrival batch, doc_id) ordered — proving cross-batch and
+  // in-batch dedup compose with the atomic state commit.
+  private val q113 = QueryDef(
+    "q113_incremental_admission",
+    (s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val root = java.nio.file.Files.createTempDirectory("graft_admit").toString
+      val ds = new graft.store.DedupStore(
+        new graft.store.TableStore(s, root), "corpus", "text", 1000000L)
+      (0 to 2).foreach(b => ds.admit(s"b$b", d.filter(col("doc_id") % 3 === b)))
+      ds.corpus.get.select("doc_id").orderBy("doc_id")
+    },
+    Some("""SELECT doc_id FROM (
+        SELECT doc_id, row_number() OVER (
+          PARTITION BY text ORDER BY doc_id % 3, doc_id) AS rn
+        FROM documents) WHERE rn = 1 ORDER BY doc_id"""),
+    covers = Seq("T-dedup-incremental", "S7"))
+
   val all: Seq[QueryDef] =
     Seq(q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
-      q109, q110, q111)
+      q109, q110, q111, q112, q113)
 }

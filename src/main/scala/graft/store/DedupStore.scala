@@ -1,0 +1,103 @@
+package graft.store
+
+import java.io.ByteArrayOutputStream
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
+
+import graft.dedup.BloomDedup
+
+/** Incrementally-admitted deduplicated corpus: each
+  * `admit(batchId, batch)` appends only documents whose `keyCol` was
+  * never seen before — across batches and within the batch — with
+  * crash-safe exactly-once semantics.
+  *
+  * State is three datasets under ONE table directory installed by a
+  * single atomic rename ([[TableStore.swapWriteParts]], the same
+  * commit primitive as [[AggTable]]):
+  *   - `docs`   — the admitted corpus;
+  *   - `bloom`  — a serialized bloom filter over every admitted key,
+  *     MERGED incrementally (OR of filters = filter of the union), so
+  *     membership of the whole corpus is testable without scanning it;
+  *   - `ledger` — applied batch ids (replays are no-ops).
+  *
+  * At 100 TB the bloom filter is what keeps admission O(batch): a
+  * batch row that the filter rejects is DEFINITELY new and never joins
+  * the corpus; only possible members take the exact verify anti-join
+  * ([[BloomDedup]]). The filter is sized once (`expectedItems`) — as
+  * the corpus approaches that size the fpp degrades gracefully and
+  * only the verify-join fraction grows, never correctness.
+  *
+  * The streaming form is `foreachBatch` over this method with the
+  * engine's replay-stable batch ids, exactly like
+  * [[graft.streaming.EventStreams.maintainAggregate]].
+  */
+final class DedupStore(
+    store: TableStore,
+    table: String,
+    keyCol: String,
+    expectedItems: Long = 10000000L) {
+
+  private val docsPart = s"$table/docs"
+  private val bloomPart = s"$table/bloom"
+  private val ledgerPart = s"$table/ledger"
+
+  def corpus: Option[DataFrame] = store.read(docsPart)
+
+  private def bloomBytes: Option[Array[Byte]] =
+    store.read(bloomPart).map(_.head().getAs[Array[Byte]]("bloom"))
+
+  /** Admit one batch; returns the number of documents actually added
+    * (0 on a replayed batch id).
+    */
+  def admit(batchId: String, batch: DataFrame): Long = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val ledger = store.read(ledgerPart)
+    if (ledger.exists(_.filter(col("batch_id") === batchId).limit(1).count() > 0))
+      return 0L
+
+    // batch-internal exact dedup: lowest-ordered row per key wins
+    val cols = batch.columns
+    val internal = batch.withColumn("__rn",
+        row_number().over(Window.partitionBy(keyCol).orderBy(cols.map(col): _*)))
+      .filter(col("__rn") === 1).drop("__rn")
+
+    // vs corpus: bloom prefilter (stored filter, no corpus scan) +
+    // exact verify join for possible members only
+    val fresh = (corpus, bloomBytes) match {
+      case (Some(c), Some(bits)) =>
+        val mc = BloomDedup.mightContain(bits, Seq(keyCol))
+        internal.filter(!mc).unionByName(
+          internal.filter(mc)
+            .join(c.select(keyCol).dropDuplicates(keyCol), Seq(keyCol), "left_anti"))
+      case _ => internal
+    }
+    val freshMat = fresh.localCheckpoint()
+    val added = freshMat.count()
+
+    // fold the batch filter into the stored one (OR-merge) — the only
+    // driver-side state is the filter itself
+    val batchBits = BloomDedup.buildFilter(freshMat, Seq(keyCol), expectedItems)
+    val mergedBits = bloomBytes match {
+      case Some(old) =>
+        val f = BloomFilter.readFrom(old)
+        f.mergeInPlace(BloomFilter.readFrom(batchBits))
+        val out = new ByteArrayOutputStream()
+        f.writeTo(out)
+        out.toByteArray
+      case None => batchBits
+    }
+
+    val newDocs = corpus.fold(freshMat)(_.unionByName(freshMat).localCheckpoint())
+    val newLedger = ledger.fold(Seq(batchId).toDF("batch_id"))(
+      _.unionByName(Seq(batchId).toDF("batch_id")).localCheckpoint())
+    store.swapWriteParts(table, Seq(
+      "docs" -> newDocs,
+      "bloom" -> Seq(Tuple1(mergedBits)).toDF("bloom"),
+      "ledger" -> newLedger))
+    added
+  }
+}
