@@ -641,7 +641,27 @@ object Round4Queries {
         FROM documents) WHERE rn = 1 ORDER BY doc_id"""),
     covers = Seq("T-dedup-incremental", "S7"))
 
+  // ------------------------------------------------------ boolean aggregates
+  // bool_and / bool_or / count_if — the predicate-aggregate tail of
+  // the scalar surface (q63 gates the bitwise twins).
+  private val q114 = QueryDef(
+    "q114_bool_aggs",
+    (s, dir) =>
+      t(s, dir, "orders").groupBy("o_orderpriority")
+        .agg(bool_and(col("o_totalprice") > 1000).as("all_over_1k"),
+          bool_or(col("o_orderstatus") === "F").as("any_final"),
+          count_if(col("o_totalprice") > 200000).as("n_big"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority"),
+    Some("""SELECT o_orderpriority,
+        bool_and(o_totalprice > 1000) AS all_over_1k,
+        bool_or(o_orderstatus = 'F') AS any_final,
+        CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big,
+        CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1 ORDER BY 1"""),
+    covers = Seq("A-bool"))
+
   val all: Seq[QueryDef] =
     Seq(q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
-      q109, q110, q111, q112, q113)
+      q109, q110, q111, q112, q113, q114)
 }

@@ -191,6 +191,25 @@ object EventStreams {
     ()
   }
 
+  /** Stream documents into a [[graft.store.DedupStore]]: every
+    * micro-batch admits only never-seen keys (bloom prefilter + exact
+    * verify), and the engine's replay-stable batch ids paired with the
+    * store's ledger make admission exactly-once across crashes — the
+    * streaming front door of the corpus-curation pipeline.
+    */
+  def admitDocuments(
+      docs: DataFrame,
+      store: graft.store.DedupStore,
+      checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        store.admit(s"stream_$batchId", batch)
+        ()
+      }
+      .start()
+
   /** Gap-based sessionization via flatMapGroupsWithState: a session
     * closes when `gapMinutes` pass without an event for that user
     * (tracked with event-time timeouts against the watermark).

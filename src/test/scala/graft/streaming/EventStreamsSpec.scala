@@ -189,6 +189,31 @@ class EventStreamsSpec extends SparkSpec {
     assert(rows == Map("click" -> Some("engagement"), "purchase" -> None))
   }
 
+  test("admitDocuments streams never-seen docs into a DedupStore exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("admit_store").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("admit_ckpt").toString
+    val store = new graft.store.DedupStore(
+      new graft.store.TableStore(spark, root), "corpus", "text", 10000)
+    val input = MemoryStream[(Long, String)]
+    val query = EventStreams.admitDocuments(
+      input.toDF().toDF("doc_id", "text"), store, ckpt)
+
+    input.addData((1L, "alpha"), (2L, "beta"))
+    query.processAllAvailable()
+    input.addData((3L, "beta"), (4L, "gamma"), (5L, "gamma"))
+    query.processAllAvailable()
+    query.stop()
+
+    val kept = store.corpus.get.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSet
+    assert(kept == Set(1L -> "alpha", 2L -> "beta", 4L -> "gamma"))
+    // crash-replay of an already-committed engine batch id is a no-op
+    assert(store.admit("stream_1",
+      Seq((9L, "gamma"), (10L, "new")).toDF("doc_id", "text")) == 0L)
+  }
+
   test("maintainAggregate folds micro-batches into the stored view exactly once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
