@@ -32,6 +32,31 @@ class StripAccentsSpec extends SparkSpec {
     assert(plan.contains("*(1)"), plan) // fused into WholeStageCodegen
   }
 
+  test("idempotent, mark-free, and ASCII-fixpoint on random unicode") {
+    import spark.implicits._
+    val gen = org.scalacheck.Gen.listOfN(12,
+      org.scalacheck.Gen.frequency(
+        6 -> org.scalacheck.Gen.alphaNumChar,
+        2 -> org.scalacheck.Gen.oneOf("áéíóúàèüöñçÁÉÖÜŠžđ№ "),
+        1 -> org.scalacheck.Gen.oneOf('̀' to 'ͯ'), // bare marks
+        1 -> org.scalacheck.Gen.oneOf("日本語한글")))
+      .map(_.mkString)
+    val samples = org.scalacheck.Gen.listOfN(200, gen)
+      .apply(org.scalacheck.Gen.Parameters.default,
+        org.scalacheck.rng.Seed(42L)).get
+    val rows = samples.toDF("s").select(col("s"),
+        StripAccents(spark, col("s")).as("once"),
+        StripAccents(spark, StripAccents(spark, col("s"))).as("twice"))
+      .collect()
+    rows.foreach { r =>
+      val (s, once, twice) = (r.getString(0), r.getString(1), r.getString(2))
+      assert(once == twice, s"not idempotent on '$s'")
+      assert(!once.exists(ch =>
+        Character.getType(ch) == Character.NON_SPACING_MARK))
+      if (s.forall(_ < 128)) assert(once == s)
+    }
+  }
+
   test("matches DuckDB strip_accents semantics on NFC input (q98 contract)") {
     import spark.implicits._
     // composed NFC chars decompose then lose only the marks — byte-for-
