@@ -67,6 +67,24 @@ class PqIndexSpec extends SparkSpec {
     assert(refined > adc)
   }
 
+  test("IVF-PQ probes few clusters yet recalls most neighbours after refine") {
+    val (codes, cents, book) = IvfPq.build(emb, "vec_id", "embedding",
+      nClusters = 16, ivfIters = 3, m = 8, k = 16, pqIters = 3)
+    assert(codes.columns.toSet == Set("vec_id", "codes", "recon_norm", "cid"))
+    val got = IvfPq.search(codes, cents, emb, book, queries,
+        "vec_id", "embedding", nprobe = 6, topK = 10, refine = 100)
+      .collect().groupBy(_.getLong(0)).map { case (q, rs) =>
+        q -> rs.map(_.getLong(1)).toSet
+      }
+    val exact = bruteTop(10)
+    assert(got.keySet == exact.keySet)
+    val recall = got.map { case (q, ns) => (ns & exact(q)).size.toDouble / 10 }
+      .sum / got.size
+    // nprobe=6/16 scans ~3/8 of the corpus as codes only; the refine
+    // restores most of the exact top-10
+    assert(recall >= 0.5, s"IVF-PQ recall@10 = $recall")
+  }
+
   test("training is deterministic across runs") {
     val b1 = PqIndex.train(emb, "vec_id", "embedding", 4, 8, 2)
     val b2 = PqIndex.train(emb, "vec_id", "embedding", 4, 8, 2)
