@@ -661,7 +661,41 @@ object Round4Queries {
       FROM orders GROUP BY 1 ORDER BY 1"""),
     covers = Seq("A-bool"))
 
+  // ---------------------------------------------------- decontamination
+  // Benchmark decontamination: training documents sharing any word
+  // 7-gram with the held-out eval split (doc_id % 97 = 0) are flagged
+  // with their overlap count — the n-gram contamination check every
+  // pretraining pipeline runs before training. Eval grams are DISTINCT
+  // and tiny → broadcast; training grams stream through the join
+  // without materializing.
+  private val q115 = QueryDef(
+    "q115_decontamination",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      def grams(df: DataFrame) = df.select(col("doc_id"),
+        explode(array_distinct(WordShingles(s, col("text"), 7))).as("g"))
+      val evalGrams = grams(d.filter(col("doc_id") % 97 === 0))
+        .select("g").distinct()
+      grams(d.filter(col("doc_id") % 97 =!= 0))
+        .join(broadcast(evalGrams), "g")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated_grams"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH tok AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+      evalg AS (
+        SELECT DISTINCT unnest(list_transform(range(1, greatest(len(tk)-5, 1)),
+          i -> tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||tk[i+4]||' '||tk[i+5]||' '||tk[i+6])) AS g
+        FROM tok WHERE doc_id % 97 = 0 AND len(tk) >= 7),
+      traing AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(tk)-5, 1)),
+          i -> tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||tk[i+4]||' '||tk[i+5]||' '||tk[i+6]))) AS g
+        FROM tok WHERE doc_id % 97 <> 0 AND len(tk) >= 7)
+      SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_contaminated_grams
+      FROM traing t JOIN evalg e ON t.g = e.g
+      GROUP BY t.doc_id ORDER BY t.doc_id"""),
+    covers = Seq("T-decontamination", "J1"))
+
   val all: Seq[QueryDef] =
     Seq(q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
-      q109, q110, q111, q112, q113, q114)
+      q109, q110, q111, q112, q113, q114, q115)
 }
