@@ -695,7 +695,31 @@ object Round4Queries {
       GROUP BY t.doc_id ORDER BY t.doc_id"""),
     covers = Seq("T-decontamination", "J1"))
 
+  // ------------------------------------------------------ windowed quantiles
+  // Exact percentiles as WINDOW functions (no group-collapse): per-order
+  // median quantity/price on every line item. Fraction choices keep the
+  // interpolation bit-identical across engines: 0.5 of doubles (halving
+  // is exact and round(a+b)/2 = round((a+b)/2)), 0.25 of the integer
+  // quantities (dyadic interpolation of small ints is exact, the q50
+  // argument).
+  private val q116 = QueryDef(
+    "q116_windowed_quantiles",
+    (s, dir) => {
+      val w = Window.partitionBy("l_orderkey")
+      t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+          percentile(col("l_quantity"), lit(0.5)).over(w).as("med_qty"),
+          percentile(col("l_quantity"), lit(0.25)).over(w).as("q1_qty"),
+          percentile(col("l_extendedprice"), lit(0.5)).over(w).as("med_price"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some("""SELECT l_orderkey, l_linenumber,
+        quantile_cont(l_quantity, 0.5) OVER (PARTITION BY l_orderkey) AS med_qty,
+        quantile_cont(l_quantity, 0.25) OVER (PARTITION BY l_orderkey) AS q1_qty,
+        quantile_cont(l_extendedprice, 0.5) OVER (PARTITION BY l_orderkey) AS med_price
+      FROM lineitem ORDER BY l_orderkey, l_linenumber"""),
+    covers = Seq("W-quantile"))
+
   val all: Seq[QueryDef] =
     Seq(q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
-      q109, q110, q111, q112, q113, q114, q115)
+      q109, q110, q111, q112, q113, q114, q115, q116)
 }

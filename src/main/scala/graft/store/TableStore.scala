@@ -246,6 +246,72 @@ final class TableStore(spark: SparkSession, root: String) {
       .count(s => s.isFile && s.getPath.getName.startsWith("part-"))
   }
 
+  // ------------------------------------------------------- time travel
+
+  /** Commit `df` as the next version of a versioned table
+    * (`<table>/v=N/`); returns the new version number. Old versions
+    * are immutable and never touched — a reader of v3 is unaffected
+    * by the commit of v4 (no swap, no rename of shared state), which
+    * is the snapshot-isolation property `swapWrite` cannot give. The
+    * commit marker is the writer's `_SUCCESS` file: a crashed write
+    * leaves a directory without it, which every reader ignores.
+    */
+  def writeVersion(table: String, df: DataFrame): Int = {
+    // number past EVERY existing dir (committed or crashed debris) so
+    // the fresh write never lands in a half-written directory
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    val dir = new Path(path(table))
+    val existing =
+      if (!fs.exists(dir)) Nil
+      else fs.listStatus(dir).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+        .map(_.getPath.getName.stripPrefix("v=").toInt)
+    val next = (0 +: existing).max + 1
+    df.write.parquet(s"${path(table)}/v=$next")
+    next
+  }
+
+  /** Committed versions, ascending ( = dirs carrying `_SUCCESS`). */
+  def versions(table: String): Seq[Int] = {
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    val dir = new Path(path(table))
+    if (!fs.exists(dir)) return Nil
+    fs.listStatus(dir).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .filter(s => fs.exists(new Path(s.getPath, "_SUCCESS")))
+      .map(_.getPath.getName.stripPrefix("v=").toInt)
+      .sorted
+  }
+
+  /** Time travel: read an exact committed version. */
+  def readVersion(table: String, version: Int): DataFrame = {
+    require(versions(table).contains(version),
+      s"version $version of $table does not exist or was never committed")
+    spark.read.parquet(s"${path(table)}/v=$version")
+  }
+
+  /** The latest committed version, if any. */
+  def readLatest(table: String): Option[DataFrame] =
+    versions(table).lastOption.map(readVersion(table, _))
+
+  /** Drop all but the newest `keep` versions (and any uncommitted
+    * debris) — the retention pass that bounds storage growth.
+    */
+  def vacuum(table: String, keep: Int): Unit = {
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    val committed = versions(table)
+    val keepSet = committed.takeRight(keep).toSet
+    val dir = new Path(path(table))
+    if (!fs.exists(dir)) return
+    fs.listStatus(dir).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .filter { s =>
+        val v = s.getPath.getName.stripPrefix("v=").toInt
+        !keepSet.contains(v)
+      }
+      .foreach(s => fs.delete(s.getPath, true))
+  }
+
   /** Write `df` (which reads from `table`) to a temp location, then
     * atomically swap directories. Every rename is checked: on failure
     * the target is restored from the `__old` backup and the backup is

@@ -106,6 +106,30 @@ class TableStoreSpec extends SparkSpec {
     assert(cur == Map("a" -> 5, "b" -> 2, "c" -> 3))
   }
 
+  test("versioned writes time-travel; uncommitted debris is invisible; vacuum retains") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("store_tt").toString
+    val store = new TableStore(spark, root)
+    assert(store.writeVersion("t", Seq((1, "a")).toDF("k", "v")) == 1)
+    assert(store.writeVersion("t", Seq((1, "a"), (2, "b")).toDF("k", "v")) == 2)
+    // old version is untouched by the new commit (snapshot isolation)
+    assert(store.readVersion("t", 1).count() == 1)
+    assert(store.readLatest("t").get.count() == 2)
+    // a crashed write = directory without _SUCCESS → readers ignore it
+    val crashed = new java.io.File(s"$root/t/v=3"); crashed.mkdirs()
+    new java.io.File(crashed, "part-junk.parquet").createNewFile()
+    assert(store.versions("t") == Seq(1, 2))
+    assert(store.readLatest("t").get.count() == 2)
+    // the next commit claims a fresh number above the debris or reuses
+    // 3's slot only if uncommitted — either way it becomes the latest
+    val v = store.writeVersion("t", Seq((9, "z")).toDF("k", "v"))
+    assert(store.versions("t").last == v)
+    intercept[IllegalArgumentException](store.readVersion("t", 99))
+    store.vacuum("t", keep = 1)
+    assert(store.versions("t") == Seq(v))
+    assert(!new java.io.File(s"$root/t/v=1").exists())
+  }
+
   test("scd2Upsert discards late-arriving stale rows (history stays monotone)") {
     import spark.implicits._
     val store = newStore()
