@@ -719,7 +719,80 @@ object Round4Queries {
       FROM lineitem ORDER BY l_orderkey, l_linenumber"""),
     covers = Seq("W-quantile"))
 
+  // ------------------------------------------------- NOT IN null semantics
+  // The classic three-valued-logic footgun, pinned: NOT IN against a
+  // null-free subquery behaves like an anti-join (3 customers), but a
+  // single NULL in the subquery makes NOT IN UNKNOWN for every
+  // non-matching row — zero results. Both engines must agree on both.
+  private val q117 = QueryDef(
+    "q117_not_in_nulls",
+    (s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("ni_c")
+      t(s, dir, "orders").createOrReplaceTempView("ni_o")
+      s.sql("""SELECT
+        (SELECT count(*) FROM ni_c
+         WHERE c_custkey NOT IN (SELECT o_custkey FROM ni_o
+                                 WHERE o_totalprice > 300000)) AS n_clean,
+        (SELECT count(*) FROM ni_c
+         WHERE c_custkey NOT IN (SELECT nullif(o_custkey, 7) FROM ni_o
+                                 WHERE o_totalprice > 300000)) AS n_poisoned""")
+    },
+    Some("""SELECT
+      (SELECT CAST(count(*) AS BIGINT) FROM customer
+       WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                               WHERE o_totalprice > 300000)) AS n_clean,
+      (SELECT CAST(count(*) AS BIGINT) FROM customer
+       WHERE c_custkey NOT IN (SELECT nullif(o_custkey, 7) FROM orders
+                               WHERE o_totalprice > 300000)) AS n_poisoned"""),
+    covers = Seq("C-not-in-3vl"))
+
+  // ----------------------------------------------------------- dynamic pivot
+  // Pivot with DISCOVERED values: the Spark side passes no value list
+  // (pivot() plans an internal distinct + sorts the values), and must
+  // land on exactly the columns the oracle spells out by hand — q44
+  // gates the fixed-list form.
+  private val q118 = QueryDef(
+    "q118_dynamic_pivot",
+    (s, dir) => {
+      val dec = DecimalType(18, 2)
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .filter(col("n_nationkey") < 4)
+        .groupBy(col("c_mktsegment").as("seg"))
+        .pivot("n_name") // no value list: discovered + sorted by Spark
+        .agg(sum(col("c_acctbal").cast(dec)).cast("double"))
+        .orderBy("seg")
+    },
+    Some("""SELECT c_mktsegment AS seg,
+        CAST(sum(CASE WHEN n_name='NATION_0' THEN CAST(c_acctbal AS DECIMAL(18,2)) END) AS DOUBLE) AS "NATION_0",
+        CAST(sum(CASE WHEN n_name='NATION_1' THEN CAST(c_acctbal AS DECIMAL(18,2)) END) AS DOUBLE) AS "NATION_1",
+        CAST(sum(CASE WHEN n_name='NATION_2' THEN CAST(c_acctbal AS DECIMAL(18,2)) END) AS DOUBLE) AS "NATION_2",
+        CAST(sum(CASE WHEN n_name='NATION_3' THEN CAST(c_acctbal AS DECIMAL(18,2)) END) AS DOUBLE) AS "NATION_3"
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      WHERE n_nationkey < 4
+      GROUP BY seg ORDER BY seg"""),
+    covers = Seq("A-pivot-dynamic"))
+
+  // ------------------------------------------------------------- right join
+  // RIGHT OUTER with the dimension predicate in the JOIN condition
+  // (not the WHERE clause — there it would kill the outer rows): every
+  // supplier survives, nation only attaches below the key cutoff.
+  private val q119 = QueryDef(
+    "q119_right_join",
+    (s, dir) =>
+      t(s, dir, "nation")
+        .join(t(s, dir, "supplier"),
+          col("s_nationkey") === col("n_nationkey") && col("n_nationkey") < 10,
+          "right")
+        .select(col("s_suppkey"), col("s_name"), col("n_name"))
+        .orderBy("s_suppkey"),
+    Some("""SELECT s_suppkey, s_name, n_name
+      FROM nation RIGHT JOIN supplier
+        ON s_nationkey = n_nationkey AND n_nationkey < 10
+      ORDER BY s_suppkey"""),
+    covers = Seq("J-right-outer"))
+
   val all: Seq[QueryDef] =
     Seq(q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
-      q109, q110, q111, q112, q113, q114, q115, q116)
+      q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119)
 }
