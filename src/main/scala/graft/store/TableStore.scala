@@ -246,6 +246,36 @@ final class TableStore(spark: SparkSession, root: String) {
       .count(s => s.isFile && s.getPath.getName.startsWith("part-"))
   }
 
+  /** Register every readable stored table as a temp view (SURVEY §7.1's
+    * temp-view registry) so the whole store is queryable through
+    * `spark.sql`. Multi-part tables (AggTable/DedupStore state) expose
+    * their leaf datasets as `<table>_<part>`; swap debris (`__tmp`,
+    * `__old`) is skipped. Returns the registered view names.
+    */
+  def registerViews(): Seq[String] = {
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    def leaves(p: Path, rel: String): Seq[String] = {
+      val entries = fs.listStatus(p).toSeq
+      if (entries.exists(e => e.isFile && e.getPath.getName.startsWith("part-")))
+        Seq(rel)
+      else entries.filter(_.isDirectory)
+        .filterNot(e => e.getPath.getName.endsWith("__tmp") ||
+          e.getPath.getName.endsWith("__old"))
+        .flatMap(e => leaves(e.getPath, s"$rel/${e.getPath.getName}"))
+    }
+    val rootPath = new Path(root)
+    if (!fs.exists(rootPath)) return Nil
+    fs.listStatus(rootPath).toSeq.filter(_.isDirectory)
+      .filterNot(e => e.getPath.getName.endsWith("__tmp") ||
+        e.getPath.getName.endsWith("__old"))
+      .flatMap(e => leaves(e.getPath, e.getPath.getName))
+      .map { rel =>
+        val view = rel.replaceAll("[^A-Za-z0-9_]", "_")
+        spark.read.parquet(s"$root/$rel").createOrReplaceTempView(view)
+        view
+      }
+  }
+
   // ------------------------------------------------------- time travel
 
   /** Commit `df` as the next version of a versioned table

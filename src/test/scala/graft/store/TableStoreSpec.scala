@@ -106,6 +106,19 @@ class TableStoreSpec extends SparkSpec {
     assert(cur == Map("a" -> 5, "b" -> 2, "c" -> 3))
   }
 
+  test("registerViews exposes the whole store (incl. multi-part tables) to spark.sql") {
+    import spark.implicits._
+    val store = newStore()
+    store.write("plain", Seq((1, "a")).toDF("k", "v"))
+    val agg = new AggTable(store, "stats", AggSpec(Seq("k"), Seq("x")))
+    agg.accumulate("b1", Seq(("a", 1.0)).toDF("k", "x"))
+    val views = store.registerViews()
+    assert(views.contains("plain") && views.contains("stats_state") &&
+      views.contains("stats_ledger"))
+    assert(spark.sql("SELECT v FROM plain").head().getString(0) == "a")
+    assert(spark.sql("SELECT batch_id FROM stats_ledger").head().getString(0) == "b1")
+  }
+
   test("versioned writes time-travel; uncommitted debris is invisible; vacuum retains") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("store_tt").toString
