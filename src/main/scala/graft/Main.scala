@@ -77,8 +77,14 @@ object Main {
     val touchedNull = touched.contains(None)
 
     // Load 2 (silver): latest-wins upsert — re-running the same batch
-    // is a no-op, later batches update ongoing disruptions.
-    store.upsert("disruptions", cleaned, "disruption_id", "updated_at")
+    // is a no-op, later batches update ongoing disruptions. Quality
+    // counters (observe/CollectMetrics) ride the load job itself — the
+    // reference's per-run record accounting without a second scan;
+    // a QueryExecutionListener (or StreamingQueryListener) drains them.
+    val observed = graft.etl.Metrics.observeQuality(cleaned, "silver_load",
+      nullCols = Seq("end_time", "duration_minutes"),
+      checks = Map("impact_range" -> col("impact_level").between(1, 5)))
+    store.upsert("disruptions", observed, "disruption_id", "updated_at")
 
     // Dimension seed (ON CONFLICT DO NOTHING ≡ append-if-absent).
     val stations = spark.createDataFrame(NsSchemas.stationSeed)
