@@ -792,7 +792,61 @@ object Round4Queries {
       ORDER BY s_suppkey"""),
     covers = Seq("J-right-outer"))
 
+  // ------------------------------------------------- as-of with tolerance
+  // Bounded-staleness as-of join: the latest purchase at-or-before each
+  // click still matches ONLY within a 1-hour window — stale matches
+  // yield nulls, the freshness contract real feature/enrichment joins
+  // carry (q41 gates the unbounded form; same one-shuffle union+window
+  // plan).
+  private val q120 = QueryDef(
+    "q120_asof_tolerance",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"), col("event_id"))
+      graft.operators.AsOfJoin
+        .asof(clicks, purchases, "user_id", "ts", "ts",
+          Seq("value", "event_id"), tiebreak = "event_id",
+          toleranceMs = 3600000L)
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_clicks"),
+          count(col("asof_value")).as("n_matched"),
+          sum(col("asof_value").cast("decimal(18,2)")).cast("double")
+            .as("sum_asof_value"))
+        .orderBy("user_id")
+    },
+    Some("""WITH clicks AS (
+        SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+      purch AS (
+        SELECT user_id, ts, value, event_id FROM events WHERE event_type = 'purchase'),
+      u AS (
+        SELECT user_id, ts AS t, 1 AS is_left, CAST(NULL AS BIGINT) AS rtb,
+               CAST(NULL AS DOUBLE) AS p_value
+        FROM clicks
+        UNION ALL
+        SELECT user_id, ts, 0, event_id, value FROM purch),
+      c AS (
+        SELECT user_id, t, is_left,
+          last_value(CASE WHEN is_left = 0 THEN p_value END IGNORE NULLS) OVER w AS av,
+          last_value(CASE WHEN is_left = 0 THEN t END IGNORE NULLS) OVER w AS art
+        FROM u
+        WINDOW w AS (PARTITION BY user_id ORDER BY t, is_left, rtb
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      m AS (
+        SELECT user_id, t,
+          CASE WHEN art IS NOT NULL AND t - art <= INTERVAL 1 HOUR THEN av END AS av
+        FROM c WHERE is_left = 1)
+      SELECT user_id,
+        CAST(COUNT(*) AS BIGINT) AS n_clicks,
+        CAST(COUNT(av) AS BIGINT) AS n_matched,
+        CAST(SUM(CAST(av AS DECIMAL(18,2))) AS DOUBLE) AS sum_asof_value
+      FROM m GROUP BY user_id ORDER BY user_id"""),
+    covers = Seq("J-asof-tolerance"))
+
   val all: Seq[QueryDef] =
     Seq(q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
-      q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119)
+      q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120)
 }
