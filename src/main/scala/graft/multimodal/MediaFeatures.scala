@@ -113,6 +113,43 @@ object MediaFeatures {
     }
   }
 
+  /** One resized media row: original + post-resize byte lengths, the
+    * metadata re-derived by decoding the resized payload, and its
+    * digest (the write-side identity of the resized object).
+    */
+  case class ResizedMedia(
+      media_id: Long,
+      media_type: String,
+      orig_len: Long,
+      new_len: Long,
+      new_width: Int,
+      new_height: Int,
+      resized_sha256: String)
+
+  /** Distributed resize: every payload through the codec stub at a
+    * target (w, h), metadata refreshed from the resized bytes — the
+    * thumbnail/downsample pass of an image pipeline. Per-partition
+    * codec/digest instances, rows stream through; at scale the output
+    * column replaces `content` in a new table generation rather than
+    * mutating in place.
+    */
+  def resizeAll(media: DataFrame, w: Int, h: Int): Dataset[ResizedMedia] = {
+    implicit val enc = Encoders.product[ResizedMedia]
+    implicit val rowEnc = Encoders.product[MediaRow]
+    media.as[MediaRow].mapPartitions { rows =>
+      val digest = MessageDigest.getInstance("SHA-256")
+      rows.map { r =>
+        val bytes = if (r.content == null) Array.emptyByteArray else r.content
+        val resized = Codec.resize(bytes, w, h)
+        val dec = Codec.decode(r.media_type, resized)
+        digest.reset()
+        val sha = digest.digest(resized).map("%02x".format(_)).mkString
+        ResizedMedia(r.media_id, r.media_type, bytes.length.toLong,
+          resized.length.toLong, dec.width, dec.height, sha)
+      }
+    }
+  }
+
   /** Per-partition batch feature extraction. One codec/digest instance
     * per partition (not per row) — the batch shape that amortizes
     * model/codec init at scale; rows stream through without

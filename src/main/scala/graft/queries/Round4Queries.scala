@@ -846,7 +846,45 @@ object Round4Queries {
       FROM m GROUP BY user_id ORDER BY user_id"""),
     covers = Seq("J-asof-tolerance"))
 
+  // ------------------------------------------------------- media resize
+  // Distributed resize through the deterministic codec stub (q48's
+  // derivation of binary media from document bytes): payloads resized
+  // to a 64×32 target, metadata re-decoded from the RESIZED bytes, and
+  // the resized object's sha256 — all SQL-checkable because the stub
+  // is byte arithmetic (prefix take) over ASCII text.
+  private val q121 = QueryDef(
+    "q121_media_resize",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val mod = col("doc_id") % 3
+      val media = d.select(
+        col("doc_id").as("media_id"),
+        when(mod === 0, "image").when(mod === 1, "audio").otherwise("video")
+          .as("media_type"),
+        lit(null).cast("string").as("uri"),
+        col("text").cast("binary").as("content"),
+        lit(null).cast("int").as("meta_width"),
+        lit(null).cast("int").as("meta_height"),
+        lit(null).cast("int").as("meta_sample_rate"))
+      graft.multimodal.MediaFeatures.resizeAll(media, 64, 32)
+        .toDF().orderBy("media_id")
+    },
+    Some("""WITH media AS (
+        SELECT doc_id AS media_id,
+          CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+          text, octet_length(encode(text)) AS n FROM documents),
+      r AS (SELECT *, greatest(16, least(n, 64*32 // 64)) AS k FROM media)
+      SELECT media_id, media_type,
+        CAST(n AS BIGINT) AS orig_len,
+        CAST(k AS BIGINT) AS new_len,
+        CAST(CASE media_type WHEN 'image' THEN 1 + (k % 1024) WHEN 'video' THEN 640 ELSE 0 END AS INTEGER) AS new_width,
+        CAST(CASE media_type WHEN 'image' THEN 1 + ((k // 1024) % 1024) WHEN 'video' THEN 360 ELSE 0 END AS INTEGER) AS new_height,
+        sha256(substr(text, 1, k)) AS resized_sha256
+      FROM r ORDER BY media_id"""),
+    covers = Seq("MM-resize"))
+
   val all: Seq[QueryDef] =
     Seq(q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
-      q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120)
+      q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120,
+      q121)
 }
