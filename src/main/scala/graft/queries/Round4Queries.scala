@@ -883,8 +883,88 @@ object Round4Queries {
       FROM r ORDER BY media_id"""),
     covers = Seq("MM-resize"))
 
+  // ---------------------------------------------------------- outer explode
+  // explode_outer: unnesting that PRESERVES rows whose array is empty
+  // (plain explode silently drops them — the subtle row-loss bug in
+  // naive token pipelines). Null results ordered via sentinel so both
+  // engines agree (Spark sorts NULLS FIRST, DuckDB LAST).
+  private val q122 = QueryDef(
+    "q122_explode_outer",
+    (s, dir) => {
+      val arr = t(s, dir, "documents").filter(col("doc_id") < 40)
+        .select(col("doc_id"),
+          filter(split(col("text"), " "), w => length(w) > 6).as("rare"))
+      arr.select(col("doc_id"), explode_outer(col("rare")).as("rare_word"))
+        .orderBy(col("doc_id"), coalesce(col("rare_word"), lit("~")))
+    },
+    Some("""WITH arr AS (
+        SELECT doc_id, list_filter(string_split(text,' '), w -> len(w) > 6) AS rare
+        FROM documents WHERE doc_id < 40)
+      SELECT a.doc_id, u.w AS rare_word
+      FROM arr a LEFT JOIN (SELECT doc_id, unnest(rare) AS w FROM arr) u
+        ON a.doc_id = u.doc_id
+      ORDER BY a.doc_id, coalesce(u.w, '~')"""),
+    covers = Seq("A6-outer"))
+
+  // ---------------------------------------------------- tumbling windows
+  // Arbitrary-interval time bucketing with the native window()
+  // function (15-minute tumbling) — the batch twin of the streaming
+  // windowedCounts, epoch-aligned exactly like DuckDB's time_bucket.
+  private val q123 = QueryDef(
+    "q123_time_bucket",
+    (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "15 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("w_start"), col("event_type"), col("n"))
+        .orderBy("w_start", "event_type"),
+    Some("""SELECT time_bucket(INTERVAL 15 MINUTE, ts) AS w_start, event_type,
+        CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2"""),
+    covers = Seq("A5-interval"))
+
+  // ------------------------------------------------------ quarantine channel
+  // Row-level error channel: JSON payloads corrupted deterministically
+  // (truncated for event_id % 7 = 0) parse to NULL instead of failing
+  // the job; good rows contribute typed values, bad rows are counted
+  // into the quarantine — the reference's try/except-per-record
+  // (pipeline.py:222-298) as a set-based split.
+  private val q124 = QueryDef(
+    "q124_json_quarantine",
+    (s, dir) => {
+      val e = t(s, dir, "events").withColumn("props2",
+        when(col("event_id") % 7 === 0,
+          substring(col("props"), lit(1), length(col("props")) - 1))
+          .otherwise(col("props")))
+      val parsed = e.withColumn("j",
+        from_json(col("props2"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.IntegerType)))))
+      // PERMISSIVE from_json yields a null-FIELDED struct on corrupt
+      // input, not a null struct — classify on the required field
+      // (every valid payload carries k), mirroring json_valid
+      parsed.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          count(col("j.k")).as("n_good"),
+          (count(lit(1)) - count(col("j.k"))).as("n_quarantined"),
+          sum(col("j.k").cast(LongType)).as("sum_k"))
+        .orderBy("event_type")
+    },
+    Some("""WITH e AS (
+        SELECT event_type,
+          CASE WHEN event_id % 7 = 0 THEN substr(props, 1, len(props) - 1)
+               ELSE props END AS props2
+        FROM events)
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CASE WHEN json_valid(props2) THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+        CAST(sum(CASE WHEN json_valid(props2) THEN 0 ELSE 1 END) AS BIGINT) AS n_quarantined,
+        CAST(sum(CASE WHEN json_valid(props2)
+                 THEN CAST(json_extract(props2, '$.k') AS BIGINT) END) AS BIGINT) AS sum_k
+      FROM e GROUP BY event_type ORDER BY event_type"""),
+    covers = Seq("P9-quarantine", "C-json"))
+
   val all: Seq[QueryDef] =
     Seq(q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
       q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120,
-      q121)
+      q121, q122, q123, q124)
 }
