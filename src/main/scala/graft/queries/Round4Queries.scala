@@ -963,8 +963,73 @@ object Round4Queries {
       FROM e GROUP BY event_type ORDER BY event_type"""),
     covers = Seq("P9-quarantine", "C-json"))
 
+  // ----------------------------------------- correlated aggregate (TPC-H Q17)
+  // Small-quantity revenue against a PER-PART correlated average —
+  // Catalyst decorrelates the scalar subquery into an aggregate +
+  // join instead of re-running it per row. Quantity sums of small ints
+  // are exact, so the 0.2×avg threshold is deterministic.
+  private val q125 = QueryDef(
+    "q125_correlated_avg",
+    (s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("ca_l")
+      t(s, dir, "part").createOrReplaceTempView("ca_p")
+      s.sql("""SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7
+          AS avg_yearly,
+        count(*) AS n_small
+        FROM ca_l l JOIN ca_p p ON p_partkey = l_partkey
+        WHERE p_size < 10
+          AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM ca_l l2
+                            WHERE l2.l_partkey = l.l_partkey)""")
+    },
+    Some("""SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7
+        AS avg_yearly,
+      CAST(count(*) AS BIGINT) AS n_small
+      FROM lineitem l JOIN part p ON p_partkey = l_partkey
+      WHERE p_size < 10
+        AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+                          WHERE l2.l_partkey = l.l_partkey)"""),
+    covers = Seq("C2-correlated"))
+
+  // -------------------------------------- multi-existential (TPC-H Q21)
+  // Sole-failure suppliers: EXISTS another supplier on the order AND
+  // NOT EXISTS another FAILING supplier — one semi- plus one anti-join
+  // against the same fact after decorrelation, the hardest standard
+  // subquery shape.
+  private val q126 = QueryDef(
+    "q126_sole_failure",
+    (s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("sf_l")
+      t(s, dir, "orders").createOrReplaceTempView("sf_o")
+      t(s, dir, "supplier").createOrReplaceTempView("sf_s")
+      s.sql("""SELECT s_name, count(*) AS numwait
+        FROM sf_s, sf_l l1, sf_o
+        WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+          AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+          AND EXISTS (SELECT 1 FROM sf_l l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM sf_l l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+        GROUP BY s_name ORDER BY numwait DESC, s_name""")
+    },
+    Some("""SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+      FROM supplier, lineitem l1, orders
+      WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        AND EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.l_returnflag = 'R')
+      GROUP BY s_name ORDER BY numwait DESC, s_name"""),
+    covers = Seq("C-multi-exists"))
+
   val all: Seq[QueryDef] =
     Seq(q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
       q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120,
-      q121, q122, q123, q124)
+      q121, q122, q123, q124, q125, q126)
 }
