@@ -20,7 +20,13 @@ class PlanGuardSpec extends SparkSpec {
     "q55_embedding_norms", "q56_levenshtein", "q57_argmax",
     "q76_lateral_topk", "q77_exists_subquery", "q82_nullsafe_join",
     "q91_sparse_dot", "q93_lsh_incremental", "q94_incremental_agg",
-    "q95_embedding_neardup")
+    "q95_embedding_neardup",
+    // round 3: star join, containment postings, full/right outer,
+    // decontamination, TPC-H-shape decorrelations, asof tolerance
+    "q99_bloom_prefilter", "q102_oov_rate", "q103_star_join",
+    "q105_containment", "q107_full_outer", "q112_snapshot_diff",
+    "q115_decontamination", "q119_right_join", "q120_asof_tolerance",
+    "q125_correlated_avg", "q126_sole_failure")
 
   test("no nested-loop or cartesian joins in shuffle-sensitive queries") {
     val dir = "/root/testdata/sf0.001"
