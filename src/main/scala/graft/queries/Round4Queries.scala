@@ -1028,8 +1028,52 @@ object Round4Queries {
       GROUP BY s_name ORDER BY numwait DESC, s_name"""),
     covers = Seq("C-multi-exists"))
 
+  // ------------------------------------------------------- source drift
+  // Distribution-drift monitor: term-share difference between two
+  // source groups, top movers first — the corpus-mix check run before
+  // admitting a new crawl into training data. Shares are single
+  // divisions of exact counts; ranking on the shared IEEE drift tree
+  // with a term tiebreak is therefore engine-stable.
+  private val q127 = QueryDef(
+    "q127_source_drift",
+    (s, dir) => {
+      val tok = t(s, dir, "documents").select(
+        when(col("source").isin("src0", "src1", "src2"), "a").otherwise("b")
+          .as("grp"),
+        explode(split(col("text"), " ")).as("w"))
+      val wide = tok.groupBy("w").agg(
+        count_if(col("grp") === "a").as("n_a"),
+        count_if(col("grp") === "b").as("n_b"))
+      val tot = wide.agg(sum("n_a").as("ta"), sum("n_b").as("tb"))
+      val drift = col("n_a").cast("double") / col("ta") -
+        col("n_b").cast("double") / col("tb")
+      wide.crossJoin(broadcast(tot))
+        .select(col("w").as("term"), col("n_a"), col("n_b"),
+          drift.as("share_drift"))
+        .orderBy(abs(drift).desc, col("term"))
+        .limit(15)
+    },
+    Some("""WITH tok AS (
+        SELECT CASE WHEN source IN ('src0','src1','src2') THEN 'a' ELSE 'b' END AS grp,
+          unnest(string_split(text,' ')) AS w
+        FROM documents),
+      c AS (SELECT grp, w, CAST(count(*) AS BIGINT) n FROM tok GROUP BY 1, 2),
+      tot AS (SELECT grp, CAST(sum(n) AS BIGINT) t FROM c GROUP BY 1),
+      wide AS (
+        SELECT w,
+          coalesce(max(CASE WHEN grp='a' THEN n END), 0) AS n_a,
+          coalesce(max(CASE WHEN grp='b' THEN n END), 0) AS n_b
+        FROM c GROUP BY w),
+      ta AS (SELECT t FROM tot WHERE grp='a'), tb AS (SELECT t FROM tot WHERE grp='b')
+      SELECT w AS term, n_a, n_b,
+        CAST(n_a AS DOUBLE)/ta.t - CAST(n_b AS DOUBLE)/tb.t AS share_drift
+      FROM wide, ta, tb
+      ORDER BY abs(CAST(n_a AS DOUBLE)/ta.t - CAST(n_b AS DOUBLE)/tb.t) DESC, term
+      LIMIT 15"""),
+    covers = Seq("T-drift"))
+
   val all: Seq[QueryDef] =
     Seq(q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
       q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120,
-      q121, q122, q123, q124, q125, q126)
+      q121, q122, q123, q124, q125, q126, q127)
 }
