@@ -170,6 +170,38 @@ class EventStreamsSpec extends SparkSpec {
     assert(counts() == before)
   }
 
+  test("countsToStore restarts from the checkpoint without duplication") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("rs_store").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("rs_ckpt").toString
+    val store = new graft.store.TableStore(spark, root)
+
+    val in1 = MemoryStream[Event]
+    val q1 = EventStreams.countsToStore(in1.toDF(), store, "wc_rs",
+      ckpt, windowLength = "10 minutes", lateness = "0 seconds")
+    in1.addData(Event(1L, ts(1), "click", 1.0), Event(2L, ts(2), "view", 2.0))
+    q1.processAllAvailable()
+    q1.stop() // "crash"
+
+    // a NEW query over the SAME checkpoint resumes batch numbering —
+    // a fresh source continues the stream, nothing lands twice
+    val in2 = MemoryStream[Event]
+    val q2 = EventStreams.countsToStore(in2.toDF(), store, "wc_rs",
+      ckpt, windowLength = "10 minutes", lateness = "0 seconds")
+    in2.addData(Event(3L, ts(5), "click", 4.0))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val rows = store.read("wc_rs").get.collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("window_start"),
+        r.getAs[String]("event_type")) -> r.getAs[Long]("n_events")).toMap
+    // restart produced a refined single row per (window, type), no dups
+    assert(rows.size == 2)
+    assert(rows((ts(0), "view")) == 1L)
+    assert(rows((ts(0), "click")) >= 1L)
+  }
+
   test("enrich joins each micro-batch to the broadcast static dim; misses keep NULLs") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
