@@ -191,6 +191,54 @@ object EventStreams {
     ()
   }
 
+  case class StatsState(n: Long, mean: Double, m2: Double)
+
+  case class Anomaly(
+      user_id: Long, ts: Timestamp, value: Double, zscore: Double)
+
+  /** Streaming anomaly detection with custom per-key state: each
+    * user's value stream maintains Welford running mean/variance (O(1)
+    * state per key — no window buffer), and an event more than
+    * `zThreshold` standard deviations from the mean SO FAR is emitted
+    * as an anomaly. The state is updated with the anomalous value too,
+    * so level shifts eventually re-baseline instead of alerting
+    * forever — the standard production behavior. Warm-up: the first
+    * `minSamples` events per key only train the baseline.
+    */
+  def anomalies(
+      events: Dataset[Event],
+      zThreshold: Double = 3.0,
+      minSamples: Int = 5): Dataset[Anomaly] = {
+    import events.sparkSession.implicits._
+
+    def update(
+        userId: Long,
+        rows: Iterator[Event],
+        state: GroupState[StatsState]): Iterator[Anomaly] = {
+      var st = state.getOption.getOrElse(StatsState(0L, 0.0, 0.0))
+      var out = List.empty[Anomaly]
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.value)).foreach { e =>
+        if (st.n >= minSamples) {
+          val variance = st.m2 / st.n
+          val sd = math.sqrt(variance)
+          if (sd > 0 && math.abs(e.value - st.mean) > zThreshold * sd)
+            out ::= Anomaly(userId, e.ts, e.value,
+              (e.value - st.mean) / sd)
+        }
+        // Welford update (numerically stable running mean/variance)
+        val n1 = st.n + 1
+        val d = e.value - st.mean
+        val mean1 = st.mean + d / n1
+        st = StatsState(n1, mean1, st.m2 + d * (e.value - mean1))
+      }
+      state.update(st)
+      out.reverseIterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(update)
+  }
+
   /** Stream documents into a [[graft.store.DedupStore]]: every
     * micro-batch admits only never-seen keys (bloom prefilter + exact
     * verify), and the engine's replay-stable batch ids paired with the

@@ -170,6 +170,29 @@ class EventStreamsSpec extends SparkSpec {
     assert(counts() == before)
   }
 
+  test("anomalies flags z-score outliers per key and re-baselines after them") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventStreams.anomalies(input.toDS(), zThreshold = 3.0, minSamples = 5)
+      .writeStream.format("memory").queryName("anoms")
+      .outputMode(OutputMode.Append()).start()
+
+    // user 1: stable baseline around 10 ± 1, then a spike; user 2 all
+    // stable — no alerts
+    val base = Seq(9.0, 10.0, 11.0, 10.0, 9.5, 10.5, 10.0)
+    input.addData(base.zipWithIndex.map { case (v, i) => Event(1L, ts(i), "m", v) }: _*)
+    input.addData(base.zipWithIndex.map { case (v, i) => Event(2L, ts(i), "m", v) }: _*)
+    query.processAllAvailable()
+    input.addData(Event(1L, ts(10), "m", 30.0)) // the spike
+    query.processAllAvailable()
+    val got = spark.sql("SELECT user_id, value, zscore FROM anoms").collect()
+    query.stop()
+    assert(got.length == 1)
+    assert(got.head.getLong(0) == 1L && got.head.getDouble(1) == 30.0)
+    assert(got.head.getDouble(2) > 3.0)
+  }
+
   test("countsToStore restarts from the checkpoint without duplication") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
