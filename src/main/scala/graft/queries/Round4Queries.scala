@@ -1072,8 +1072,54 @@ object Round4Queries {
       LIMIT 15"""),
     covers = Seq("T-drift"))
 
+  // -------------------------------------------------- relational division
+  // "Orders whose EVERY line item satisfies P" — division via
+  // NOT EXISTS a violating row, planned as an anti join (the FORALL
+  // quantifier SQL lacks natively).
+  private val q128 = QueryDef(
+    "q128_relational_division",
+    (s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("rd_l")
+      t(s, dir, "orders").createOrReplaceTempView("rd_o")
+      s.sql("""SELECT o_orderkey, o_orderstatus, count(*) AS n_items
+        FROM rd_o JOIN rd_l ON l_orderkey = o_orderkey
+        WHERE NOT EXISTS (SELECT 1 FROM rd_l l2
+                          WHERE l2.l_orderkey = o_orderkey
+                            AND l2.l_returnflag <> 'N')
+        GROUP BY o_orderkey, o_orderstatus ORDER BY o_orderkey""")
+    },
+    Some("""SELECT o_orderkey, o_orderstatus, CAST(count(*) AS BIGINT) AS n_items
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE NOT EXISTS (SELECT 1 FROM lineitem l2
+                        WHERE l2.l_orderkey = o_orderkey
+                          AND l2.l_returnflag <> 'N')
+      GROUP BY o_orderkey, o_orderstatus ORDER BY o_orderkey"""),
+    covers = Seq("C-division"))
+
+  // -------------------------------------------------------- hopping windows
+  // Overlapping (hopping) windows: 30-minute length sliding by 15 —
+  // every event lands in TWO buckets via the native window() fan-out;
+  // the oracle builds the same fan-out with an explicit 2-offset
+  // unnest. Completes the window family (tumbling q123, session q84).
+  private val q129 = QueryDef(
+    "q129_hopping_window",
+    (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "30 minutes", "15 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("w_start"), col("event_type"), col("n"))
+        .orderBy("w_start", "event_type"),
+    Some("""WITH hop AS (
+        SELECT event_type,
+          time_bucket(INTERVAL 15 MINUTE, ts) - o * INTERVAL 15 MINUTE AS w_start
+        FROM events, (SELECT unnest(range(0, 2)) AS o))
+      SELECT w_start, event_type, CAST(count(*) AS BIGINT) AS n
+      FROM hop GROUP BY 1, 2 ORDER BY 1, 2"""),
+    covers = Seq("A5-hopping"))
+
   val all: Seq[QueryDef] =
     Seq(q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
       q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120,
-      q121, q122, q123, q124, q125, q126, q127)
+      q121, q122, q123, q124, q125, q126, q127, q128, q129)
 }
