@@ -1118,8 +1118,39 @@ object Round4Queries {
       FROM hop GROUP BY 1, 2 ORDER BY 1, 2"""),
     covers = Seq("A5-hopping"))
 
+  // ------------------------------------------------ aggregate null matrix
+  // Null semantics of the aggregate surface pinned on an ALL-NULL
+  // group: count(*) counts rows, count(x) skips nulls, sum/min/max of
+  // nothing are NULL (never 0) — the exact behaviors that silently
+  // corrupt KPIs when an engine deviates.
+  private val q130 = QueryDef(
+    "q130_null_agg_matrix",
+    (s, dir) => {
+      val o = t(s, dir, "orders").select(
+        col("o_orderpriority").as("pri"),
+        when(col("o_orderpriority") === "5-LOW", lit(null))
+          .otherwise(col("o_totalprice")).as("p"))
+      o.groupBy("pri").agg(
+          count(lit(1)).as("n_rows"),
+          count(col("p")).as("n_vals"),
+          sum(col("p").cast(DecimalType(18, 2))).cast("double").as("sum_p"),
+          min(col("p")).as("min_p"),
+          max(col("p")).as("max_p"),
+          (count(lit(1)) - count(col("p"))).as("n_nulls"))
+        .orderBy("pri")
+    },
+    Some("""WITH o AS (SELECT o_orderpriority AS pri,
+          CASE WHEN o_orderpriority = '5-LOW' THEN NULL ELSE o_totalprice END AS p
+        FROM orders)
+      SELECT pri, CAST(count(*) AS BIGINT) n_rows, CAST(count(p) AS BIGINT) n_vals,
+        CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_p,
+        min(p) AS min_p, max(p) AS max_p,
+        CAST(count(*) - count(p) AS BIGINT) AS n_nulls
+      FROM o GROUP BY pri ORDER BY pri"""),
+    covers = Seq("A-null-matrix"))
+
   val all: Seq[QueryDef] =
     Seq(q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
       q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120,
-      q121, q122, q123, q124, q125, q126, q127, q128, q129)
+      q121, q122, q123, q124, q125, q126, q127, q128, q129, q130)
 }
