@@ -372,10 +372,12 @@ object Round4Queries {
       val emb = t(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      val book = PqIndex.train(emb, "vec_id", "embedding", m = 8, k = 16, iters = 2)
+      // iters=1 keeps the gate cheap; PqIndexSpec pins recall with a
+      // fully-trained book — this gate checks the pipeline shape
+      val book = PqIndex.train(emb, "vec_id", "embedding", m = 8, k = 16, iters = 1)
       val codes = PqIndex.encode(emb, "vec_id", "embedding", book)
       PqIndex.searchRefined(codes, emb, queries, book,
-          "vec_id", "embedding", topK = 5, refine = 50)
+          "vec_id", "embedding", topK = 5, refine = 40)
         .orderBy("q_id", "rk")
     },
     None,
