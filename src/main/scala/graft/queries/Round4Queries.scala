@@ -1151,8 +1151,94 @@ object Round4Queries {
       FROM o GROUP BY pri ORDER BY pri"""),
     covers = Seq("A-null-matrix"))
 
+  // ------------------------------------------------------ collocation lift
+  // Bigram collocations by LIFT — P(ab)/(P(a)P(b)) as the rational
+  // n_ab·N/(n_a·n_b), so no logs (PMI's log changes nothing about the
+  // ranking) and the score is one shared IEEE tree over exact counts.
+  // The collocation-mining step of phrase-vocabulary induction.
+  private val q131 = QueryDef(
+    "q131_bigram_lift",
+    (s, dir) => {
+      val tk = t(s, dir, "documents").select(split(col("text"), " ").as("tk"))
+      val uni = tk.select(explode(col("tk")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("n"))
+      val tot = uni.agg(sum("n").as("t"))
+      val big = tk.select(explode(when(size(col("tk")) >= 2,
+          transform(sequence(lit(1), size(col("tk")) - 1),
+            i => concat_ws(" ", element_at(col("tk"), i), element_at(col("tk"), i + 1))))
+          .otherwise(array())).as("bg"))
+        .groupBy("bg").agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 30)
+        .withColumn("wa", split(col("bg"), " ")(0))
+        .withColumn("wb", split(col("bg"), " ")(1))
+      val lift = col("n_ab").cast("double") * col("t") / (col("n_a") * col("n_b"))
+      big
+        .join(uni.select(col("w").as("wa"), col("n").as("n_a")), "wa")
+        .join(uni.select(col("w").as("wb"), col("n").as("n_b")), "wb")
+        .crossJoin(broadcast(tot))
+        .select(col("bg").as("bigram"), col("n_ab"), col("n_a"), col("n_b"),
+          lift.as("lift"))
+        .orderBy(lift.desc, col("bigram"))
+        .limit(20)
+    },
+    Some("""WITH tok AS (SELECT string_split(text,' ') AS tk FROM documents),
+      uni AS (SELECT w, CAST(count(*) AS BIGINT) n
+              FROM (SELECT unnest(tk) w FROM tok) GROUP BY w),
+      tot AS (SELECT CAST(sum(n) AS BIGINT) t FROM uni),
+      big AS (
+        SELECT bg, CAST(count(*) AS BIGINT) n_ab FROM (
+          SELECT unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bg
+          FROM tok) GROUP BY bg),
+      parts AS (
+        SELECT bg, n_ab, string_split(bg, ' ')[1] AS wa, string_split(bg, ' ')[2] AS wb
+        FROM big WHERE n_ab >= 30)
+      SELECT bg AS bigram, n_ab, ua.n AS n_a, ub.n AS n_b,
+        CAST(n_ab AS DOUBLE) * t / (ua.n * ub.n) AS lift
+      FROM parts JOIN uni ua ON wa = ua.w JOIN uni ub ON wb = ub.w, tot
+      ORDER BY CAST(n_ab AS DOUBLE) * t / (ua.n * ub.n) DESC, bigram LIMIT 20"""),
+    covers = Seq("T-collocation"))
+
+  // ------------------------------------------------------------- funnel
+  // Ordered conversion funnel with per-step deadlines: first signup →
+  // first click within 48 h → first purchase within 96 h of that
+  // click. Each step joins only the previous step's survivors on the
+  // key (no window over raw events), which is the funnel shape that
+  // scales; min() timestamps make every step deterministic.
+  private val q132 = QueryDef(
+    "q132_funnel",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      val s1 = e.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("ts")).as("t1"))
+      val s2 = e.filter(col("event_type") === "click")
+        .join(s1, "user_id")
+        .filter(col("ts") > col("t1") &&
+          col("ts") <= col("t1") + expr("INTERVAL 48 HOURS"))
+        .groupBy("user_id").agg(min(col("ts")).as("t2"))
+      val s3 = e.filter(col("event_type") === "purchase")
+        .join(s2, "user_id")
+        .filter(col("ts") > col("t2") &&
+          col("ts") <= col("t2") + expr("INTERVAL 96 HOURS"))
+        .groupBy("user_id").agg(min(col("ts")).as("t3"))
+      s1.agg(count(lit(1)).as("n_signup"))
+        .crossJoin(s2.agg(count(lit(1)).as("n_clicked_48h")))
+        .crossJoin(s3.agg(count(lit(1)).as("n_purchased_96h")))
+    },
+    Some("""WITH s AS (SELECT user_id, min(ts) t1 FROM events
+               WHERE event_type='signup' GROUP BY 1),
+      c AS (SELECT e.user_id, min(ts) t2 FROM events e JOIN s ON e.user_id = s.user_id
+            WHERE event_type='click' AND ts > t1 AND ts <= t1 + INTERVAL 48 HOUR
+            GROUP BY 1),
+      p AS (SELECT e.user_id, min(ts) t3 FROM events e JOIN c ON e.user_id = c.user_id
+            WHERE event_type='purchase' AND ts > t2 AND ts <= t2 + INTERVAL 96 HOUR
+            GROUP BY 1)
+      SELECT CAST((SELECT count(*) FROM s) AS BIGINT) AS n_signup,
+             CAST((SELECT count(*) FROM c) AS BIGINT) AS n_clicked_48h,
+             CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchased_96h"""),
+    covers = Seq("A-funnel"))
+
   val all: Seq[QueryDef] =
     Seq(q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
       q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120,
-      q121, q122, q123, q124, q125, q126, q127, q128, q129, q130)
+      q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132)
 }
