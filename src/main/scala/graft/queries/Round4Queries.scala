@@ -1237,8 +1237,43 @@ object Round4Queries {
              CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchased_96h"""),
     covers = Seq("A-funnel"))
 
+  // ------------------------------------------------------ cohort retention
+  // Weekly cohort retention: users grouped by first-activity week,
+  // counted distinct-active at each week offset — the classic
+  // retention triangle, all integer epoch arithmetic (UTC day
+  // boundaries, DIV week buckets) so both engines agree exactly.
+  private val q133 = QueryDef(
+    "q133_cohort_retention",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      val first = e.groupBy("user_id").agg(to_date(min(col("ts"))).as("d0"))
+      val act = e.join(first, "user_id")
+        .select(col("user_id"),
+          expr("unix_timestamp(CAST(d0 AS TIMESTAMP)) DIV 604800").as("cohort_week"),
+          expr("(unix_timestamp(CAST(to_date(ts) AS TIMESTAMP)) - " +
+            "unix_timestamp(CAST(d0 AS TIMESTAMP))) DIV 604800").as("week_offset"))
+        .distinct()
+      act.groupBy("cohort_week", "week_offset")
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    },
+    Some("""WITH first AS (
+        SELECT user_id, CAST(min(ts) AS DATE) d0 FROM events GROUP BY 1),
+      act AS (
+        SELECT DISTINCT e.user_id,
+          CAST(epoch(CAST(f.d0 AS TIMESTAMP)) AS BIGINT) // 604800 AS cohort_week,
+          (CAST(epoch(CAST(CAST(e.ts AS DATE) AS TIMESTAMP)) AS BIGINT) -
+           CAST(epoch(CAST(f.d0 AS TIMESTAMP)) AS BIGINT)) // 604800 AS week_offset
+        FROM events e JOIN first f ON e.user_id = f.user_id)
+      SELECT CAST(cohort_week AS BIGINT) AS cohort_week,
+        CAST(week_offset AS BIGINT) AS week_offset,
+        CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+      FROM act GROUP BY 1, 2 ORDER BY 1, 2"""),
+    covers = Seq("A-cohort"))
+
   val all: Seq[QueryDef] =
     Seq(q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
       q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120,
-      q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132)
+      q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
+      q133)
 }
