@@ -9,12 +9,20 @@ import graft.Tables
 import graft.dedup.BloomDedup
 import graft.functions.{StripAccents, WordShingles}
 
-/** Round-4 additions: corpus-quality repetition filters (Gopher-style),
-  * accent/unicode text normalization via a native expression,
-  * bloom-prefiltered exact dedup, deterministic weighted (systematic)
-  * sampling, vocabulary construction + OOV rates, a star-schema join,
-  * windowed distinct counts, and shingle-containment near-dup
-  * detection.
+/** Round-3 gate additions (q97–q134).
+  *
+  * Corpus/training-data: Gopher repetition filters, StripAccents
+  * normalization, bloom-prefiltered dedup, systematic weighted
+  * sampling, vocabulary + OOV + coverage, containment near-dup, PQ
+  * ANN, end-to-end curation audit, incremental admission,
+  * decontamination, source drift, collocation lift, media resize.
+  *
+  * Relational/analytic tail: star join, windowed distinct + quantiles,
+  * full/right outer, EWMA, constraints suite, mergeable histogram,
+  * snapshot diff, bool aggs, NOT IN 3VL, dynamic pivot, as-of
+  * tolerance, outer explode, tumbling/hopping window(), JSON
+  * quarantine, TPC-H Q17/Q21 decorrelations, relational division,
+  * null-aggregate matrix, funnel, cohort retention, calendar edges.
   *
   * Determinism rules as everywhere (QueryDef scaladoc): doubles from
   * exact integer/DECIMAL sums through ONE shared IEEE tree, BIGINT
@@ -1271,9 +1279,40 @@ object Round4Queries {
       FROM act GROUP BY 1, 2 ORDER BY 1, 2"""),
     covers = Seq("A-cohort"))
 
+  // ----------------------------------------------------- calendar edges
+  // Month-arithmetic edge semantics pinned: month-end clamping (Jan 31
+  // + 1 month = Feb 28/29, incl. across leap years via last_day),
+  // month truncation, day diffs, quarters — the calendar behaviors
+  // that silently skew period-over-period reports when engines
+  // disagree (q19 gates the everyday date surface).
+  private val q134 = QueryDef(
+    "q134_calendar_edges",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .select(to_date(col("o_orderdate")).as("dt")).distinct()
+        .select(col("dt"),
+          add_months(col("dt"), 1).as("plus_month"),
+          last_day(col("dt")).as("month_end"),
+          add_months(last_day(col("dt")), 1).as("clamped_next"),
+          trunc(col("dt"), "month").as("month_start"),
+          datediff(col("dt"), lit("2024-01-01").cast("date")).cast(LongType)
+            .as("days_since_jan1"),
+          quarter(col("dt")).cast(LongType).as("qtr"))
+        .orderBy("dt"),
+    Some("""WITH d AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS dt FROM orders)
+      SELECT dt,
+        CAST(dt + INTERVAL 1 MONTH AS DATE) AS plus_month,
+        last_day(dt) AS month_end,
+        CAST(last_day(dt) + INTERVAL 1 MONTH AS DATE) AS clamped_next,
+        CAST(date_trunc('month', dt) AS DATE) AS month_start,
+        CAST(date_diff('day', DATE '2024-01-01', dt) AS BIGINT) AS days_since_jan1,
+        CAST(date_part('quarter', dt) AS BIGINT) AS qtr
+      FROM d ORDER BY dt"""),
+    covers = Seq("D-calendar"))
+
   val all: Seq[QueryDef] =
     Seq(q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
       q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120,
       q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
-      q133)
+      q133, q134)
 }
