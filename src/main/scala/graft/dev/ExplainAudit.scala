@@ -13,7 +13,9 @@ object ExplainAudit {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q01_groupby_agg", "q11_join_dims", "q12_topk",
-        "q13_anti_join", "q20_overlap_join", "q36_ns_overlap")
+        "q13_anti_join", "q20_overlap_join", "q36_ns_overlap",
+        "q103_star_join", "q105_containment", "q125_correlated_avg",
+        "q126_sole_failure")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

@@ -1310,9 +1310,32 @@ object Round4Queries {
       FROM d ORDER BY dt"""),
     covers = Seq("D-calendar"))
 
+  // ------------------------------------------------- forward-looking frame
+  // A strictly-ahead window frame (1 FOLLOWING..3 FOLLOWING): look-ahead
+  // aggregation whose frame EXCLUDES the current row — empty frames at
+  // partition tails must yield NULL sums and 0 counts, pinned.
+  private val q135 = QueryDef(
+    "q135_forward_frame",
+    (s, dir) => {
+      val w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+        .rowsBetween(1, 3)
+      t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+          sum(col("l_quantity").cast(LongType)).over(w).as("qty_ahead"),
+          count(lit(1)).over(w).as("n_ahead"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some("""SELECT l_orderkey, l_linenumber,
+        CAST(sum(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_orderkey
+          ORDER BY l_linenumber ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING) AS BIGINT)
+          AS qty_ahead,
+        CAST(count(*) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+          ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING) AS BIGINT) AS n_ahead
+      FROM lineitem ORDER BY l_orderkey, l_linenumber"""),
+    covers = Seq("W-forward-frame"))
+
   val all: Seq[QueryDef] =
     Seq(q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
       q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120,
       q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
-      q133, q134)
+      q133, q134, q135)
 }
