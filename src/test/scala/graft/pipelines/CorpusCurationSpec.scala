@@ -42,6 +42,34 @@ class CorpusCurationSpec extends SparkSpec {
     assert(offending.count() == 0)
   }
 
+  test("streamed curation + admission yields a clean, unique corpus end-to-end") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("cur_admit").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("cur_ckpt").toString
+    val store = new graft.store.DedupStore(
+      new graft.store.TableStore(spark, root), "clean_corpus", "text", 10000)
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    // per micro-batch: quality-curate, then admit survivors exactly-once
+    val query = input.toDF().toDF("doc_id", "text").writeStream
+      .outputMode("append").option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        store.admit(s"b$id", CorpusCuration.curate(batch))
+        ()
+      }.start()
+
+    val clean1 = "a quick brown fox jumps over one lazy dog near this river bank"
+    val clean2 = "many small tables join into wide plans when keys align across stages"
+    input.addData((1L, clean1), (2L, ("spam " * 40).trim))
+    query.processAllAvailable()
+    input.addData((3L, clean1.toUpperCase), (4L, clean2)) // dup after normalize
+    query.processAllAvailable()
+    query.stop()
+
+    val kept = store.corpus.get.collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L)) // spam quality-dropped, case-dup admitted once
+  }
+
   test("curation drops planted garbage and keeps clean docs") {
     import spark.implicits._
     val planted = Seq(
