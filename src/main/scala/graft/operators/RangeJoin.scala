@@ -57,4 +57,37 @@ object RangeJoin {
       Seq(col(s"a.$c").as(s"a_$c"), col(s"b.$c").as(s"b_$c")))
     joined.select(projected.toSeq: _*)
   }
+
+  /** Point-in-interval join: every `points` row pairs with each
+    * `intervals` row (matching on `keys`, if any) whose
+    * `[startCol, endCol)` contains its `tsCol`. Equi-shaped the same
+    * way as [[overlapSelfJoin]] — intervals explode into their covered
+    * bins, points carry exactly ONE bin, so each qualifying pair
+    * arises exactly once and no dedup predicate is needed. The
+    * event-to-enclosing-window assignment join (sessionless
+    * attribution, disruption-window tagging) that a raw theta join
+    * would plan as a nested loop.
+    *
+    * Output: the point row's columns plus `intervals`' non-key columns.
+    */
+  def pointInInterval(
+      points: DataFrame,
+      tsCol: String,
+      intervals: DataFrame,
+      startCol: String,
+      endCol: String,
+      keys: Seq[String] = Nil,
+      binMinutes: Int = 360): DataFrame = {
+    require(binMinutes > 0, "binMinutes must be positive")
+    val binMicros = binMinutes * 60000000L
+    val p = points.withColumn("__bin",
+      floor(unix_micros(col(tsCol)) / binMicros).cast("long"))
+    val i = intervals.withColumn("__bin",
+      explode(sequence(
+        floor(unix_micros(col(startCol)) / binMicros),
+        floor(unix_micros(col(endCol)) / binMicros))))
+    p.join(i, keys :+ "__bin")
+      .filter(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
+      .drop("__bin")
+  }
 }

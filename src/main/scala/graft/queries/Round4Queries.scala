@@ -1333,9 +1333,41 @@ object Round4Queries {
       FROM lineitem ORDER BY l_orderkey, l_linenumber"""),
     covers = Seq("W-forward-frame"))
 
+  // ------------------------------------------------- point-in-interval join
+  // Event-to-enclosing-window assignment via the equi-shaped
+  // RangeJoin.pointInInterval (points carry ONE bin, intervals explode
+  // theirs — no nested loop, no dedup): clicks inside each user's
+  // first-72-hours window, aggregated. Oracle is the plain theta join.
+  private val q136 = QueryDef(
+    "q136_point_in_interval",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      val iv = e.groupBy("user_id").agg(min(col("ts")).as("s"))
+        .withColumn("e", col("s") + expr("INTERVAL 72 HOURS"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select("user_id", "ts", "value")
+      graft.operators.RangeJoin
+        .pointInInterval(clicks, "ts", iv, "s", "e",
+          keys = Seq("user_id"), binMinutes = 720)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_in_window"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double")
+            .as("val_in_window"))
+        .orderBy("user_id")
+    },
+    Some("""WITH iv AS (SELECT user_id, min(ts) s, min(ts) + INTERVAL 72 HOUR e
+               FROM events GROUP BY 1)
+      SELECT e.user_id, CAST(count(*) AS BIGINT) AS n_in_window,
+        CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS val_in_window
+      FROM events e JOIN iv ON e.user_id = iv.user_id
+        AND e.ts >= iv.s AND e.ts < iv.e
+      WHERE e.event_type = 'click'
+      GROUP BY e.user_id ORDER BY e.user_id"""),
+    covers = Seq("J2-point"))
+
   val all: Seq[QueryDef] =
     Seq(q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
       q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120,
       q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
-      q133, q134, q135)
+      q133, q134, q135, q136)
 }

@@ -53,4 +53,27 @@ class RangeJoinSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(out.length == out.toSet.size)
   }
+
+  test("pointInInterval equals the theta join, once per pair, at any bin width") {
+    import spark.implicits._
+    val base = 1700000000000L
+    val points = (1 to 200).map { i =>
+      (i.toLong % 7, new java.sql.Timestamp(base + i * 3600000L), i.toLong)
+    }.toDF("k", "ts", "pid")
+    val ivs = (1 to 30).map { j =>
+      val s0 = base + (j * 37 % 120) * 3600000L
+      (j.toLong % 7, new java.sql.Timestamp(s0),
+        new java.sql.Timestamp(s0 + (j % 5 + 1) * 7200000L), j.toLong)
+    }.toDF("k", "s", "e", "iid")
+    val naive = points.as("p").join(ivs.as("i"),
+        $"p.k" === $"i.k" && $"p.ts" >= $"i.s" && $"p.ts" < $"i.e")
+      .select($"p.pid", $"i.iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(naive.nonEmpty && naive.length == naive.toSet.size)
+    Seq(30, 360, 1440).foreach { bm =>
+      val got = graft.operators.RangeJoin
+        .pointInInterval(points, "ts", ivs, "s", "e", keys = Seq("k"), binMinutes = bm)
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.length == naive.length && got.toSet == naive.toSet, s"binMinutes=$bm")
+    }
+  }
 }
