@@ -1365,9 +1365,41 @@ object Round4Queries {
       GROUP BY e.user_id ORDER BY e.user_id"""),
     covers = Seq("J2-point"))
 
+  // ---------------------------------------------------- gaps and islands
+  // Consecutive-day activity streaks (gaps-and-islands): date minus
+  // per-user row_number is constant within an unbroken run, so one
+  // window pass + one group-by finds every island — no self-joins, no
+  // iteration. Streak analytics over integer date arithmetic.
+  private val q137 = QueryDef(
+    "q137_streaks",
+    (s, dir) => {
+      val days = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      val anchor = date_sub(col("d"),
+        row_number().over(Window.partitionBy("user_id").orderBy("d")))
+      days.withColumn("anchor", anchor)
+        .groupBy("user_id", "anchor")
+        .agg(min(col("d")).as("streak_start"), max(col("d")).as("streak_end"),
+          count(lit(1)).as("streak_days"))
+        .filter(col("streak_days") >= 3)
+        .select("user_id", "streak_start", "streak_end", "streak_days")
+        .orderBy("user_id", "streak_start")
+    },
+    Some("""WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) d FROM events),
+      grp AS (SELECT user_id, d,
+        CAST(d AS DATE) - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+          AS INTEGER) AS anchor
+        FROM days)
+      SELECT user_id, min(d) AS streak_start, max(d) AS streak_end,
+        CAST(count(*) AS BIGINT) AS streak_days
+      FROM grp GROUP BY user_id, anchor
+      HAVING count(*) >= 3
+      ORDER BY user_id, streak_start"""),
+    covers = Seq("W-islands"))
+
   val all: Seq[QueryDef] =
     Seq(q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
       q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120,
       q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
-      q133, q134, q135, q136)
+      q133, q134, q135, q136, q137)
 }
