@@ -1397,9 +1397,64 @@ object Round4Queries {
       ORDER BY user_id, streak_start"""),
     covers = Seq("W-islands"))
 
+  // ---------------------------------------------- cumulative distinct users
+  // Running count of DISTINCT users over time — windows cannot count
+  // distinct cumulatively, so the scalable form is the
+  // first-occurrence trick: each user contributes on their first day
+  // only, and a running SUM of those contributions IS the cumulative
+  // distinct count. O(n) instead of re-deduping every prefix.
+  private val q138 = QueryDef(
+    "q138_cumulative_distinct",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      val daily = e.groupBy("user_id").agg(to_date(min(col("ts"))).as("d"))
+        .groupBy("d").agg(count(lit(1)).as("n_new"))
+      val allDays = e.select(to_date(col("ts")).as("d")).distinct()
+      val w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+      allDays.join(daily, Seq("d"), "left")
+        .select(col("d"), coalesce(col("n_new"), lit(0L)).as("n_new"))
+        .withColumn("cum_unique_users", sum(col("n_new")).over(w))
+        .orderBy("d")
+    },
+    Some("""WITH firsts AS (
+        SELECT CAST(min(ts) AS DATE) AS d FROM events GROUP BY user_id),
+      daily AS (SELECT d, CAST(count(*) AS BIGINT) n_new FROM firsts GROUP BY d),
+      alldays AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events)
+      SELECT a.d, coalesce(n_new, 0) AS n_new,
+        CAST(sum(coalesce(n_new, 0)) OVER (ORDER BY a.d ROWS UNBOUNDED PRECEDING)
+          AS BIGINT) AS cum_unique_users
+      FROM alldays a LEFT JOIN daily ON a.d = daily.d
+      ORDER BY a.d"""),
+    covers = Seq("W-cumulative-distinct", "A3"))
+
+  // ------------------------------------------------- struct-array unnest
+  // Arrays of STRUCTS built in-row (zip_with to a named struct) and
+  // exploded back to columns — the nested-record fan-out the raw NS
+  // payload needs (publicationSections[].stations[]), gated on
+  // synthetic (word, length) pairs.
+  private val q139 = QueryDef(
+    "q139_struct_inline",
+    (s, dir) => {
+      val tk = split(col("text"), " ")
+      t(s, dir, "documents").filter(col("doc_id") < 10)
+        .select(col("doc_id"),
+          explode(zip_with(tk, transform(tk, w => length(w)),
+            (w, l) => struct(w.as("word"), l.cast(LongType).as("wlen")))).as("p"))
+        .select(col("doc_id"), col("p.word").as("word"), col("p.wlen").as("wlen"))
+        .orderBy("doc_id", "word", "wlen")
+    },
+    Some("""WITH z AS (
+        SELECT doc_id, list_zip(string_split(text,' '),
+          list_transform(string_split(text,' '), w -> len(w))) AS pairs
+        FROM documents WHERE doc_id < 10)
+      SELECT doc_id, u.p[1] AS word, CAST(u.p[2] AS BIGINT) AS wlen
+      FROM (SELECT doc_id, unnest(pairs) AS p FROM z) u(doc_id, p)
+      ORDER BY doc_id, word, wlen"""),
+    covers = Seq("P8-struct-array"))
+
   val all: Seq[QueryDef] =
     Seq(q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
       q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120,
       q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
-      q133, q134, q135, q136, q137)
+      q133, q134, q135, q136, q137, q138, q139)
 }
