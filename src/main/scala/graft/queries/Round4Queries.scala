@@ -1317,20 +1317,28 @@ object Round4Queries {
   private val q135 = QueryDef(
     "q135_forward_frame",
     (s, dir) => {
-      val w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+      // (l_orderkey, l_linenumber) is NOT unique in this corpus (q110
+      // proves it) — the window order needs the full attribute
+      // tiebreak, and rows identical on every sort column are
+      // interchangeable (same quantity ⇒ same frame sums)
+      val w = Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_suppkey", "l_partkey", "l_quantity", "l_extendedprice")
         .rowsBetween(1, 3)
       t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+          col("l_suppkey"),
           sum(col("l_quantity").cast(LongType)).over(w).as("qty_ahead"),
           count(lit(1)).over(w).as("n_ahead"))
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "l_suppkey", "qty_ahead", "n_ahead")
     },
-    Some("""SELECT l_orderkey, l_linenumber,
+    Some("""SELECT l_orderkey, l_linenumber, l_suppkey,
         CAST(sum(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_orderkey
-          ORDER BY l_linenumber ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING) AS BIGINT)
-          AS qty_ahead,
-        CAST(count(*) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+          ORDER BY l_linenumber, l_suppkey, l_partkey, l_quantity, l_extendedprice
+          ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING) AS BIGINT) AS qty_ahead,
+        CAST(count(*) OVER (PARTITION BY l_orderkey
+          ORDER BY l_linenumber, l_suppkey, l_partkey, l_quantity, l_extendedprice
           ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING) AS BIGINT) AS n_ahead
-      FROM lineitem ORDER BY l_orderkey, l_linenumber"""),
+      FROM lineitem
+      ORDER BY l_orderkey, l_linenumber, l_suppkey, qty_ahead, n_ahead"""),
     covers = Seq("W-forward-frame"))
 
   // ------------------------------------------------- point-in-interval join
