@@ -1,0 +1,139 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.LongType
+
+import graft.Tables
+import graft.dedup.PrefixFilterJoin
+
+/** Round-4 gate additions (q140+): distribution window functions,
+  * prefix-filtered exact similarity join, deterministic stratified
+  * splits, key-skew diagnostics.
+  *
+  * Determinism rules as everywhere (QueryDef scaladoc): doubles from
+  * exact integer counts through ONE shared IEEE tree, BIGINT casts on
+  * the DuckDB side, total ORDER BY.
+  */
+object Round5Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // ---------------------------------------- distribution window functions
+  // ntile / percent_rank / cume_dist — the distribution tail of the
+  // window surface (q61 gates the navigation tail). The window is
+  // computed over the FULL partition and only the output is
+  // decimated, so the gate exercises real partition-wide state.
+  // percent_rank = (rank-1)/(n-1) and cume_dist = peers/n are single
+  // int/int double divisions — bit-identical across engines; ntile is
+  // INT in Spark, BIGINT in DuckDB → cast Spark side.
+  private val q140 = QueryDef(
+    "q140_dist_windows",
+    (s, dir) => {
+      val w = Window.partitionBy("o_orderpriority").orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          ntile(4).over(w).cast(LongType).as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .filter(col("o_orderkey") % 50 === 0)
+        .orderBy("o_orderpriority", "o_orderkey")
+    },
+    Some("""SELECT * FROM (
+        SELECT o_orderpriority, o_orderkey,
+          CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+          percent_rank() OVER w AS pr,
+          cume_dist() OVER w AS cd
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey))
+      WHERE o_orderkey % 50 = 0
+      ORDER BY o_orderpriority, o_orderkey"""),
+    covers = Seq("W-distribution"))
+
+  // ------------------------------------- prefix-filtered similarity join
+  // Exact Jaccard ≥ 0.9 self-join through dedup/PrefixFilterJoin:
+  // candidates come only from short rare-token prefixes (the PPJoin
+  // pruning), then exact verification. The oracle is the O(n²)
+  // brute-force join — hash-equality proves the pruning loses NO
+  // pairs while indexing a fraction of the tokens.
+  private val q141 = QueryDef(
+    "q141_prefix_filter_join",
+    (s, dir) =>
+      PrefixFilterJoin
+        .jaccardSelfJoin(t(s, dir, "documents"), "doc_id", "text", 9, 10)
+        .orderBy("a_id", "b_id"),
+    Some("""WITH tok AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS tk FROM documents),
+      sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) n FROM tok GROUP BY doc_id),
+      pairs AS (
+        SELECT a.doc_id a_id, b.doc_id b_id, CAST(count(*) AS BIGINT) shared
+        FROM tok a JOIN tok b ON a.tk = b.tk AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT a_id, b_id, shared,
+        CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jaccard
+      FROM pairs JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
+      WHERE shared * 19 >= (sa.n + sb.n) * 9
+      ORDER BY a_id, b_id"""),
+    covers = Seq("T-dedup-prefix", "J2"))
+
+  // ------------------------------------------- deterministic stratified split
+  // Hash-stratified train/val/test split (~80/10/10 on the first md5
+  // byte) — the reproducible split every training pipeline needs:
+  // membership depends only on the key, so re-runs, late data, and
+  // distributed execution all land rows in the same bucket. Gate
+  // checks per-(class, split) counts and mass.
+  private val q142 = QueryDef(
+    "q142_stratified_split",
+    (s, dir) => {
+      val h = substring(md5(col("o_orderkey").cast("string")), 1, 2)
+      t(s, dir, "orders")
+        .withColumn("split",
+          when(h < "cc", "train").when(h < "e6", "val").otherwise("test"))
+        .groupBy("o_orderpriority", "split")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("mass"))
+        .orderBy("o_orderpriority", "split")
+    },
+    Some("""WITH s AS (
+        SELECT o_orderpriority, o_totalprice, CASE
+          WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+          WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+          ELSE 'test' END AS split
+        FROM orders)
+      SELECT o_orderpriority, split, CAST(count(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS mass
+      FROM s GROUP BY 1, 2 ORDER BY 1, 2"""),
+    covers = Seq("SAMPLE-stratified"))
+
+  // ------------------------------------------------- key-skew diagnostics
+  // Hot-key detector — per-key cardinality, share of total, and skew
+  // factor (share × #keys; 1.0 = perfectly uniform). This is the
+  // measurement step that decides WHEN operators/SkewJoin's salting
+  // is worth its extra shuffle: at 100 TB you profile key skew on a
+  // sample before picking the join strategy, not after the straggler
+  // task appears. Shares are single divisions of exact counts.
+  private val q143 = QueryDef(
+    "q143_skew_stats",
+    (s, dir) => {
+      val k = t(s, dir, "lineitem").groupBy("l_suppkey").agg(count(lit(1)).as("c"))
+      val tot = k.agg(sum("c").as("t"), count(lit(1)).as("nk"))
+      k.crossJoin(broadcast(tot))
+        .select(col("l_suppkey"), col("c"),
+          (col("c").cast("double") / col("t")).as("share"),
+          (col("c").cast("double") * col("nk") / col("t")).as("skew_factor"))
+        .orderBy(col("c").desc, col("l_suppkey"))
+        .limit(10)
+    },
+    Some("""WITH k AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) c FROM lineitem GROUP BY 1),
+      tot AS (SELECT CAST(sum(c) AS BIGINT) t, CAST(count(*) AS BIGINT) nk FROM k)
+      SELECT l_suppkey, c,
+        CAST(c AS DOUBLE) / t AS share,
+        CAST(c AS DOUBLE) * nk / t AS skew_factor
+      FROM k, tot
+      ORDER BY c DESC, l_suppkey LIMIT 10"""),
+    covers = Seq("QA-skew"))
+
+  def all: Seq[QueryDef] = Seq(q140, q141, q142, q143)
+}
