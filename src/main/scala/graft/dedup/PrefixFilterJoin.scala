@@ -1,24 +1,24 @@
 package graft.dedup
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
 /** Exact set-similarity self-join via prefix filtering (the
-  * SSJoin/PPJoin family: order every document's tokens by a global
-  * rarity order; two sets with Jaccard ≥ θ MUST share a token inside
-  * their first `|x| - ceil(θ·|x|) + 1` tokens of that order, so
-  * candidate pairs are generated from those short prefixes only and
-  * then verified exactly).
+  * SSJoin/PPJoin family: order every document's set elements by a
+  * global rarity order; two sets with Jaccard ≥ θ MUST share an
+  * element inside their first `|x| - ceil(θ·|x|) + 1` elements of
+  * that order, so candidate pairs are generated from those short
+  * prefixes only and then verified exactly).
   *
   * This is the exact-answer complement to MinHash/LSH (`LshIndex`,
   * q23): no false negatives, no signatures — the pruning is
   * algebraic. At scale the win is that the candidate-generating
-  * inverted index holds only prefix tokens (the RAREST ~(1-θ) share
-  * of each document), whose posting lists are short by construction;
-  * the quadratic pair expansion never touches the frequent tokens
-  * that dominate ordinary posting-list joins (q22/q105).
+  * inverted index holds only prefix elements (the RAREST ~(1-θ)
+  * share of each document), whose posting lists are short by
+  * construction; the frequent elements that dominate ordinary
+  * posting-list joins (q22/q105) never generate candidates at all.
   *
   * Every threshold comparison is exact integer arithmetic
   * (`ceil(θn)` as `(θ_num·n + θ_den - 1) DIV θ_den`, the Jaccard
@@ -32,26 +32,54 @@ import org.apache.spark.sql.types.LongType
   */
 object PrefixFilterJoin {
 
-  /** All unordered pairs (a_id < b_id) with token-set Jaccard ≥
-    * thetaNum/thetaDen, with the exact intersection size and the
-    * Jaccard value. Tokens are whitespace words of `textCol`,
-    * de-duplicated per document.
+  /** Pairs with whitespace-token-set Jaccard ≥ θ. Pruning power
+    * depends on token diversity — for natural text prefer
+    * [[shingleSelfJoin]], whose shingle vocabulary is far larger.
     */
   def jaccardSelfJoin(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       thetaNum: Int,
+      thetaDen: Int): DataFrame =
+    setSelfJoin(docs, idCol, split(col(textCol), " "), thetaNum, thetaDen)
+
+  /** Pairs whose word n-gram (shingle) sets have Jaccard ≥ θ — the
+    * standard near-duplicate formulation: shingles keep word ORDER
+    * information and draw from a combinatorially large vocabulary,
+    * so rare-prefix pruning bites even when the word vocabulary is
+    * tiny.
+    */
+  def shingleSelfJoin(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      thetaNum: Int,
+      thetaDen: Int): DataFrame =
+    setSelfJoin(docs, idCol,
+      graft.functions.WordShingles(docs.sparkSession, col(textCol), n),
+      thetaNum, thetaDen)
+
+  /** All unordered pairs (a_id < b_id) whose de-duplicated
+    * `setExpr` element sets have Jaccard ≥ thetaNum/thetaDen, with
+    * the exact intersection size and the Jaccard value. Documents
+    * with empty sets never pair.
+    */
+  def setSelfJoin(
+      docs: DataFrame,
+      idCol: String,
+      setExpr: Column,
+      thetaNum: Int,
       thetaDen: Int): DataFrame = {
     require(thetaNum > 0 && thetaDen > 0 && thetaNum <= thetaDen, "need 0 < θ ≤ 1")
 
-    val tok = docs
-      .select(col(idCol).as("doc_id"), explode(array_distinct(split(col(textCol), " "))).as("tk"))
+    val tok = docs.select(col(idCol).as("doc_id"), explode(array_distinct(setExpr)).as("tk"))
 
-    // Global document frequency gives the canonical rare-first token
-    // order (rarest tokens have the shortest posting lists, so they
-    // are the cheapest to index). Ties break on the token itself so
-    // the order is total and deterministic.
+    // Global document frequency gives the canonical rare-first
+    // element order (rarest elements have the shortest posting
+    // lists, so they are the cheapest to index). Ties break on the
+    // element itself so the order is total and deterministic.
     val freq = tok.groupBy("tk").agg(count(lit(1)).as("df"))
     val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
 
@@ -66,7 +94,7 @@ object PrefixFilterJoin {
       .filter(col("pos") <= col("n") - expr(
         s"(n * $thetaNum + $thetaDen - 1) DIV $thetaDen") + 1)
 
-    // Candidate pairs: docs sharing ≥1 prefix token. Posting-list
+    // Candidate pairs: docs sharing ≥1 prefix element. Posting-list
     // pair expansion (sorted set → unordered i<j pairs) avoids a
     // hash self-join build over the index. The length filter
     // min/max ≥ θ (cross-multiplied) prunes before verification.
@@ -84,7 +112,7 @@ object PrefixFilterJoin {
       .distinct()
 
     // Exact verification on the candidate sliver only: fetch both
-    // full token sets, intersect, cross-multiplied Jaccard test
+    // full element sets, intersect, cross-multiplied Jaccard test
     // shared/(na+nb-shared) ≥ θ  ⇔  shared·(θ_den+θ_num) ≥ θ_num·(na+nb).
     val toks = tok.groupBy("doc_id").agg(collect_set(col("tk")).as("toks"), count(lit(1)).as("n"))
     val shared = size(array_intersect(col("a_toks"), col("b_toks"))).cast(LongType)

@@ -53,19 +53,27 @@ object Round5Queries {
     covers = Seq("W-distribution"))
 
   // ------------------------------------- prefix-filtered similarity join
-  // Exact Jaccard ≥ 0.9 self-join through dedup/PrefixFilterJoin:
-  // candidates come only from short rare-token prefixes (the PPJoin
-  // pruning), then exact verification. The oracle is the O(n²)
-  // brute-force join — hash-equality proves the pruning loses NO
-  // pairs while indexing a fraction of the tokens.
+  // Exact shingle-Jaccard ≥ 0.8 self-join through
+  // dedup/PrefixFilterJoin: candidates come only from short
+  // rare-shingle prefixes (the PPJoin pruning), then exact
+  // verification. The oracle is the O(n²) brute-force join —
+  // hash-equality proves the pruning loses NO pairs while indexing
+  // ~1/5 of the shingles (at sf0.1: 119k candidate pairs where the
+  // full posting join touches 1.13M). Trigram shingles, not words:
+  // this corpus has a 31-word vocabulary, so word sets carry no
+  // rarity signal, while the shingle vocabulary is combinatorial.
   private val q141 = QueryDef(
     "q141_prefix_filter_join",
     (s, dir) =>
       PrefixFilterJoin
-        .jaccardSelfJoin(t(s, dir, "documents"), "doc_id", "text", 9, 10)
+        .shingleSelfJoin(t(s, dir, "documents"), "doc_id", "text", 3, 4, 5)
         .orderBy("a_id", "b_id"),
     Some("""WITH tok AS (
-        SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS tk FROM documents),
+        SELECT doc_id, unnest(list_distinct(list_transform(
+          range(1, greatest(len(string_split(text,' ')) - 1, 1)),
+          i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+               || ' ' || string_split(text,' ')[i+2]))) AS tk
+        FROM documents),
       sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) n FROM tok GROUP BY doc_id),
       pairs AS (
         SELECT a.doc_id a_id, b.doc_id b_id, CAST(count(*) AS BIGINT) shared
@@ -74,7 +82,7 @@ object Round5Queries {
       SELECT a_id, b_id, shared,
         CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jaccard
       FROM pairs JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
-      WHERE shared * 19 >= (sa.n + sb.n) * 9
+      WHERE shared * 18 >= (sa.n + sb.n) * 8
       ORDER BY a_id, b_id"""),
     covers = Seq("T-dedup-prefix", "J2"))
 
@@ -135,5 +143,120 @@ object Round5Queries {
       ORDER BY c DESC, l_suppkey LIMIT 10"""),
     covers = Seq("QA-skew"))
 
-  def all: Seq[QueryDef] = Seq(q140, q141, q142, q143)
+  // Shared scaffold for the robust-statistics gates: per-priority
+  // value rank (unique tiebreak) + partition size + exact DECIMAL
+  // value, one window pass.
+  private def ranked(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority").orderBy(col("o_totalprice"), col("o_orderkey"))
+    val wp = Window.partitionBy("o_orderpriority")
+    t(s, dir, "orders").select(
+      col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+      col("o_totalprice").cast("decimal(18,2)").as("x"),
+      row_number().over(w).as("i"),
+      count(lit(1)).over(wp).as("n"),
+      sum(col("o_totalprice").cast("decimal(18,2)")).over(w).as("cum"),
+      sum(col("o_totalprice").cast("decimal(18,2)")).over(wp).as("tot"))
+  }
+
+  // ------------------------------------------------------ weighted median
+  // Mass-weighted median: the smallest value whose cumulative DECIMAL
+  // mass reaches half the stratum total (2·cum ≥ tot — exact decimal
+  // comparison, no float midpoint). The robust location statistic a
+  // quality pipeline uses where outliers make the mean useless; one
+  // window pass + one aggregate.
+  private val q144 = QueryDef(
+    "q144_weighted_median",
+    (s, dir) =>
+      ranked(s, dir)
+        .filter(col("cum") * 2 >= col("tot"))
+        .groupBy("o_orderpriority")
+        .agg(min(col("o_totalprice")).as("weighted_median"))
+        .orderBy("o_orderpriority"),
+    Some("""WITH w AS (
+        SELECT o_orderpriority, o_totalprice,
+          SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+            (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) cum,
+          SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_orderpriority) tot
+        FROM orders)
+      SELECT o_orderpriority, min(o_totalprice) AS weighted_median
+      FROM w WHERE 2 * cum >= tot GROUP BY 1 ORDER BY 1"""),
+    covers = Seq("A-robust"))
+
+  // ---------------------------------------------------- Gini concentration
+  // Gini coefficient per stratum from the sorted-rank identity
+  // Σ(2i−n−1)·xᵢ / (n·Σxᵢ): the numerator is an exact DECIMAL sum
+  // (rank weights are integers), so the single final division is the
+  // only float op — bit-identical across engines. The inequality
+  // measure behind "is this source dominated by a few giant
+  // documents" curation checks (q69/q143 measure the count side;
+  // this measures mass concentration).
+  private val q145 = QueryDef(
+    "q145_gini",
+    (s, dir) =>
+      ranked(s, dir)
+        .groupBy("o_orderpriority", "n")
+        .agg((sum((col("i") * 2 - col("n") - 1) * col("x")).cast("double") /
+          (col("n") * sum(col("x")).cast("double"))).as("gini"))
+        .select("o_orderpriority", "gini")
+        .orderBy("o_orderpriority"),
+    Some("""WITH r AS (
+        SELECT o_orderpriority,
+          CAST(o_totalprice AS DECIMAL(18,2)) x,
+          row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) i,
+          count(*) OVER (PARTITION BY o_orderpriority) n
+        FROM orders)
+      SELECT o_orderpriority,
+        CAST(SUM((2*i - n - 1) * x) AS DOUBLE) / (CAST(n AS BIGINT) * CAST(SUM(x) AS DOUBLE)) AS gini
+      FROM r GROUP BY o_orderpriority, n ORDER BY 1"""),
+    covers = Seq("A-robust"))
+
+  // -------------------------------------------------------- winsorization
+  // Outlier clipping at exact P1/P99 order statistics — k = ceil(p·n)
+  // in integer arithmetic (interpolating percentiles are only
+  // cross-engine-exact at dyadic fractions, order statistics always
+  // are). Reports the clip bounds, how many rows hit each side, and
+  // the winsorized mass; the standard tail-taming step before
+  // training on heavy-tailed quality scores.
+  private val q146 = QueryDef(
+    "q146_winsorize",
+    (s, dir) => {
+      val r = ranked(s, dir)
+      val b = r.groupBy(col("o_orderpriority").as("p"))
+        .agg(
+          max(when(col("i") === expr("(n + 99) DIV 100"), col("x"))).as("lo"),
+          max(when(col("i") === expr("(99 * n + 99) DIV 100"), col("x"))).as("hi"))
+      r.join(broadcast(b), col("o_orderpriority") === col("p"))
+        .groupBy("o_orderpriority")
+        .agg(
+          max(col("lo")).cast("double").as("lo"),
+          max(col("hi")).cast("double").as("hi"),
+          sum(when(col("x") < col("lo"), 1).otherwise(0)).as("n_lo"),
+          sum(when(col("x") > col("hi"), 1).otherwise(0)).as("n_hi"),
+          sum(greatest(col("lo"), least(col("hi"), col("x")))).cast("double").as("winsorized_mass"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""WITH r AS (
+        SELECT o_orderpriority,
+          CAST(o_totalprice AS DECIMAL(18,2)) x,
+          row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) i,
+          count(*) OVER (PARTITION BY o_orderpriority) n
+        FROM orders),
+      b AS (
+        SELECT o_orderpriority,
+          MAX(CASE WHEN i = (n + 99) // 100 THEN x END) lo,
+          MAX(CASE WHEN i = (99*n + 99) // 100 THEN x END) hi
+        FROM r GROUP BY 1)
+      SELECT r.o_orderpriority,
+        CAST(MAX(lo) AS DOUBLE) lo, CAST(MAX(hi) AS DOUBLE) hi,
+        CAST(SUM(CASE WHEN x < lo THEN 1 ELSE 0 END) AS BIGINT) n_lo,
+        CAST(SUM(CASE WHEN x > hi THEN 1 ELSE 0 END) AS BIGINT) n_hi,
+        -- DuckDB GREATEST/LEAST promote DECIMAL to DOUBLE; the cast
+        -- back to DECIMAL(18,2) restores the exact clamped value so
+        -- the sum stays exact like Spark's decimal sum
+        CAST(SUM(CAST(GREATEST(lo, LEAST(hi, x)) AS DECIMAL(18,2))) AS DOUBLE) winsorized_mass
+      FROM r JOIN b USING (o_orderpriority)
+      GROUP BY 1 ORDER BY 1"""),
+    covers = Seq("A-robust", "P10"))
+
+  def all: Seq[QueryDef] = Seq(q140, q141, q142, q143, q144, q145, q146)
 }

@@ -1,0 +1,66 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkSpec
+
+/** Property-based exactness check for PrefixFilterJoin: on random
+  * corpora drawn from a small vocabulary (maximal overlap pressure —
+  * the worst case for pruning bugs), the prefix-filtered result must
+  * equal the brute-force O(n²) join for every θ. Fixed seeds make
+  * failures reproduce.
+  */
+class PrefixFilterPropertiesSpec extends SparkSpec {
+
+  private def samples[A](gen: Gen[A], n: Int, seed: Long): Seq[A] =
+    (1 to n).map(i => gen.pureApply(Gen.Parameters.default, Seed(seed + i)))
+
+  // Documents of 1–12 words over a 9-word vocabulary: lots of ties in
+  // global frequency, duplicate docs, subset docs, empty overlaps.
+  private val genDoc: Gen[String] = for {
+    len <- Gen.chooseNum(1, 12)
+    ws <- Gen.listOfN(len, Gen.oneOf((0 until 9).map(i => s"w$i")))
+  } yield ws.mkString(" ")
+
+  private def brute(corpus: org.apache.spark.sql.DataFrame, num: Int, den: Int) = {
+    val tok = corpus.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("tk"))
+    val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    tok.select(col("doc_id").as("a_id"), col("tk"))
+      .join(tok.select(col("doc_id").as("b_id"), col("tk")), "tk")
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+      .filter(col("shared") * (den + num) >= (col("na") + col("nb")) * num)
+      .select("a_id", "b_id", "shared")
+  }
+
+  test("prefix-filtered join equals brute force on random corpora across thresholds") {
+    import spark.implicits._
+    for ((seed, (num, den)) <- Seq(
+        (100L, (1, 2)), (200L, (7, 10)), (300L, (4, 5)), (400L, (9, 10)), (500L, (1, 1)))) {
+      val corpus = samples(genDoc, 60, seed).zipWithIndex
+        .map { case (txt, i) => (i.toLong, txt) }.toDF("doc_id", "text")
+      val got = PrefixFilterJoin.jaccardSelfJoin(corpus, "doc_id", "text", num, den)
+        .select("a_id", "b_id", "shared")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = brute(corpus, num, den)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want, s"mismatch at θ=$num/$den seed=$seed: " +
+        s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    }
+  }
+
+  test("θ=1 returns exactly the identical-set pairs") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a b c"), (2L, "c b a a"), (3L, "a b"), (4L, "d e"), (5L, "e d d")
+    ).toDF("doc_id", "text")
+    val got = PrefixFilterJoin.jaccardSelfJoin(corpus, "doc_id", "text", 1, 1)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (4L, 5L)))
+  }
+}
