@@ -258,5 +258,148 @@ object Round5Queries {
       GROUP BY 1 ORDER BY 1"""),
     covers = Seq("A-robust", "P10"))
 
-  def all: Seq[QueryDef] = Seq(q140, q141, q142, q143, q144, q145, q146)
+  // ---------------------------------------------------------- phrase search
+  // Positional phrase matching — the retrieval primitive shingle
+  // membership can't provide (it finds docs, not positions): 1-based
+  // token positions via posexplode, adjacency checked against the
+  // carried array. Occurrence counts and first hit position per doc.
+  private val q147 = QueryDef(
+    "q147_phrase_search",
+    (s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), split(col("text"), " ").as("tk"))
+      d.select(col("doc_id"), col("tk"), posexplode(col("tk")))
+        .withColumn("p", col("pos") + 1)
+        .filter(col("p") <= size(col("tk")) - 2 &&
+          concat_ws(" ", col("col"),
+            element_at(col("tk"), col("p") + 1),
+            element_at(col("tk"), col("p") + 2)) === "slow hash batch")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_hits"), min(col("p")).cast(LongType).as("first_pos"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH tok AS (SELECT doc_id, string_split(text,' ') tk FROM documents),
+      pos AS (SELECT doc_id, unnest(range(1, greatest(len(tk)-1, 1))) AS p, tk FROM tok),
+      hits AS (
+        SELECT doc_id, p FROM pos
+        WHERE tk[p]||' '||tk[p+1]||' '||tk[p+2] = 'slow hash batch')
+      SELECT doc_id, CAST(count(*) AS BIGINT) n_hits, CAST(min(p) AS BIGINT) first_pos
+      FROM hits GROUP BY 1 ORDER BY 1"""),
+    covers = Seq("TXT-phrase"))
+
+  // ------------------------------------------------ quantized tf-idf retrieval
+  // Multi-term document retrieval ranked by integer-QUANTIZED tf·idf
+  // (idf as (N·10⁶) DIV df): float idf sums are order-dependent
+  // across partitions, integer scores are exact under any execution —
+  // the quantization trick reproducible search engines actually use.
+  // Query terms join before df (broadcast both tiny sides), so the
+  // corpus-wide term table is touched once.
+  private val q148 = QueryDef(
+    "q148_retrieval",
+    (s, dir) => {
+      val tf = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
+      val n = t(s, dir, "documents").agg(count(lit(1)).as("n"))
+      val q = s.createDataFrame(Seq(Tuple1("hash"), Tuple1("batch"), Tuple1("sort")))
+        .toDF("w")
+      tf.join(broadcast(q), "w").join(df, "w").crossJoin(broadcast(n))
+        .groupBy("doc_id")
+        .agg(sum(col("tf") * expr("(n * 1000000) DIV df")).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(10)
+    },
+    Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) w FROM documents),
+      tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) tf FROM tok GROUP BY 1,2),
+      df AS (SELECT w, CAST(count(*) AS BIGINT) df FROM tf GROUP BY 1),
+      n AS (SELECT CAST(count(*) AS BIGINT) n FROM documents),
+      q AS (SELECT unnest(['hash','batch','sort']) w)
+      SELECT tf.doc_id, CAST(SUM(tf.tf * ((n.n * 1000000) // df.df)) AS BIGINT) score
+      FROM tf JOIN q USING (w) JOIN df USING (w) CROSS JOIN n
+      GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 10"""),
+    covers = Seq("TXT-retrieval"))
+
+  // ------------------------------------------------------- interval merge
+  // Union of overlapping intervals (30-min activity windows per
+  // user): the classic coverage question — how many distinct
+  // episodes, how much wall-clock covered — solved with the
+  // cumulative-max island trick in exact microsecond integers. One
+  // shuffle on the partition key; no self-join.
+  private val q149 = QueryDef(
+    "q149_interval_merge",
+    (s, dir) => {
+      val wOrd = Window.partitionBy("user_id").orderBy("st", "en")
+      val iv = t(s, dir, "events").select(col("user_id"),
+        unix_micros(col("ts")).as("st"),
+        (unix_micros(col("ts")) + 1800L * 1000000L).as("en"))
+      iv.withColumn("new_island",
+          when(col("st") > max(col("en")).over(
+            wOrd.rowsBetween(Window.unboundedPreceding, -1)), 1).otherwise(0))
+        .withColumn("island", sum(col("new_island")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "island")
+        .agg(min(col("st")).as("s"), max(col("en")).as("e"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_episodes"), sum(col("e") - col("s")).as("tot_us"))
+        .select(col("user_id"), col("n_episodes"),
+          expr("tot_us DIV 1000000").as("covered_s"))
+        .orderBy("user_id")
+    },
+    Some("""WITH iv AS (
+        SELECT user_id, epoch_us(ts) s, epoch_us(ts) + 1800 * 1000000 e FROM events),
+      m AS (
+        SELECT user_id, s, e,
+          CASE WHEN s > max(e) OVER (PARTITION BY user_id ORDER BY s, e
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) THEN 1 ELSE 0 END AS new_island
+        FROM iv),
+      g AS (
+        SELECT user_id, s, e,
+          SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM m),
+      isl AS (SELECT user_id, island, min(s) st, max(e) en FROM g GROUP BY 1, 2)
+      SELECT user_id, CAST(count(*) AS BIGINT) n_episodes,
+        CAST(SUM(en - st) // 1000000 AS BIGINT) covered_s
+      FROM isl GROUP BY 1 ORDER BY 1"""),
+    covers = Seq("W-islands", "P6"))
+
+  // -------------------------------------------------- median absolute deviation
+  // MAD — the robust scale companion to q144/q146: lower-median order
+  // statistic (k = ceil(n/2), integer arith — interpolation-free) of
+  // x, then the same order statistic of |x − med|. Two window passes,
+  // both decimal-exact; doubles only at the final projection.
+  private val q150 = QueryDef(
+    "q150_mad",
+    (s, dir) => {
+      val r = ranked(s, dir)
+      val med = r.groupBy(col("o_orderpriority").as("p"))
+        .agg(max(when(col("i") === expr("(n + 1) DIV 2"), col("x"))).as("med"))
+      val wDev = Window.partitionBy("o_orderpriority").orderBy(abs(col("x") - col("med")), col("i"))
+      r.join(broadcast(med), col("o_orderpriority") === col("p"))
+        .withColumn("j", row_number().over(wDev))
+        .groupBy("o_orderpriority")
+        .agg(max(col("med")).cast("double").as("med"),
+          max(when(col("j") === expr("(n + 1) DIV 2"),
+            abs(col("x") - col("med")))).cast("double").as("mad"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""WITH r AS (
+        SELECT o_orderpriority, CAST(o_totalprice AS DECIMAL(18,2)) x,
+          row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) i,
+          count(*) OVER (PARTITION BY o_orderpriority) n
+        FROM orders),
+      med AS (SELECT o_orderpriority, MAX(CASE WHEN i = (n+1)//2 THEN x END) med
+              FROM r GROUP BY 1),
+      d AS (
+        SELECT r.o_orderpriority, ABS(x - med) dev, med, n,
+          row_number() OVER (PARTITION BY r.o_orderpriority ORDER BY ABS(x - med), i) j
+        FROM r JOIN med USING (o_orderpriority))
+      SELECT o_orderpriority,
+        CAST(MAX(med) AS DOUBLE) med,
+        CAST(MAX(CASE WHEN j = (n+1)//2 THEN dev END) AS DOUBLE) mad
+      FROM d GROUP BY 1 ORDER BY 1"""),
+    covers = Seq("A-robust"))
+
+  def all: Seq[QueryDef] =
+    Seq(q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150)
 }
