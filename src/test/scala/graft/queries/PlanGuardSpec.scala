@@ -26,7 +26,14 @@ class PlanGuardSpec extends SparkSpec {
     "q99_bloom_prefilter", "q102_oov_rate", "q103_star_join",
     "q105_containment", "q107_full_outer", "q112_snapshot_diff",
     "q115_decontamination", "q119_right_join", "q120_asof_tolerance",
-    "q125_correlated_avg", "q126_sole_failure")
+    "q125_correlated_avg", "q126_sole_failure",
+    // round 4: prefix-filter join, stratified split, winsorize/MAD
+    // (broadcast bound joins), retrieval, interval merge
+    // (q143/q148's one-row crossJoin(broadcast) is the allowed
+    // scalar-subquery pattern, like q52)
+    "q141_prefix_filter_join", "q142_stratified_split",
+    "q146_winsorize", "q147_phrase_search", "q149_interval_merge",
+    "q150_mad")
 
   test("no nested-loop or cartesian joins in shuffle-sensitive queries") {
     val dir = "/root/testdata/sf0.001"
