@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-point-arithmetic PageRank: the iterative link-analysis
+  * score behind web-corpus quality weighting, computed entirely in
+  * integer arithmetic so the result is EXACT — independent of
+  * partitioning, join order, and summation order. Floating-point
+  * PageRank differs in the last ulps between runs (float addition
+  * is not associative); scaling ranks by `scale` and using floor
+  * division makes every iteration a pure integer function, so the
+  * same graph always yields the same ranks — on one core or a
+  * thousand executors (and the driver gate can hash-match a SQL
+  * re-implementation: q151).
+  *
+  * Each iteration is one equi-join of the edge list with the current
+  * rank vector plus one aggregation — the standard edge-partitioned
+  * formulation that scales linearly with |E|. The rank lineage grows
+  * per iteration; for deep iteration counts persist/checkpoint the
+  * rank vector every few rounds (the gate runs shallow).
+  *
+  * Semantics notes (shared by the SQL oracle): dangling-node mass is
+  * dropped, not redistributed, and floor division sheds up to
+  * outdeg−1 units of mass per node per iteration — both standard
+  * simplifications; ranks are comparable, not a probability
+  * distribution.
+  */
+object PageRank {
+
+  /** Ranks after `iters` iterations over a directed edge list
+    * (`src`, `dst` string columns). Returns (node, r) with r on the
+    * fixed-point scale (initial mass = scale DIV #nodes per node).
+    */
+  def ranks(
+      edges: DataFrame,
+      iters: Int,
+      scale: Long = 1000000000000L,
+      dampNum: Int = 85,
+      dampDen: Int = 100): DataFrame = {
+    require(iters >= 0 && dampNum >= 0 && dampNum <= dampDen)
+
+    // The edge list and node set are re-read every iteration (plus
+    // once each for degrees and the node count) — materialize them
+    // instead of re-running their upstream lineage 2+iters times.
+    // They stay cached for the life of the plan (iterative operators
+    // own their working set, as GraphX does). Partitioning by src
+    // BEFORE caching means every iteration's contrib join and the
+    // degree aggregation align with the cached layout: the bulky
+    // edge side never re-shuffles, only the per-iteration rank
+    // vector moves — the invariant that matters when |E| is 10¹².
+    val e = edges.repartition(col("src")).persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persist()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val nRow = nodes.agg(count(lit(1)).as("n"))
+
+    // every rank expression stays in Long floor division (DIV) —
+    // a single float op would break cross-run exactness
+    val teleport =
+      expr(s"(${dampDen - dampNum} * ($scale DIV n)) DIV $dampDen")
+
+    var r = nodes.crossJoin(broadcast(nRow))
+      .select(col("node"), expr(s"$scale DIV n").as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(r, e("src") === r("node"))
+        .join(deg, "src")
+        .select(col("dst").as("node"), expr("r DIV outdeg").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("contrib"))
+      r = nodes.join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(nRow))
+        .select(col("node"),
+          (teleport + expr(s"($dampNum * coalesce(contrib, 0L)) DIV $dampDen")).as("r"))
+    }
+    r
+  }
+}

@@ -400,6 +400,107 @@ object Round5Queries {
       FROM d GROUP BY 1 ORDER BY 1"""),
     covers = Seq("A-robust"))
 
+  // ------------------------------------------------------------- PageRank
+  // Two fixed-point PageRank iterations over the bidirected
+  // customer↔supplier trade graph (operators/PageRank): integer
+  // fixed-point arithmetic makes iterative link analysis exact under
+  // any partitioning — the oracle re-implements both iterations as
+  // chained CTEs and must hash-match bit for bit. Per iteration: one
+  // edges⋈ranks equi-join + one aggregation, the formulation that
+  // scales with |E|.
+  private val q151 = QueryDef(
+    "q151_pagerank",
+    (s, dir) => {
+      // persist: both unionAll branches read e0, and PageRank's
+      // iterations re-read the union — without this the fact join +
+      // distinct runs twice before caching
+      val e0 = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .distinct()
+        .persist()
+      val edges = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+      graft.operators.PageRank.ranks(edges, iters = 2)
+        .select(col("node"), col("r").as("rank_fp"))
+        .orderBy(col("rank_fp").desc, col("node"))
+        .limit(20)
+    },
+    Some("""WITH e0 AS (
+        SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) src,
+                        's' || CAST(l_suppkey AS VARCHAR) dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+      nodes AS (SELECT DISTINCT src AS node FROM (
+        SELECT src FROM edges UNION ALL SELECT dst FROM edges)),
+      deg AS (SELECT src, CAST(count(*) AS BIGINT) outdeg FROM edges GROUP BY 1),
+      n AS (SELECT CAST(count(*) AS BIGINT) n FROM nodes),
+      i1 AS (
+        SELECT nodes.node,
+          ((15 * (1000000000000 // n.n)) // 100)
+          + (85 * COALESCE(c.contrib, 0)) // 100 AS r
+        FROM nodes CROSS JOIN n
+        LEFT JOIN (
+          SELECT e.dst AS node, CAST(SUM((1000000000000 // n.n) // d.outdeg) AS BIGINT) contrib
+          FROM edges e JOIN deg d ON e.src = d.src CROSS JOIN n
+          GROUP BY 1) c ON nodes.node = c.node),
+      i2 AS (
+        SELECT nodes.node,
+          ((15 * (1000000000000 // n.n)) // 100)
+          + (85 * COALESCE(c.contrib, 0)) // 100 AS r
+        FROM nodes CROSS JOIN n
+        LEFT JOIN (
+          SELECT e.dst AS node, CAST(SUM(i1.r // d.outdeg) AS BIGINT) contrib
+          FROM edges e JOIN i1 ON e.src = i1.node JOIN deg d ON e.src = d.src
+          GROUP BY 1) c ON nodes.node = c.node)
+      SELECT node, CAST(r AS BIGINT) rank_fp FROM i2
+      ORDER BY r DESC, node LIMIT 20"""),
+    covers = Seq("G-pagerank"))
+
+  // ------------------------------------------------------------ bounded BFS
+  // Two-hop breadth-first reach from seed customers over the same
+  // trade graph (operators/Bfs): per hop one edges⋈distances join +
+  // min-agg, distances exact integers. Output is the reach histogram
+  // (how many nodes first reached at each hop).
+  private val q152 = QueryDef(
+    "q152_bfs_reach",
+    (s, dir) => {
+      val e0 = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .distinct()
+        .persist()
+      val edges = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = t(s, dir, "orders").filter(col("o_custkey") % 100 === 0)
+        .select(concat(lit("c"), col("o_custkey")).as("node"))
+      graft.operators.Bfs.distances(edges, seeds, maxHops = 2)
+        .groupBy("dist").agg(count(lit(1)).as("n_nodes"))
+        .orderBy("dist")
+    },
+    Some("""WITH e0 AS (
+        SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) src,
+                        's' || CAST(l_suppkey AS VARCHAR) dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+      d0 AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) node, 0 AS dist
+             FROM orders WHERE o_custkey % 100 = 0),
+      d1 AS (
+        SELECT node, CAST(min(dist) AS BIGINT) dist FROM (
+          SELECT node, dist FROM d0
+          UNION ALL
+          SELECT e.dst AS node, d0.dist + 1 FROM edges e JOIN d0 ON e.src = d0.node)
+        GROUP BY 1),
+      d2 AS (
+        SELECT node, CAST(min(dist) AS BIGINT) dist FROM (
+          SELECT node, dist FROM d1
+          UNION ALL
+          SELECT e.dst AS node, d1.dist + 1 FROM edges e JOIN d1 ON e.src = d1.node)
+        GROUP BY 1)
+      SELECT dist, CAST(count(*) AS BIGINT) n_nodes FROM d2
+      GROUP BY 1 ORDER BY 1"""),
+    covers = Seq("G-bfs"))
+
   def all: Seq[QueryDef] =
-    Seq(q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150)
+    Seq(q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152)
 }
