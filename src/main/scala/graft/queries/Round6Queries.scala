@@ -324,5 +324,34 @@ object Round6Queries {
       ORDER BY o_orderpriority, bucket"""),
     covers = Seq("A-histogram", "W-distribution"))
 
-  val all: Seq[QueryDef] = Seq(q153, q154, q155, q156, q157, q158, q159)
+  // --------------------------------------- count-min heavy hitters
+  // The frequency member of the engine's mergeable-sketch family
+  // (Bloom: membership, HLL: distinct, MinHash: similarity — CMS:
+  // counts): ONE pass builds the sketch (partials merge associatively
+  // across partitions, so the build is shuffle-free until the final
+  // combine), then the candidate terms probe it via the native
+  // [[graft.functions.CmsEstimate]] expression. At 100 TB the exact
+  // per-term count requires a full groupBy shuffle; the sketch answers
+  // "how often does THIS term occur" from kilobytes of state. Exact
+  // counts ride along here so the gate exposes the estimate-vs-exact
+  // contract (`cms_n ≥ exact_n`, within eps·N — pinned in
+  // CmsSketchSpec); no SQL twin for a sketch binary → rows-only gate.
+  private val q160 = QueryDef(
+    "q160_cms_heavy_hitters",
+    (s, dir) => {
+      val tok = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+      val sketch = tok.agg(expr("count_min_sketch(w, 0.0001d, 0.99d, 42)").as("sk"))
+      val top = tok.groupBy("w").agg(count(lit(1)).as("exact_n"))
+        .orderBy(desc("exact_n"), col("w")).limit(20)
+      top.crossJoin(broadcast(sketch))
+        .select(col("w"), col("exact_n"),
+          graft.functions.CmsEstimate(s, col("sk"), col("w")).as("cms_n"))
+        .orderBy(desc("exact_n"), col("w"))
+    },
+    None,
+    covers = Seq("SKETCH-cms"))
+
+  val all: Seq[QueryDef] =
+    Seq(q153, q154, q155, q156, q157, q158, q159, q160)
 }

@@ -33,7 +33,10 @@ class PlanGuardSpec extends SparkSpec {
     // scalar-subquery pattern, like q52)
     "q141_prefix_filter_join", "q142_stratified_split",
     "q146_winsorize", "q147_phrase_search", "q149_interval_merge",
-    "q150_mad")
+    "q150_mad",
+    // round 5: TPC-H multi-way join shapes, boilerplate membership join
+    "q153_tpch_q3", "q154_tpch_q5", "q155_tpch_q18",
+    "q156_boilerplate_rm")
 
   test("no nested-loop or cartesian joins in shuffle-sensitive queries") {
     val dir = "/root/testdata/sf0.001"
