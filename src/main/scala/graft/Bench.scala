@@ -46,10 +46,17 @@ object Bench {
     val results = timedPass().map { case (name, t) =>
       name -> math.min(t, p1(name))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Compact keys (q01_groupby_agg -> q01) + 3-decimal times keep the
+    // whole JSON line inside the driver's captured output tail; the
+    // full names are recoverable from SparkEntry.queries ordering.
+    def shortName(n: String): String = n.takeWhile(_ != '_') match {
+      case q if q.nonEmpty => q
+      case _ => n
+    }
+    val qs = results.map { case (k, v) => "\"" + shortName(k) + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
