@@ -36,7 +36,11 @@ class PlanGuardSpec extends SparkSpec {
     "q150_mad",
     // round 5: TPC-H multi-way join shapes, boilerplate membership join
     "q153_tpch_q3", "q154_tpch_q5", "q155_tpch_q18",
-    "q156_boilerplate_rm")
+    "q156_boilerplate_rm",
+    // round 7: TPC-H Q10 (two facts + broadcast dims)
+    "q168_tpch_q10",
+    // round 8: TPC-H Q7/Q8 nation-pair and market-share stars
+    "q169_tpch_q7", "q170_tpch_q8")
 
   test("no nested-loop or cartesian joins in shuffle-sensitive queries") {
     val dir = "/root/testdata/sf0.001"
