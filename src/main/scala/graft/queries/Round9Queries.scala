@@ -183,6 +183,41 @@ object Round9Queries {
       FROM orders GROUP BY 1 ORDER BY 1"""),
     covers = Seq("SQL-pivot"))
 
+  // ------------------------------------------- timezone day bucketing
+  // The reference's real timezone hazard (SURVEY §7.4 risk 3): events
+  // stored as UTC instants but reported by Dutch business day. Local
+  // day = from_utc_timestamp(ts, Europe/Amsterdam) — a per-row
+  // expression using the JVM's IANA tzdata, so DST transitions (+1
+  // winter, +2 summer) are handled by rules, not offset arithmetic.
+  // n_shifted counts the midnight-band rows whose UTC date differs
+  // from the local date — exactly the rows a naive UTC DATE() bucket
+  // misfiles. The oracle converts with DuckDB's own tzdata
+  // (timezone('Europe/Amsterdam', timezone('UTC', ts))) — agreement
+  // proves both engines apply the same rules, DST edges included.
+  private val q180 = QueryDef(
+    "q180_tz_bucket",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("local_d",
+          to_date(from_utc_timestamp(col("ts"), "Europe/Amsterdam")))
+        .withColumn("utc_d", to_date(col("ts")))
+      ev.groupBy("local_d")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("local_d") =!= col("utc_d"), 1L).otherwise(0L))
+            .as("n_shifted"))
+        .orderBy("local_d")
+    },
+    Some("""WITH ev AS (
+        SELECT CAST(timezone('Europe/Amsterdam', timezone('UTC', ts)) AS DATE) AS local_d,
+               CAST(ts AS DATE) AS utc_d
+        FROM events)
+      SELECT local_d,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CASE WHEN local_d <> utc_d THEN 1 ELSE 0 END) AS BIGINT) AS n_shifted
+      FROM ev GROUP BY local_d
+      ORDER BY local_d"""),
+    covers = Seq("TZ-bucketing"))
+
   val all: Seq[QueryDef] =
-    Seq(q176, q177, q178, q179)
+    Seq(q176, q177, q178, q179, q180)
 }

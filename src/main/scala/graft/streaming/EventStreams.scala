@@ -84,6 +84,33 @@ object EventStreams {
         col("purchase_ts"), col("purchase_value"))
   }
 
+  /** Stream-stream LEFT OUTER interval join: like [[clickToPurchase]],
+    * but a click with NO purchase inside its window still emits (with
+    * null purchase columns) once the watermark proves no match can
+    * arrive — the abandoned-click feed. Same bounded state as the
+    * inner form; the two-sided event-time bound is what lets the
+    * engine decide "no match will ever come" and emit the null row at
+    * eviction instead of holding the click forever.
+    */
+  def clickToPurchaseOuter(
+      clicks: DataFrame,
+      purchases: DataFrame,
+      withinMinutes: Int,
+      lateness: String = "30 minutes"): DataFrame = {
+    val c = clicks.select(col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", lateness)
+    val p = purchases.select(col("user_id").as("p_user_id"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", lateness)
+    c.join(p,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $withinMinutes MINUTES"),
+        "leftOuter")
+      .select(col("user_id"), col("click_ts"),
+        col("purchase_ts"), col("purchase_value"))
+  }
+
   /** Native session windows in streaming: the built-in operator for
     * gap-based sessions when only windowed aggregates are needed —
     * state merging, watermark eviction and late-data handling come

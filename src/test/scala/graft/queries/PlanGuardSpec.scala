@@ -42,6 +42,21 @@ class PlanGuardSpec extends SparkSpec {
     // round 8: TPC-H Q7/Q8 nation-pair and market-share stars
     "q169_tpch_q7", "q170_tpch_q8")
 
+  test("tpch stars: dims broadcast, at most one data-sized shuffle join") {
+    val dir = "/root/testdata/sf0.001"
+    Seq("q168_tpch_q10", "q169_tpch_q7", "q170_tpch_q8", "q171_tpch_q14")
+      .foreach { name =>
+        val plan = graft.SparkEntry.queries(name)(spark, dir)
+          .queryExecution.executedPlan.toString
+        assert(plan.contains("BroadcastHashJoin"),
+          s"$name: no dimension broadcast in plan")
+        val shuffleJoins =
+          "SortMergeJoin|ShuffledHashJoin".r.findAllIn(plan).size
+        assert(shuffleJoins <= 1,
+          s"$name: $shuffleJoins shuffle joins (expected <= 1, fact-to-fact only)")
+      }
+  }
+
   test("no nested-loop or cartesian joins in shuffle-sensitive queries") {
     val dir = "/root/testdata/sf0.001"
     guarded.foreach { name =>

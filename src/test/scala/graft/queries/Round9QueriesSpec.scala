@@ -46,6 +46,17 @@ class Round9QueriesSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("tz bucketing: shifted rows bounded by the day's total; Amsterdam is ahead of UTC") {
+    val out = graft.SparkEntry.queries("q180_tz_bucket")(spark, dir).cache()
+    assert(out.count() > 0)
+    assert(out.filter(col("n_shifted") > col("n")).isEmpty)
+    // Amsterdam is UTC+1/+2: a local day can only borrow rows from the
+    // PREVIOUS UTC day, never lend to it — so some shifts must exist
+    // over a year of uniform events
+    assert(out.agg(sum(col("n_shifted"))).head().getLong(0) > 0)
+    out.unpersist()
+  }
+
   test("sql pivot: per-status counts sum to the priority's order count") {
     val out = graft.SparkEntry.queries("q179_sql_pivot")(spark, dir).cache()
     assert(out.count() === 5)

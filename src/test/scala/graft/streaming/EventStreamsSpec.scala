@@ -139,6 +139,35 @@ class EventStreamsSpec extends SparkSpec {
     assert(!rows.exists(_._1 == 3L))    // unmatched user
   }
 
+  test("left-outer interval join emits unmatched clicks with nulls after watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val query = EventStreams.clickToPurchaseOuter(
+        clicks.toDF(), purchases.toDF(), withinMinutes = 10,
+        lateness = "0 seconds")
+      .writeStream.format("memory").queryName("cp_outer")
+      .outputMode(OutputMode.Append()).start()
+
+    clicks.addData(
+      Event(1L, ts(0), "click", 0.0),   // will match
+      Event(2L, ts(0), "click", 0.0))   // will NOT match
+    purchases.addData(Event(1L, ts(5), "purchase", 42.0))
+    query.processAllAvailable()
+    // advance both watermarks far past the join window so the engine
+    // can prove user 2's click is unmatched and emit its null row
+    clicks.addData(Event(9L, Timestamp.valueOf("2026-01-01 12:00:00"), "click", 0.0))
+    purchases.addData(Event(9L, Timestamp.valueOf("2026-01-01 12:00:00"), "purchase", 0.0))
+    query.processAllAvailable()
+    query.stop()
+
+    val rows = spark.table("cp_outer").collect()
+      .map(r => (r.getAs[Long]("user_id"), Option(r.get(3))))
+    assert(rows.count(_ == (1L, Some(42.0))) == 1, "matched click missing")
+    assert(rows.count(_ == (2L, None)) == 1, "unmatched click did not emit null row")
+  }
+
   test("countsToStore lands windowed counts in the store; batch replay is idempotent") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
