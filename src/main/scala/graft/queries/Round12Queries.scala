@@ -1,0 +1,143 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-12 gate additions (q187+): the store primitives that were
+  * spec-verified only, put under the DuckDB oracle — CDC changelog
+  * apply, SCD2 history build, and the bucketed co-located join. Each
+  * runs the REAL store code against a temp directory and
+  * hash-matches a one-shot SQL reconstruction.
+  */
+object Round12Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def tmpStore(s: SparkSession, prefix: String): graft.store.TableStore =
+    new graft.store.TableStore(s,
+      java.nio.file.Files.createTempDirectory(prefix).toString)
+
+  // ------------------------------------------------- CDC changelog apply
+  // store/TableStore.applyCdc folded over three derived changelog
+  // batches: inserts (b0: every 3rd customer), updates (b1: +10 bal
+  // on every 7th), deletes (b2: every 13th) — versions 1/2/3. The
+  // final state must equal the oracle's one-shot latest-wins
+  // reconstruction: update wins over insert, delete removes, and
+  // replay safety comes from version comparison, not arrival order.
+  private val q187 = QueryDef(
+    "q187_cdc_apply",
+    (s, dir) => {
+      val store = tmpStore(s, "graft_cdc")
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val b0 = c.filter(col("c_custkey") % 3 === 0)
+        .withColumn("op", lit("I")).withColumn("v", lit(1L))
+      val b1 = c.filter(col("c_custkey") % 3 === 0 && col("c_custkey") % 7 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 10)
+        .withColumn("op", lit("U")).withColumn("v", lit(2L))
+      val b2 = c.filter(col("c_custkey") % 3 === 0 && col("c_custkey") % 13 === 0)
+        .withColumn("op", lit("D")).withColumn("v", lit(3L))
+      Seq(b0, b1, b2).foreach(b =>
+        store.applyCdc("cust", b, "c_custkey", "v"))
+      store.read("cust").get
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("v"))
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name,
+        CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 10 ELSE c_acctbal END AS c_acctbal,
+        CAST(CASE WHEN c_custkey % 7 = 0 THEN 2 ELSE 1 END AS BIGINT) AS v
+      FROM customer
+      WHERE c_custkey % 3 = 0 AND c_custkey % 13 <> 0
+      ORDER BY c_custkey"""),
+    covers = Seq("S-cdc-gate"))
+
+  // --------------------------------------------------- SCD2 history build
+  // store/TableStore.scd2Upsert over two batches: day-1 base rows,
+  // then day-2 changes (every 5th customer's balance moves). The
+  // resulting history must show exactly one closed version (valid_to
+  // = day 2) plus one open current version for changed keys, and a
+  // single open version for untouched keys — reconstructed by the
+  // oracle from the change predicate alone.
+  private val q188 = QueryDef(
+    "q188_scd2_history",
+    (s, dir) => {
+      val store = tmpStore(s, "graft_scd2")
+      val c = t(s, dir, "customer")
+        .filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey"), col("c_acctbal"))
+      val d1 = c.withColumn("ts", lit("2026-01-01 00:00:00").cast("timestamp"))
+      val d2 = c.filter(col("c_custkey") % 5 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 100)
+        .withColumn("ts", lit("2026-01-02 00:00:00").cast("timestamp"))
+      store.scd2Upsert("cust", d1, "c_custkey", "ts")
+      store.scd2Upsert("cust", d2, "c_custkey", "ts")
+      store.read("cust").get
+        .select(col("c_custkey"), col("c_acctbal"),
+          col("valid_from"), col("valid_to"), col("is_current"))
+        .orderBy("c_custkey", "valid_from")
+    },
+    Some("""WITH base AS (
+        SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 2 = 0)
+      SELECT c_custkey, c_acctbal,
+        TIMESTAMP '2026-01-01 00:00:00' AS valid_from,
+        CASE WHEN c_custkey % 5 = 0 THEN TIMESTAMP '2026-01-02 00:00:00' END AS valid_to,
+        c_custkey % 5 <> 0 AS is_current
+      FROM base
+      UNION ALL
+      SELECT c_custkey, c_acctbal + 100,
+        TIMESTAMP '2026-01-02 00:00:00', NULL, true
+      FROM base WHERE c_custkey % 5 = 0
+      ORDER BY c_custkey, valid_from"""),
+    covers = Seq("S-scd2-gate"))
+
+  // ---------------------------------------------- bucketed co-located join
+  // store/BucketedStore under the oracle: lineitem and orders are
+  // written bucketed+sorted on the join key, then joined and
+  // aggregated — the physical plan has NO Exchange before the join
+  // (asserted in Round12QueriesSpec; the write paid the partitioning
+  // once). The oracle runs the plain join: bucketing must never
+  // change results, only the plan.
+  private val q189 = QueryDef(
+    "q189_bucketed_join",
+    (s, dir) => {
+      val bs = new graft.store.BucketedStore(s)
+      // a fresh in-memory catalog does not know about tables a prior
+      // session left in the warehouse dir — drop the entry AND the
+      // location, or CREATE TABLE fails on the orphaned directory
+      Seq("g12_li", "g12_ord").foreach { tbl =>
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        val loc = new org.apache.hadoop.fs.Path(
+          s.sessionState.conf.warehousePath, tbl)
+        loc.getFileSystem(s.sessionState.newHadoopConf()).delete(loc, true)
+      }
+      bs.writeBucketed(
+        t(s, dir, "lineitem").select("l_orderkey", "l_quantity"),
+        "g12_li", "l_orderkey", 8)
+      bs.writeBucketed(
+        t(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
+        "g12_ord", "o_orderkey", 8)
+      // the merge hint keeps the tiny test tables off the broadcast
+      // path: a sort-merge join over co-bucketed scans is the shape
+      // that needs NO Exchange (what the gate + spec prove); at real
+      // scale the sides exceed the broadcast threshold and plan this
+      // way on their own
+      bs.read("g12_li").hint("merge")
+        .join(bs.read("g12_ord"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority,
+        CAST(COUNT(*) AS BIGINT) AS n_items,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1 ORDER BY 1"""),
+    covers = Seq("S-bucketed-gate"))
+
+  val all: Seq[QueryDef] =
+    Seq(q187, q188, q189)
+}
