@@ -1,0 +1,77 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-13 gate additions (q190+): the quantile member of the
+  * sketch family (HLL q40/q96, CMS q160, Bloom q99 — approx
+  * percentile completes the set), and the disjunctive-join rewrite
+  * that keeps OR-predicate joins off the nested-loop path.
+  */
+object Round13Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // ------------------------------------------------ approx percentiles
+  // Mergeable quantile summary (Greenwald-Khanna) per group — the
+  // sketch answer to q50's exact sort-based percentiles. rows-only
+  // gate (sketch results are accuracy-bounded, not exact);
+  // Round13QueriesSpec pins the bound against the exact order
+  // statistics. At 100 TB the sketch is one pass + tiny merges where
+  // exact percentiles need a full sort per group.
+  private val q190 = QueryDef(
+    "q190_approx_percentile",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          approx_percentile(col("l_extendedprice"), array(lit(0.5), lit(0.9), lit(0.99)),
+            lit(10000)).as("approx_p"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"),
+          element_at(col("approx_p"), 1).as("p50"),
+          element_at(col("approx_p"), 2).as("p90"),
+          element_at(col("approx_p"), 3).as("p99"),
+          col("n"))
+        .orderBy("l_returnflag"),
+    None,
+    covers = Seq("A-approx-percentile"))
+
+  // ------------------------------------------------- disjunctive join
+  // OR-predicate equi-join: orders match customers directly
+  // (o_custkey) OR through a second derived key. Planned naively the
+  // OR forces BroadcastNestedLoopJoin — O(n·m) predicate
+  // evaluations. The engine form is the standard rewrite: one
+  // equi-join PER disjunct, unioned, deduplicated on the output key
+  // (a pair matching both arms must appear once) — all hash joins,
+  // plan-guarded. The oracle writes the naive OR join; agreement
+  // proves the rewrite exact, duplicates included.
+  private val q191 = QueryDef(
+    "q191_disjunctive_join",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 50 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_orderkey") % 1500).as("gift_key"))
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"))
+      val direct = o.join(c, col("o_custkey") === col("c_custkey"))
+      val gifted = o.join(c, col("gift_key") === col("c_custkey"))
+      direct.unionByName(gifted)
+        .select(col("o_orderkey"), col("c_custkey"), col("c_acctbal"))
+        .distinct()
+        .orderBy("o_orderkey", "c_custkey")
+    },
+    Some("""SELECT DISTINCT o_orderkey, c_custkey, c_acctbal
+      FROM (SELECT o_orderkey, o_custkey, o_orderkey % 1500 AS gift_key
+            FROM orders WHERE o_orderkey % 50 = 0) o
+      JOIN customer ON o_custkey = c_custkey OR gift_key = c_custkey
+      ORDER BY o_orderkey, c_custkey"""),
+    covers = Seq("J-disjunctive"))
+
+  val all: Seq[QueryDef] =
+    Seq(q190, q191)
+}

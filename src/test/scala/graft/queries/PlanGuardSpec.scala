@@ -40,7 +40,10 @@ class PlanGuardSpec extends SparkSpec {
     // round 7: TPC-H Q10 (two facts + broadcast dims)
     "q168_tpch_q10",
     // round 8: TPC-H Q7/Q8 nation-pair and market-share stars
-    "q169_tpch_q7", "q170_tpch_q8")
+    "q169_tpch_q7", "q170_tpch_q8",
+    // round 13: the disjunctive-join rewrite exists precisely to stay
+    // off the nested-loop path
+    "q191_disjunctive_join")
 
   test("tpch stars: dims broadcast, at most one data-sized shuffle join") {
     val dir = "/root/testdata/sf0.001"
