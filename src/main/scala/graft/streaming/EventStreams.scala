@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TimeMode, TimerValues, TTLConfig, ValueState}
 
 import graft.store.TableStore
 
@@ -341,5 +341,50 @@ object EventStreams {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(),
         GroupStateTimeout.EventTimeTimeout())(update)
+  }
+
+  /** An admitted event plus its position in the key's quota. */
+  case class Admitted(user_id: Long, ts: Timestamp, event_type: String,
+      value: Double, n_admitted: Long)
+
+  /** Per-key quota admission on the Spark 4 `transformWithState`
+    * arbitrary-state API (the successor of flatMapGroupsWithState:
+    * typed composite state, TTL, timers — and REQUIRES the RocksDB
+    * state store backend): each user admits at most `limit` events
+    * over the stream's lifetime; the rest drop. State per key is one
+    * counter — O(keys), never O(events) — which is what keeps a
+    * 100 TB firehose's admission state in check; the same shape with
+    * a TTLConfig turns lifetime quotas into rolling ones without
+    * touching the processor logic.
+    */
+  private final class QuotaProcessor(limit: Long)
+      extends StatefulProcessor[Long, Event, Admitted] {
+    @transient private var admitted: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      admitted = getHandle.getValueState[Long]("admitted",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[Event],
+        timers: TimerValues): Iterator[Admitted] = {
+      var n = if (admitted.exists()) admitted.get() else 0L
+      val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_type))
+        .iterator.takeWhile(_ => n < limit)
+        .map { e => n += 1; Admitted(e.user_id, e.ts, e.event_type, e.value, n) }
+        .toVector
+      admitted.update(n)
+      out.iterator
+    }
+  }
+
+  /** First-`limit`-per-user admission over a stream (Append mode). */
+  def admitQuota(events: Dataset[Event], limit: Long): Dataset[Admitted] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new QuotaProcessor(limit),
+        TimeMode.None(), OutputMode.Append())
   }
 }

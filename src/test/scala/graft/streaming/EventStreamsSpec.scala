@@ -168,6 +168,42 @@ class EventStreamsSpec extends SparkSpec {
     assert(rows.count(_ == (2L, None)) == 1, "unmatched click did not emit null row")
   }
 
+  test("transformWithState quota admits the first N per user across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState requires the RocksDB state store backend
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Event]
+      val query = EventStreams.admitQuota(input.toDS(), limit = 3L)
+        .writeStream.format("memory").queryName("quota")
+        .outputMode(OutputMode.Append()).start()
+
+      input.addData(
+        Event(1L, ts(0), "a", 1.0), Event(1L, ts(1), "b", 1.0),
+        Event(2L, ts(0), "a", 1.0))
+      query.processAllAvailable()
+      // second batch: user 1 exceeds the quota, user 2 stays under
+      input.addData(
+        Event(1L, ts(2), "c", 1.0), Event(1L, ts(3), "d", 1.0),
+        Event(2L, ts(5), "b", 1.0))
+      query.processAllAvailable()
+      query.stop()
+
+      val rows = spark.table("quota").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+          r.getAs[Long]("n_admitted")))
+      assert(rows.count(_._1 == 1L) == 3, s"user 1 quota violated: ${rows.toSeq}")
+      assert(!rows.exists(r => r._1 == 1L && r._2 == "d"), "4th event admitted")
+      assert(rows.count(_._1 == 2L) == 2)
+      // n_admitted is the running per-key position, continuous across batches
+      assert(rows.filter(_._1 == 1L).map(_._3).sorted.toSeq == Seq(1L, 2L, 3L))
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("countsToStore lands windowed counts in the store; batch replay is idempotent") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
