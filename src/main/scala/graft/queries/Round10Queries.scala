@@ -76,10 +76,10 @@ object Round10Queries {
         SELECT doc_id, string_split(text,' ')[1:10] AS a, string_split(text,' ')[5:15] AS b
         FROM documents WHERE doc_id % 4 = 0)
       SELECT doc_id,
-        array_to_string(list_sort(list_distinct(list_cat(a, b))), ',') AS u,
-        array_to_string(list_sort(list_distinct(list_intersect(a, b))), ',') AS i,
-        array_to_string(list_sort(list_distinct(
-          list_filter(a, e -> NOT list_contains(b, e)))), ',') AS x,
+        COALESCE(array_to_string(list_sort(list_distinct(list_cat(a, b))), ','), '') AS u,
+        COALESCE(array_to_string(list_sort(list_distinct(list_intersect(a, b))), ','), '') AS i,
+        COALESCE(array_to_string(list_sort(list_distinct(
+          list_filter(a, e -> NOT list_contains(b, e)))), ','), '') AS x,
         CAST(len(list_distinct(list_cat(a, b))) AS INTEGER) AS n_union
       FROM d ORDER BY doc_id"""),
     covers = Seq("ARR-setops"))
