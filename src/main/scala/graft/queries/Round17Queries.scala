@@ -1,0 +1,171 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-17 gate additions (q198+): training-sequence packing, exact
+  * bitmap distinct counting, market-basket association rules, and the
+  * GROUP BY ALL / ORDER BY ALL parser surface.
+  */
+object Round17Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // ------------------------------------------------ sequence packing
+  // GPT-style fixed-length training-sequence packing: documents
+  // concatenate in a deterministic order and cut every 2048 tokens,
+  // docs straddling a cut carry into the next sequence (cross-doc
+  // attention masking handles the seam downstream). Packing is a
+  // running state, so it windows — but over a SHARD (doc_id % 8),
+  // never the whole corpus: each shard packs independently in
+  // parallel, which is the only shape that survives 100 TB (a global
+  // ORDER BY over every document does not). Shard count maps to
+  // partition count at scale; determinism comes from the (shard,
+  // doc_id) total order, not from task scheduling.
+  private val q198 = QueryDef(
+    "q198_sequence_packing",
+    (s, dir) => {
+      val budget = 2048L
+      val d = t(s, dir, "documents").select(
+        (col("doc_id") % 8).as("shard"),
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      val w = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val placed = d
+        .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+        .withColumn("seq_id", expr(s"cum_before div $budget"))
+        .withColumn("last_seq", expr(s"(cum_before + n_tok - 1) div $budget"))
+      placed.groupBy("shard", "seq_id")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("last_seq") > col("seq_id"), 1L).otherwise(0L))
+            .as("n_straddle"),
+          sum(col("n_tok")).as("n_tokens"))
+        .orderBy("shard", "seq_id")
+    },
+    Some("""WITH d AS (
+        SELECT doc_id % 8 AS shard, doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents),
+      placed AS (
+        SELECT shard, n_tok,
+          CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+            AS cum_before
+        FROM d)
+      SELECT shard, cum_before // 2048 AS seq_id,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(CASE WHEN (cum_before + n_tok - 1) // 2048 > cum_before // 2048
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_straddle,
+        CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+      FROM placed GROUP BY 1, 2 ORDER BY shard, seq_id"""),
+    covers = Seq("TRAIN-seq-packing"))
+
+  // ------------------------------------------- bitmap distinct count
+  // Exact distinct counting without a distinct shuffle: users bucket
+  // into 63-wide ranges (bit 63 stays clear — DuckDB checks shift
+  // overflow), each (type, bucket) group OR-accumulates one BIGINT
+  // bitmap, popcounts sum to the exact distinct count. The
+  // roaring-bitmap idea in relational form: state is
+  // O(range/63) bits per key instead of O(distinct) 8-byte hash
+  // entries, the bitmap OR is associative+commutative (partial
+  // aggregation works), and two engines' bitmaps agree bit-for-bit.
+  // The oracle runs plain COUNT(DISTINCT) — hash equality proves the
+  // bitmap path exact, not approximate.
+  private val q199 = QueryDef(
+    "q199_bitmap_distinct",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      e.select(col("event_type"),
+          expr("user_id div 63").as("bucket"),
+          expr("shiftleft(1L, int(user_id % 63))").as("bit"))
+        .groupBy("event_type", "bucket")
+        .agg(bit_or(col("bit")).as("bits"))
+        .groupBy("event_type")
+        .agg(
+          sum(bit_count(col("bits")).cast("long")).as("n_distinct_users"),
+          count(lit(1)).as("n_buckets"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type,
+        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct_users,
+        CAST(COUNT(DISTINCT user_id // 63) AS BIGINT) AS n_buckets
+      FROM events GROUP BY event_type ORDER BY event_type"""),
+    covers = Seq("AGG-bitmap-distinct"))
+
+  // ------------------------------------------- association rules
+  // Market-basket mining over the order fact: parts co-purchased in
+  // one order pair up through a per-order self-join — bounded by
+  // items-per-order (≤7), so the pair fan-out is linear in lineitem,
+  // not quadratic in parts. Confidence and lift divide exact integer
+  // counts in ONE IEEE division each (hash-safe); the DISTINCT
+  // (order, part) projection first makes a twice-bought part count
+  // once, so pair support means "orders containing both".
+  private val q200 = QueryDef(
+    "q200_copurchase_rules",
+    (s, dir) => {
+      val op = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val nOrders = op.select(countDistinct(col("ok")).as("n_orders"))
+      val counts = op.groupBy("pk").agg(count(lit(1)).as("n_item"))
+      val pairs = op.as("a")
+        .join(op.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
+        .agg(count(lit(1)).as("n_ab"))
+      pairs
+        .join(counts.select(col("pk").as("part_a"), col("n_item").as("n_a")), "part_a")
+        .join(counts.select(col("pk").as("part_b"), col("n_item").as("n_b")), "part_b")
+        .crossJoin(nOrders)
+        .select(col("part_a"), col("part_b"), col("n_ab"), col("n_a"), col("n_b"),
+          (col("n_ab").cast("double") / col("n_a").cast("double")).as("conf_a"),
+          ((col("n_ab") * col("n_orders")).cast("double") /
+            (col("n_a") * col("n_b")).cast("double")).as("lift"))
+        .orderBy(desc("n_ab"), col("part_a"), col("part_b"))
+        .limit(20)
+    },
+    Some("""WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      n AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM op),
+      counts AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS n_item FROM op GROUP BY pk),
+      pairs AS (
+        SELECT a.pk AS part_a, b.pk AS part_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+        FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+        GROUP BY 1, 2)
+      SELECT part_a, part_b, n_ab, ca.n_item AS n_a, cb.n_item AS n_b,
+        CAST(n_ab AS DOUBLE) / CAST(ca.n_item AS DOUBLE) AS conf_a,
+        CAST(n_ab * n_orders AS DOUBLE) / CAST(ca.n_item * cb.n_item AS DOUBLE) AS lift
+      FROM pairs
+      JOIN counts ca ON part_a = ca.pk
+      JOIN counts cb ON part_b = cb.pk
+      CROSS JOIN n
+      ORDER BY n_ab DESC, part_a, part_b LIMIT 20"""),
+    covers = Seq("AGG-association-rules"))
+
+  // ------------------------------------------ GROUP BY ALL / ORDER BY ALL
+  // Parser-level GROUP BY ALL (every non-aggregate select item) and
+  // ORDER BY ALL (every select item, left to right) — the
+  // exploratory-SQL surface both engines grew independently; the gate
+  // pins that their inference picks the same keys and order.
+  private val q201 = QueryDef(
+    "q201_group_by_all",
+    (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT source, lang, COUNT(*) AS n,
+          CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        GROUP BY ALL ORDER BY ALL""")
+    },
+    Some("""SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      FROM documents GROUP BY ALL ORDER BY ALL"""),
+    covers = Seq("SQL-group-by-all"))
+
+  val all: Seq[QueryDef] =
+    Seq(q198, q199, q200, q201)
+}

@@ -413,29 +413,38 @@ object Round3Queries {
 
   // ------------------------------------------------------------ column profiling
   // Data-quality profile — null count, distinct count, min/max per
-  // column — in ONE pass over the table (multi-count-distinct plans
-  // as a single Expand), then stack() pivots the metrics row into a
-  // report. The per-column-scan UNION the oracle runs is exactly what
-  // this avoids at 100 TB.
+  // column — in TWO passes over the table, then stack() pivots the
+  // metrics row into a report. The per-column-scan UNION the oracle
+  // runs is exactly what this avoids at 100 TB. Two passes, not one,
+  // on purpose: min/max of STRING columns carry variable-width
+  // aggregation buffers, which HashAggregate can't hold — folding
+  // them into the multi-count-distinct aggregate demotes the whole
+  // Expand (rows × #distinct-cols) to SortAggregate, paying two full
+  // sorts of the expanded data (measured 4-5× slower). Kept apart,
+  // the distinct+null pass stays a hash aggregate over the Expand and
+  // the min/max pass is a grouping-free single scan (SortAggregate
+  // with no keys needs no sort); the two 1-row results cross-join
+  // for free.
   private val q88 = QueryDef(
     "q88_profile",
     (s, dir) => {
       val o = t(s, dir, "orders")
         .withColumn("status_nf", expr("nullif(o_orderstatus, 'F')"))
-      def m(c: Column, i: Int) = Seq(
+      def cnts(c: Column, i: Int) = Seq(
         sum(when(c.isNull, 1).otherwise(0)).as(s"nu_$i"),
-        countDistinct(c).as(s"nd_$i"),
+        countDistinct(c).as(s"nd_$i"))
+      def mm(c: Column, i: Int) = Seq(
         min(c).cast("string").as(s"mn_$i"),
         max(c).cast("string").as(s"mx_$i"))
-      val aggs =
-        m(col("o_orderkey"), 0) ++ m(col("o_orderstatus"), 1) ++
-          m(col("status_nf"), 2) ++
-          (Seq(
-            sum(when(col("o_totalprice").isNull, 1).otherwise(0)).as("nu_3"),
-            countDistinct(col("o_totalprice")).as("nd_3"),
-            min(col("o_totalprice").cast(DecimalType(18, 2))).cast("string").as("mn_3"),
-            max(col("o_totalprice").cast(DecimalType(18, 2))).cast("string").as("mx_3")))
-      o.agg(aggs.head, aggs.tail: _*)
+      val cntAggs =
+        cnts(col("o_orderkey"), 0) ++ cnts(col("o_orderstatus"), 1) ++
+          cnts(col("status_nf"), 2) ++ cnts(col("o_totalprice"), 3)
+      val mmAggs =
+        mm(col("o_orderkey"), 0) ++ mm(col("o_orderstatus"), 1) ++
+          mm(col("status_nf"), 2) ++
+          mm(col("o_totalprice").cast(DecimalType(18, 2)), 3)
+      o.agg(cntAggs.head, cntAggs.tail: _*)
+        .crossJoin(o.agg(mmAggs.head, mmAggs.tail: _*))
         .selectExpr("""stack(4,
             'o_orderkey',    nu_0, nd_0, mn_0, mx_0,
             'o_orderstatus', nu_1, nd_1, mn_1, mx_1,

@@ -1,0 +1,64 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Semantic invariants for the round-17 gate queries. */
+class Round17QueriesSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("sequence packing: every token lands in exactly one shard-seq stream") {
+    val out = graft.SparkEntry.queries("q198_sequence_packing")(spark, dir).cache()
+    assert(out.count() > 0)
+    // token conservation: per-shard packed totals equal raw totals
+    val packed = out.groupBy("shard").agg(sum("n_tokens").as("packed"))
+    val raw = graft.Tables.load(spark, dir, "documents")
+      .select((col("doc_id") % 8).as("shard"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      .groupBy("shard").agg(sum("n").as("raw"))
+    assert(packed.join(raw, "shard").filter(col("packed") =!= col("raw")).isEmpty)
+    // a sequence holds at most budget tokens' worth of STARTS; straddle
+    // count is bounded by doc count
+    assert(out.filter(col("n_straddle") > col("n_docs")).isEmpty)
+    // seq ids are dense from 0 within each shard (no empty sequence is
+    // ever emitted, every cut is reachable)
+    val dense = out.groupBy("shard")
+      .agg(min("seq_id").as("lo"), max("seq_id").as("hi"), count(lit(1)).as("n"))
+    assert(dense.filter(col("lo") =!= 0 || col("n") =!= col("hi") + 1).isEmpty)
+    out.unpersist()
+  }
+
+  test("bitmap distinct equals groupBy-distinct exactly") {
+    val out = graft.SparkEntry.queries("q199_bitmap_distinct")(spark, dir).cache()
+    val exact = graft.Tables.load(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact"))
+    val j = out.join(exact, "event_type")
+    assert(j.count() > 0)
+    assert(j.filter(col("n_distinct_users") =!= col("exact")).isEmpty,
+      "bitmap popcount distinct must be exact")
+    out.unpersist()
+  }
+
+  test("co-purchase rules: support bounded by item counts, lift consistent") {
+    val out = graft.SparkEntry.queries("q200_copurchase_rules")(spark, dir).cache()
+    assert(out.count() > 0)
+    assert(out.filter(col("n_ab") > col("n_a") || col("n_ab") > col("n_b")).isEmpty,
+      "pair support cannot exceed either item's order count")
+    assert(out.filter(col("part_a") >= col("part_b")).isEmpty,
+      "pairs are canonically ordered")
+    assert(out.filter(col("conf_a") <= 0 || col("conf_a") > 1).isEmpty)
+    out.unpersist()
+  }
+
+  test("group by all infers the same groups as explicit keys") {
+    val out = graft.SparkEntry.queries("q201_group_by_all")(spark, dir)
+    val explicit = graft.Tables.load(spark, dir, "documents")
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("total_chars"))
+      .orderBy("source", "lang", "n", "total_chars")
+    assert(out.collect().toSeq === explicit.collect().toSeq)
+  }
+}
