@@ -166,6 +166,78 @@ object Round17Queries {
       FROM documents GROUP BY ALL ORDER BY ALL"""),
     covers = Seq("SQL-group-by-all"))
 
+  // --------------------------------------- sliding-window exact distinct
+  // Exact 7-day-rolling active users. Sliding distinct has no
+  // window-function form (first-occurrence tricks only work for
+  // CUMULATIVE distinct, q138) — the scalable shape is bounded
+  // fan-out: each (user, day) emits the 7 report-days it is visible
+  // to, then one distinct aggregate per report-day. Linear in
+  // (user, day) pairs × window width, no per-day rescan, no
+  // quadratic self-join; the trailing fan past the last real day is
+  // semi-joined away.
+  private val q202 = QueryDef(
+    "q202_sliding_distinct",
+    (s, dir) => {
+      val ud = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+        .distinct()
+      val days = ud.select(col("d").as("report_d")).distinct()
+      val fan = ud.select(col("user_id"),
+        explode(sequence(col("d"), date_add(col("d"), 6))).as("report_d"))
+      fan.join(days, Seq("report_d"), "left_semi")
+        .groupBy("report_d")
+        .agg(countDistinct(col("user_id")).as("n_active_7d"))
+        .orderBy("report_d")
+    },
+    Some("""WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+      days AS (SELECT DISTINCT d AS report_d FROM ud),
+      fan AS (
+        SELECT user_id, d + CAST(i AS INTEGER) AS report_d
+        FROM ud, (SELECT unnest(generate_series(0, 6)) AS i))
+      SELECT f.report_d, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active_7d
+      FROM fan f JOIN days USING (report_d)
+      GROUP BY 1 ORDER BY report_d"""),
+    covers = Seq("WIN-sliding-distinct"))
+
+  // --------------------------------------------- z-order interleave
+  // The actual Morton-curve bit math behind graft.store.ZOrder
+  // (q187-q189 gate the store's OTHER primitives), pinned against an
+  // oracle that rebuilds the interleave from shifts and masks: result
+  // bit (2i+j) must be bit i of dimension j, for every row. Aggregated
+  // sums/extrema over the full fact table make the hash cover each
+  // row's z-value without dumping 600k rows. The projection is pure
+  // column arithmetic — codegen-friendly, no UDF, exactly what runs
+  // inside ZOrder.writeZOrdered's sort key at layout time.
+  private val q203 = QueryDef(
+    "q203_zorder_interleave",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val z = graft.store.ZOrder.interleave(
+        Seq(expr("l_partkey % 1024").cast("long"),
+          expr("l_suppkey % 1024").cast("long")),
+        bits = 10)
+      li.select(col("l_returnflag"), z.as("zv"))
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("zv")).as("sum_z"),
+          min(col("zv")).as("min_z"),
+          max(col("zv")).as("max_z"))
+        .orderBy("l_returnflag")
+    },
+    Some("""WITH z AS (
+        SELECT l_returnflag,
+          list_sum(list_transform(range(0, 10),
+            i -> (((l_partkey % 1024) >> i) & 1) * (1::BIGINT << (2*i))
+               + (((l_suppkey % 1024) >> i) & 1) * (1::BIGINT << (2*i + 1)))) AS zv
+        FROM lineitem)
+      SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(zv) AS BIGINT) AS sum_z,
+        CAST(MIN(zv) AS BIGINT) AS min_z,
+        CAST(MAX(zv) AS BIGINT) AS max_z
+      FROM z GROUP BY 1 ORDER BY l_returnflag"""),
+    covers = Seq("STORE-zorder-math"))
+
   val all: Seq[QueryDef] =
-    Seq(q198, q199, q200, q201)
+    Seq(q198, q199, q200, q201, q202, q203)
 }

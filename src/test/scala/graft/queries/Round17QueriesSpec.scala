@@ -53,6 +53,35 @@ class Round17QueriesSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("sliding distinct: 7-day window dominates the daily count") {
+    val out = graft.SparkEntry.queries("q202_sliding_distinct")(spark, dir).cache()
+    assert(out.count() > 0)
+    val daily = graft.Tables.load(spark, dir, "events")
+      .groupBy(to_date(col("ts")).as("report_d"))
+      .agg(countDistinct(col("user_id")).as("n_daily"))
+    val j = out.join(daily, "report_d")
+    assert(j.count() === out.count(), "every event day must be reported")
+    assert(j.filter(col("n_active_7d") < col("n_daily")).isEmpty,
+      "a 7-day window can never see fewer users than its last day")
+    out.unpersist()
+  }
+
+  test("z-order interleave: bits round-trip per dimension") {
+    import org.apache.spark.sql.Row
+    val df = spark.range(0, 1024 * 4)
+      .select((col("id") % 1024).as("x"), ((col("id") * 7 + 3) % 1024).as("y"))
+    val z = graft.store.ZOrder.interleave(Seq(col("x"), col("y")), bits = 10)
+    // de-interleaving even/odd bits must recover x and y exactly
+    val back = df.select(col("x"), col("y"), z.as("zv"))
+      .withColumn("x2", (0 until 10).map(i =>
+        shiftleft(shiftright(col("zv"), 2 * i).bitwiseAND(lit(1L)), i))
+        .reduce(_ + _))
+      .withColumn("y2", (0 until 10).map(i =>
+        shiftleft(shiftright(col("zv"), 2 * i + 1).bitwiseAND(lit(1L)), i))
+        .reduce(_ + _))
+    assert(back.filter(col("x") =!= col("x2") || col("y") =!= col("y2")).isEmpty)
+  }
+
   test("group by all infers the same groups as explicit keys") {
     val out = graft.SparkEntry.queries("q201_group_by_all")(spark, dir)
     val explicit = graft.Tables.load(spark, dir, "documents")
