@@ -100,23 +100,33 @@ object Round17Queries {
 
   // ------------------------------------------- association rules
   // Market-basket mining over the order fact: parts co-purchased in
-  // one order pair up through a per-order self-join — bounded by
-  // items-per-order (≤7), so the pair fan-out is linear in lineitem,
-  // not quadratic in parts. Confidence and lift divide exact integer
-  // counts in ONE IEEE division each (hash-safe); the DISTINCT
-  // (order, part) projection first makes a twice-bought part count
-  // once, so pair support means "orders containing both".
+  // one order pair up IN-ROW — one shuffle collects each order's
+  // part set (bounded: ≤7 items/order), a sorted-set slice expansion
+  // emits the <-ordered pairs without any self-join, and the only
+  // data-sized exchanges left are the basket build and the pair
+  // count (a per-order self-join costs an extra distinct + join
+  // shuffle and measured ~2× slower). Confidence and lift divide
+  // exact integer counts in ONE IEEE division each (hash-safe);
+  // collect_set makes a twice-bought part count once, so pair
+  // support means "orders containing both".
   private val q200 = QueryDef(
     "q200_copurchase_rules",
     (s, dir) => {
-      val op = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val nOrders = op.select(countDistinct(col("ok")).as("n_orders"))
-      val counts = op.groupBy("pk").agg(count(lit(1)).as("n_item"))
-      val pairs = op.as("a")
-        .join(op.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
+      val baskets = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("ok"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+        .persist()
+      val nOrders = baskets.select(count(lit(1)).as("n_orders"))
+      val counts = baskets
+        .select(explode(col("ps")).as("pk"))
+        .groupBy("pk").agg(count(lit(1)).as("n_item"))
+      val pairs = baskets
+        .select(explode(expr(
+          """flatten(transform(ps, (x, i) ->
+               transform(slice(ps, i + 2, size(ps)),
+                 y -> struct(x AS part_a, y AS part_b))))""")).as("p"))
+        .select(col("p.part_a"), col("p.part_b"))
+        .groupBy("part_a", "part_b")
         .agg(count(lit(1)).as("n_ab"))
       pairs
         .join(counts.select(col("pk").as("part_a"), col("n_item").as("n_a")), "part_a")
@@ -238,6 +248,79 @@ object Round17Queries {
       FROM z GROUP BY 1 ORDER BY l_returnflag"""),
     covers = Seq("STORE-zorder-math"))
 
+  // --------------------------------------------- CSV round-trip fidelity
+  // The S5 CSV sink under the oracle: every document's text is salted
+  // with the characters that break naive CSV (comma, double-quote,
+  // embedded newline), written through Spark's quoting CSV writer,
+  // and read back with multiLine parsing. The gate compares per-row
+  // md5 digests of the ROUND-TRIPPED payload against an oracle that
+  // digests the same constructed payload straight from the source
+  // table — any quoting/escaping/encoding loss in the write→read
+  // cycle changes a digest and hash-mismatches. (The BOM quirk and
+  // JSONL layout have their own specs; this pins the parser-level
+  // fidelity contract.)
+  private val q204 = QueryDef(
+    "q204_csv_roundtrip",
+    (s, dir) => {
+      val payload = concat(lit("a,\"quoted\"\nline2 "), col("text"))
+      val src = t(s, dir, "documents")
+        .select(col("doc_id"), payload.as("payload"))
+      val path = "/tmp/graft_gate_csv_roundtrip"
+      src.write.mode("overwrite")
+        .option("header", "true")
+        .csv(path)
+      s.read
+        .option("header", "true")
+        .option("multiLine", "true")
+        .schema("doc_id LONG, payload STRING")
+        .csv(path)
+        .select(col("doc_id"),
+          length(col("payload")).as("n_chars"),
+          md5(col("payload").cast("binary")).as("digest"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+        CAST(length(payload) AS INTEGER) AS n_chars,
+        md5(payload) AS digest
+      FROM (SELECT doc_id,
+              'a,"quoted"' || chr(10) || 'line2 ' || text AS payload
+            FROM documents)
+      ORDER BY doc_id"""),
+    covers = Seq("SRC-csv-roundtrip"))
+
+  // ----------------------------------- partitioned write + pruned read
+  // The S4/S6 partition-layout contract under the oracle: orders
+  // write out partitioned by month directory (ym=YYYY-MM), the
+  // read-back filters ONE month — which prunes to a single directory
+  // before any file opens (Round17QueriesSpec asserts the scan's
+  // partition count) — and aggregates it. The oracle computes the
+  // same month straight from the source table, so a row lost or
+  // duplicated by the partitioned write, or a partition-value
+  // mangling (type inference is disabled by comparing as string),
+  // hash-mismatches.
+  private val q205 = QueryDef(
+    "q205_partition_prune",
+    (s, dir) => {
+      val path = "/tmp/graft_gate_partitioned_orders"
+      t(s, dir, "orders")
+        .withColumn("ym", substring(col("o_orderdate"), 1, 7))
+        .write.mode("overwrite").partitionBy("ym").parquet(path)
+      s.read.parquet(path)
+        .filter(col("ym") === "1995-03")
+        .groupBy("o_orderstatus")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""SELECT o_orderstatus,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM orders
+      WHERE substr(CAST(o_orderdate AS VARCHAR), 1, 7) = '1995-03'
+      GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
+    covers = Seq("SRC-partition-prune"))
+
   val all: Seq[QueryDef] =
-    Seq(q198, q199, q200, q201, q202, q203)
+    Seq(q198, q199, q200, q201, q202, q203, q204, q205)
 }

@@ -82,6 +82,35 @@ class Round17QueriesSpec extends SparkSpec {
     assert(back.filter(col("x") =!= col("x2") || col("y") =!= col("y2")).isEmpty)
   }
 
+  test("csv round-trip: adversarial payloads survive bit-exact") {
+    val out = graft.SparkEntry.queries("q204_csv_roundtrip")(spark, dir).cache()
+    val n = graft.Tables.load(spark, dir, "documents").count()
+    assert(out.count() === n, "row count must survive the round trip")
+    // digests must match a direct (no file I/O) computation
+    val direct = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        md5(concat(lit("a,\"quoted\"\nline2 "), col("text")).cast("binary"))
+          .as("d2"))
+    assert(out.join(direct, "doc_id").filter(col("digest") =!= col("d2")).isEmpty)
+    out.unpersist()
+  }
+
+  test("partitioned read-back prunes to one directory") {
+    val out = graft.SparkEntry.queries("q205_partition_prune")(spark, dir)
+    assert(out.count() > 0)
+    // re-read what the query wrote; the month filter must reach the
+    // scan as a partition filter, not a post-scan predicate
+    val read = spark.read.parquet("/tmp/graft_gate_partitioned_orders")
+      .filter(col("ym") === "1995-03")
+    val scan = read.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scan.isDefined, "expected a FileSourceScanExec leaf")
+    assert(scan.get.partitionFilters.nonEmpty, "ym filter must prune partitions")
+    val months = scan.get.selectedPartitions.partitionCount
+    assert(months === 1, s"expected exactly 1 pruned partition, read $months")
+  }
+
   test("group by all infers the same groups as explicit keys") {
     val out = graft.SparkEntry.queries("q201_group_by_all")(spark, dir)
     val explicit = graft.Tables.load(spark, dir, "documents")
