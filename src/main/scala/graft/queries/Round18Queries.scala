@@ -1,0 +1,146 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-18 gate additions (q206+): exact classical statistics the
+  * curation loop leans on — chi-square independence of corpus
+  * dimensions and rank-sum (Mann-Whitney) AUC for classifier-quality
+  * scoring — both reduced to integer arithmetic plus a handful of
+  * correctly-rounded IEEE ops so the gate hash-matches.
+  */
+object Round18Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // --------------------------------------------- chi-square independence
+  // Is the corpus' language mix independent of its source? Pearson's
+  // chi² over the FULL source × lang grid (absent cells count as
+  // observed 0 — dropping them biases the statistic). The per-cell
+  // term (o·N − rt·ct)² / (rt·ct·N) keeps numerator and denominator
+  // exact DECIMAL integers — squaring o·N overflows a BIGINT at
+  // corpus scale — with ONE division per cell; the cross-cell double
+  // sum folds in (source, lang) order on both engines (Spark
+  // aggregate over a sorted struct array ↔ DuckDB ordered
+  // list_reduce, the q195 pattern), so even float addition order is
+  // pinned. Cramér's V normalizes by the grid shape: ÷ and sqrt are
+  // correctly rounded, hash-safe.
+  private val q206 = QueryDef(
+    "q206_chi_square",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val obs = d.groupBy("source", "lang").agg(count(lit(1)).as("o"))
+      val grid = d.select("source").distinct()
+        .crossJoin(d.select("lang").distinct())
+      val rt = d.groupBy("source").agg(count(lit(1)).as("rt"))
+      val ct = d.groupBy("lang").agg(count(lit(1)).as("ct"))
+      val n = d.select(count(lit(1)).as("n"))
+      val dec = "decimal(38,0)"
+      val cells = grid
+        .join(obs, Seq("source", "lang"), "left")
+        .withColumn("o", coalesce(col("o"), lit(0L)))
+        .join(rt, "source").join(ct, "lang").crossJoin(n)
+        .withColumn("num",
+          pow2(col("o").cast(dec) * col("n").cast(dec)
+            - col("rt").cast(dec) * col("ct").cast(dec)))
+        .withColumn("den",
+          col("rt").cast(dec) * col("ct").cast(dec) * col("n").cast(dec))
+        .withColumn("term", col("num").cast("double") / col("den").cast("double"))
+      cells
+        .agg(
+          count(lit(1)).as("n_cells"),
+          countDistinct(col("source")).as("n_sources"),
+          countDistinct(col("lang")).as("n_langs"),
+          aggregate(
+            sort_array(collect_list(struct(col("source"), col("lang"), col("term")))),
+            lit(0.0), (acc, x) => acc + x.getField("term")).as("chi2"),
+          first(col("n")).as("n_docs"))
+        .select(
+          col("n_cells"),
+          ((col("n_sources") - 1) * (col("n_langs") - 1)).as("dof"),
+          col("chi2"),
+          sqrt(col("chi2") / (col("n_docs") *
+            least(col("n_sources") - 1, col("n_langs") - 1)).cast("double"))
+            .as("cramers_v"))
+    },
+    Some("""WITH obs AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS o
+          FROM documents GROUP BY 1, 2),
+      grid AS (SELECT s.source, l.lang
+          FROM (SELECT DISTINCT source FROM documents) s,
+               (SELECT DISTINCT lang FROM documents) l),
+      rt AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS rt FROM documents GROUP BY 1),
+      ct AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS ct FROM documents GROUP BY 1),
+      n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+      cells AS (
+        SELECT g.source, g.lang,
+          CAST((COALESCE(o, 0)::HUGEINT * n::HUGEINT - rt::HUGEINT * ct::HUGEINT)
+            * (COALESCE(o, 0)::HUGEINT * n::HUGEINT - rt::HUGEINT * ct::HUGEINT)
+            AS DOUBLE)
+          / CAST(rt::HUGEINT * ct::HUGEINT * n::HUGEINT AS DOUBLE) AS term
+        FROM grid g
+        LEFT JOIN obs USING (source, lang)
+        JOIN rt USING (source) JOIN ct USING (lang) CROSS JOIN n)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+        CAST((COUNT(DISTINCT source) - 1) * (COUNT(DISTINCT lang) - 1) AS BIGINT) AS dof,
+        list_reduce(list(term ORDER BY source, lang), (a, b) -> a + b) AS chi2,
+        sqrt(list_reduce(list(term ORDER BY source, lang), (a, b) -> a + b)
+          / CAST((SELECT n FROM n)
+            * LEAST(COUNT(DISTINCT source) - 1, COUNT(DISTINCT lang) - 1) AS DOUBLE))
+          AS cramers_v
+      FROM cells"""),
+    covers = Seq("STAT-chi-square"))
+
+  private def pow2(c: Column): Column = c * c
+
+  // --------------------------------------------- rank-sum AUC
+  // Mann-Whitney AUC of "does embedding dim 1 separate label L from
+  // the rest", one-vs-rest per label — the eval metric behind every
+  // quality-classifier gate in a curation loop. Exact: ties
+  // contribute ½ via doubled average ranks (2·r̄ = 2·rank + ties − 1,
+  // integers end-to-end), AUC = (2R − n_pos(n_pos+1)) / (2·n_pos·n_neg)
+  // as ONE division of exact BIGINTs. The global score ranking is a
+  // single window sort here; at 100 TB rank() range-partitions by
+  // score with per-partition offsets (the q159 equi-depth shape) —
+  // the integer arithmetic is unchanged.
+  private val q207 = QueryDef(
+    "q207_auc_ranksum",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("label"),
+          element_at(col("embedding"), 1).cast("double").as("score"))
+      val wr = Window.orderBy("score")
+      val wt = Window.partitionBy("score")
+      val ranked = e
+        .withColumn("rk", rank().over(wr).cast("long"))
+        .withColumn("ties", count(lit(1)).over(wt))
+        .withColumn("r2", lit(2L) * col("rk") + col("ties") - 1L)
+      val n = ranked.select(count(lit(1)).as("n_all"))
+      ranked.groupBy("label")
+        .agg(count(lit(1)).as("n_pos"), sum(col("r2")).as("r2sum"))
+        .crossJoin(n)
+        .select(col("label"), col("n_pos"),
+          ((col("r2sum") - col("n_pos") * (col("n_pos") + 1)).cast("double") /
+            (lit(2L) * col("n_pos") * (col("n_all") - col("n_pos"))).cast("double"))
+            .as("auc"))
+        .orderBy("label")
+    },
+    Some("""WITH e AS (SELECT label, CAST(embedding[1] AS DOUBLE) AS score FROM embeddings),
+      ranked AS (
+        SELECT label,
+          2 * RANK() OVER (ORDER BY score) + COUNT(*) OVER (PARTITION BY score) - 1 AS r2
+        FROM e),
+      n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM e)
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n_pos,
+        CAST(CAST(SUM(r2) AS BIGINT) - COUNT(*) * (COUNT(*) + 1) AS DOUBLE)
+          / CAST(2 * COUNT(*) * (n_all - COUNT(*)) AS DOUBLE) AS auc
+      FROM ranked CROSS JOIN n
+      GROUP BY label, n_all ORDER BY label"""),
+    covers = Seq("STAT-auc"))
+
+  val all: Seq[QueryDef] =
+    Seq(q206, q207)
+}
