@@ -141,6 +141,128 @@ object Round18Queries {
       GROUP BY label, n_all ORDER BY label"""),
     covers = Seq("STAT-auc"))
 
+  // --------------------------------------------- Kolmogorov-Smirnov
+  // Two-sample KS distance between the dim-1 score distributions of
+  // even- and odd-labeled vectors — the drift test between two
+  // corpus slices. Exact to the last bit: the ECDF gap at a point is
+  // |cumA/nA − cumB/nB| = |cumA·nB − cumB·nA| / (nA·nB), so the
+  // maximum is found over cross-multiplied INTEGERS (no float
+  // compare ever decides the argmax) and divided once at the end.
+  // One distinct-score aggregate, one ordered window — at 100 TB the
+  // cumulative sums range-partition by score like any global rank.
+  private val q208 = QueryDef(
+    "q208_ks_statistic",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select((col("label") % 2).as("g"),
+          element_at(col("embedding"), 1).cast("double").as("score"))
+      val per = e.groupBy("score")
+        .agg(
+          sum(when(col("g") === 0, 1L).otherwise(0L)).as("ca"),
+          sum(when(col("g") === 1, 1L).otherwise(0L)).as("cb"))
+      val w = Window.orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = per
+        .withColumn("cum_a", sum(col("ca")).over(w))
+        .withColumn("cum_b", sum(col("cb")).over(w))
+      val ns = e.agg(
+        sum(when(col("g") === 0, 1L).otherwise(0L)).as("na"),
+        sum(when(col("g") === 1, 1L).otherwise(0L)).as("nb"))
+      cum.crossJoin(ns)
+        .select(col("na"), col("nb"),
+          abs(col("cum_a") * col("nb") - col("cum_b") * col("na")).as("gap"))
+        .groupBy("na", "nb")
+        .agg(max(col("gap")).as("ks_num"))
+        .select(col("na"), col("nb"), col("ks_num"),
+          (col("ks_num").cast("double") / (col("na") * col("nb")).cast("double"))
+            .as("ks"))
+    },
+    Some("""WITH e AS (
+        SELECT label % 2 AS g, CAST(embedding[1] AS DOUBLE) AS score FROM embeddings),
+      per AS (
+        SELECT score,
+          CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+          CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        FROM e GROUP BY score),
+      cum AS (
+        SELECT
+          CAST(SUM(ca) OVER (ORDER BY score
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_a,
+          CAST(SUM(cb) OVER (ORDER BY score
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_b
+        FROM per),
+      ns AS (SELECT
+          CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+          CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+        FROM e)
+      SELECT na, nb,
+        CAST(MAX(ABS(cum_a * nb - cum_b * na)) AS BIGINT) AS ks_num,
+        CAST(MAX(ABS(cum_a * nb - cum_b * na)) AS DOUBLE)
+          / CAST(na * nb AS DOUBLE) AS ks
+      FROM cum CROSS JOIN ns
+      GROUP BY na, nb"""),
+    covers = Seq("STAT-ks"))
+
+  // --------------------------------------------- Cohen's kappa
+  // Chance-corrected agreement between the declared `lang` column and
+  // q26's heuristic language identifier — the inter-annotator metric
+  // for deciding whether a cheap labeler can replace an expensive
+  // one. κ = (agree·n − Σ_c rowₙ(c)·colₙ(c)) / (n² − Σ_c rowₙ(c)·colₙ(c)):
+  // both numerator and denominator are exact BIGINT bilinears of
+  // marginal counts, so κ is ONE division of integers. The heuristic
+  // 'unknown' class has zero row-marginal and drops out of the
+  // chance term by itself.
+  private val q209 = QueryDef(
+    "q209_cohens_kappa",
+    (s, dir) => {
+      val padded = concat(lit(" "), lower(col("text")), lit(" "))
+      def has(words: String*): Column =
+        words.map(w => padded.contains(s" $w ")).reduce(_ || _)
+      val pred = when(has("der", "und", "nicht", "das"), "de")
+        .when(has("el", "los", "las", "una"), "es")
+        .when(has("le", "les", "des", "une"), "fr")
+        .when(has("de", "het", "een", "niet"), "nl")
+        .when(has("the", "and", "of", "is"), "en")
+        .otherwise("unknown")
+      val d = t(s, dir, "documents").select(col("lang"), pred.as("pred_lang"))
+      val ra = d.groupBy(col("lang").as("cls")).agg(count(lit(1)).as("ra"))
+      val rb = d.groupBy(col("pred_lang").as("cls")).agg(count(lit(1)).as("rb"))
+      val pe = ra.join(rb, "cls")
+        .agg(sum(col("ra") * col("rb")).as("pe_num"))
+      d.agg(
+          count(lit(1)).as("n"),
+          sum(when(col("lang") === col("pred_lang"), 1L).otherwise(0L)).as("agree"))
+        .crossJoin(pe)
+        .select(col("n"), col("agree"), col("pe_num"),
+          ((col("agree") * col("n") - col("pe_num")).cast("double") /
+            (col("n") * col("n") - col("pe_num")).cast("double")).as("kappa"))
+    },
+    Some {
+      def has(words: Seq[String]): String =
+        words.map(w => s"contains(' ' || lower(text) || ' ', ' $w ')")
+          .mkString("(", " OR ", ")")
+      s"""WITH d AS (
+        SELECT lang,
+          CASE WHEN ${has(Seq("der", "und", "nicht", "das"))} THEN 'de'
+               WHEN ${has(Seq("el", "los", "las", "una"))} THEN 'es'
+               WHEN ${has(Seq("le", "les", "des", "une"))} THEN 'fr'
+               WHEN ${has(Seq("de", "het", "een", "niet"))} THEN 'nl'
+               WHEN ${has(Seq("the", "and", "of", "is"))} THEN 'en'
+               ELSE 'unknown' END AS pred_lang
+        FROM documents),
+      ra AS (SELECT lang AS cls, CAST(COUNT(*) AS BIGINT) AS ra FROM d GROUP BY 1),
+      rb AS (SELECT pred_lang AS cls, CAST(COUNT(*) AS BIGINT) AS rb FROM d GROUP BY 1),
+      pe AS (SELECT CAST(SUM(ra * rb) AS BIGINT) AS pe_num FROM ra JOIN rb USING (cls))
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CASE WHEN lang = pred_lang THEN 1 ELSE 0 END) AS BIGINT) AS agree,
+        pe_num,
+        CAST(SUM(CASE WHEN lang = pred_lang THEN 1 ELSE 0 END) * COUNT(*) - pe_num AS DOUBLE)
+          / CAST(COUNT(*) * COUNT(*) - pe_num AS DOUBLE) AS kappa
+      FROM d CROSS JOIN pe
+      GROUP BY pe_num"""
+    },
+    covers = Seq("STAT-kappa"))
+
   val all: Seq[QueryDef] =
-    Seq(q206, q207)
+    Seq(q206, q207, q208, q209)
 }

@@ -41,6 +41,40 @@ class Round18QueriesSpec extends SparkSpec {
     assert(chi === 0.0)
   }
 
+  test("ks: bounded in [0,1], zero against itself") {
+    val row = graft.SparkEntry.queries("q208_ks_statistic")(spark, dir).head()
+    val ks = row.getAs[Double]("ks")
+    assert(ks >= 0.0 && ks <= 1.0)
+    assert(row.getAs[Long]("na") + row.getAs[Long]("nb") ===
+      graft.Tables.load(spark, dir, "embeddings").count())
+    // identical samples → every cross-multiplied gap is 0
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val s1 = Seq(1.0, 2.0, 2.0, 3.0)
+    val both = s1.map(v => (0, v)) ++ s1.map(v => (1, v))
+    val per = both.toDF("g", "score").groupBy("score")
+      .agg(sum(when(col("g") === 0, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("g") === 1, 1L).otherwise(0L)).as("cb"))
+    val w = Window.orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val maxGap = per
+      .withColumn("gap", abs(sum(col("ca")).over(w) * s1.size
+        - sum(col("cb")).over(w) * s1.size))
+      .agg(max("gap")).head().getLong(0)
+    assert(maxGap === 0L)
+  }
+
+  test("kappa: perfect agreement is 1, bounded above by 1") {
+    val row = graft.SparkEntry.queries("q209_cohens_kappa")(spark, dir).head()
+    val kappa = row.getAs[Double]("kappa")
+    assert(kappa <= 1.0)
+    assert(row.getAs[Long]("agree") <= row.getAs[Long]("n"))
+    // agree == n forces kappa == 1 in the integer identity
+    val n = row.getAs[Long]("n")
+    val pe = row.getAs[Long]("pe_num")
+    assert(((n * n - pe).toDouble / (n * n - pe).toDouble) === 1.0)
+  }
+
   test("auc: bounded, and a perfect separator scores exactly 1") {
     val out = graft.SparkEntry.queries("q207_auc_ranksum")(spark, dir).cache()
     assert(out.count() > 0)
