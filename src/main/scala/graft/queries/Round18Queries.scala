@@ -263,6 +263,142 @@ object Round18Queries {
     },
     covers = Seq("STAT-kappa"))
 
+  // ------------------------------------- precision/recall/F1 sweep
+  // Classifier operating-point sweep: precision, recall and F1 of
+  // "dim-1 score ≥ t ⇒ even label" at each decile threshold of the
+  // score distribution. Thresholds are EXACT order statistics
+  // (row_number = ceil(q·n), q164's integer arithmetic — no
+  // interpolated floats), the 9-row threshold table broadcasts into
+  // a bounded 9× fan-out, and every metric is ONE division of exact
+  // integer confusion counts. The full sweep is a single corpus scan
+  // + one keyed aggregate — not 9 passes.
+  private val q210 = QueryDef(
+    "q210_pr_f1_sweep",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select((col("label") % 2 === 0).as("pos"),
+          element_at(col("embedding"), 1).cast("double").as("score"))
+      val n = e.count()
+      val ranked = e.select(col("score"))
+        .withColumn("rn", row_number().over(Window.orderBy("score", "score")))
+      val thresholds = ranked
+        .join(
+          s.range(1, 10).select(col("id").as("decile"),
+            ceil(col("id") * n / 10.0).cast("long").as("rn")),
+          "rn")
+        .select(col("decile"), col("score").as("t"))
+      e.crossJoin(broadcast(thresholds))
+        .groupBy("decile", "t")
+        .agg(
+          sum(when(col("score") >= col("t") && col("pos"), 1L).otherwise(0L)).as("tp"),
+          sum(when(col("score") >= col("t") && !col("pos"), 1L).otherwise(0L)).as("fp"),
+          sum(when(col("score") < col("t") && col("pos"), 1L).otherwise(0L)).as("fn"))
+        .select(col("decile"), col("tp"), col("fp"), col("fn"),
+          (col("tp").cast("double") / (col("tp") + col("fp")).cast("double"))
+            .as("precision"),
+          (col("tp").cast("double") / (col("tp") + col("fn")).cast("double"))
+            .as("recall"),
+          ((lit(2L) * col("tp")).cast("double") /
+            (lit(2L) * col("tp") + col("fp") + col("fn")).cast("double")).as("f1"))
+        .orderBy("decile")
+    },
+    Some("""WITH e AS (
+        SELECT label % 2 = 0 AS pos, CAST(embedding[1] AS DOUBLE) AS score
+        FROM embeddings),
+      ranked AS (
+        SELECT score, row_number() OVER (ORDER BY score, score) AS rn FROM e),
+      n AS (SELECT COUNT(*) AS n FROM e),
+      thresholds AS (
+        SELECT d.decile, r.score AS t
+        FROM (SELECT unnest(generate_series(1, 9)) AS decile) d
+        JOIN n ON TRUE
+        JOIN ranked r ON r.rn = CAST(CEIL(d.decile * n / 10.0) AS BIGINT)),
+      cm AS (
+        SELECT decile, t,
+          CAST(SUM(CASE WHEN score >= t AND pos THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+          CAST(SUM(CASE WHEN score >= t AND NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+          CAST(SUM(CASE WHEN score < t AND pos THEN 1 ELSE 0 END) AS BIGINT) AS fn
+        FROM e CROSS JOIN thresholds GROUP BY decile, t)
+      SELECT decile, tp, fp, fn,
+        CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS precision,
+        CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) AS recall,
+        CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE) AS f1
+      FROM cm ORDER BY decile"""),
+    covers = Seq("STAT-pr-f1"))
+
+  // ------------------------------------- degree assortativity
+  // Do heavily-co-purchased parts pair with other heavy parts?
+  // Pearson correlation of endpoint degrees over the co-purchase
+  // graph's symmetrized edges — the graph-health diagnostic next to
+  // q151/q152/q161. Degrees and all five power sums are exact
+  // integers (DECIMAL(38,0) bilinears: m·Σxy overflows a BIGINT at
+  // fact scale), so r is one correctly-rounded double tree at the
+  // very end. Edges dedup across orders (degree = distinct
+  // neighbors); the in-row pair expansion is q200's — no self-join.
+  private val q211 = QueryDef(
+    "q211_degree_assortativity",
+    (s, dir) => {
+      val edges = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+        .select(explode(expr(
+          """flatten(transform(ps, (x, i) ->
+               transform(slice(ps, i + 2, size(ps)),
+                 y -> struct(x AS u, y AS v))))""")).as("p"))
+        .select(col("p.u"), col("p.v"))
+        .distinct()
+      val deg = edges.select(col("u").as("node"))
+        .unionAll(edges.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val withDeg = edges
+        .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+        .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+        .select("du", "dv")
+      val sym = withDeg.select(col("du").as("x"), col("dv").as("y"))
+        .unionAll(withDeg.select(col("dv").as("x"), col("du").as("y")))
+      val dec = "decimal(38,0)"
+      sym.agg(
+          count(lit(1)).as("m"),
+          sum(col("x")).as("sx"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sx2"))
+        .select(col("m"), col("sx"), col("sxy"), col("sx2"),
+          (((col("m").cast(dec) * col("sxy").cast(dec)
+            - col("sx").cast(dec) * col("sx").cast(dec)).cast("double")) /
+            ((col("m").cast(dec) * col("sx2").cast(dec)
+              - col("sx").cast(dec) * col("sx").cast(dec)).cast("double")))
+            .as("assortativity"))
+    },
+    Some("""WITH baskets AS (
+        SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS ps
+        FROM lineitem GROUP BY l_orderkey),
+      edges AS (
+        SELECT DISTINCT ps[i] AS u, ps[j] AS v
+        FROM baskets,
+          UNNEST(generate_series(1, len(ps))) AS ti(i),
+          UNNEST(generate_series(1, len(ps))) AS tj(j)
+        WHERE i < j),
+      deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+          SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)
+        GROUP BY node),
+      sym AS (
+        SELECT du.deg AS x, dv.deg AS y
+        FROM edges JOIN deg du ON u = du.node JOIN deg dv ON v = dv.node
+        UNION ALL
+        SELECT dv.deg, du.deg
+        FROM edges JOIN deg du ON u = du.node JOIN deg dv ON v = dv.node)
+      SELECT CAST(COUNT(*) AS BIGINT) AS m,
+        CAST(SUM(x) AS BIGINT) AS sx,
+        CAST(SUM(x * y) AS BIGINT) AS sxy,
+        CAST(SUM(x * x) AS BIGINT) AS sx2,
+        CAST(COUNT(*)::HUGEINT * SUM(x * y)::HUGEINT
+          - SUM(x)::HUGEINT * SUM(x)::HUGEINT AS DOUBLE)
+        / CAST(COUNT(*)::HUGEINT * SUM(x * x)::HUGEINT
+          - SUM(x)::HUGEINT * SUM(x)::HUGEINT AS DOUBLE) AS assortativity
+      FROM sym"""),
+    covers = Seq("GRAPH-assortativity"))
+
   val all: Seq[QueryDef] =
-    Seq(q206, q207, q208, q209)
+    Seq(q206, q207, q208, q209, q210, q211)
 }

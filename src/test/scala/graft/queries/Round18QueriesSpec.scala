@@ -75,6 +75,29 @@ class Round18QueriesSpec extends SparkSpec {
     assert(((n * n - pe).toDouble / (n * n - pe).toDouble) === 1.0)
   }
 
+  test("pr/f1 sweep: monotone recall, consistent confusion counts") {
+    val out = graft.SparkEntry.queries("q210_pr_f1_sweep")(spark, dir).cache()
+    assert(out.count() === 9)
+    // recall can only fall as the threshold rises
+    val recalls = out.orderBy("decile").select("recall")
+      .collect().map(_.getDouble(0))
+    assert(recalls.sliding(2).forall { case Array(a, b) => b <= a },
+      "recall must be non-increasing in the threshold")
+    // tp+fn is the positive count — identical at every threshold
+    val posCounts = out.select((col("tp") + col("fn")).as("p"))
+      .distinct().collect()
+    assert(posCounts.length === 1)
+    assert(out.filter(col("f1") < 0 || col("f1") > 1).isEmpty)
+    out.unpersist()
+  }
+
+  test("assortativity is a correlation: in [-1, 1], symmetric sums") {
+    val row = graft.SparkEntry.queries("q211_degree_assortativity")(spark, dir).head()
+    val r = row.getAs[Double]("assortativity")
+    assert(r >= -1.0 && r <= 1.0, s"assortativity out of range: $r")
+    assert(row.getAs[Long]("m") % 2 === 0, "symmetrized edge list has even size")
+  }
+
   test("auc: bounded, and a perfect separator scores exactly 1") {
     val out = graft.SparkEntry.queries("q207_auc_ranksum")(spark, dir).cache()
     assert(out.count() > 0)
