@@ -399,6 +399,39 @@ object Round18Queries {
       FROM sym"""),
     covers = Seq("GRAPH-assortativity"))
 
+  // ------------------------------------- top-k as a mergeable aggregate
+  // graft.functions.ExactTopK under the gate: top-3 order totals per
+  // priority class via the TypedImperativeAggregate (bounded min-heap
+  // state, map-side combine ships ≤k values per group instead of the
+  // group's rows — the winning shape for tiny k over huge groups; the
+  // window row_number form is gated separately as q58). Cents-exact
+  // DECIMAL→BIGINT values; the oracle slices DuckDB's descending
+  // ordered list aggregate.
+  private val q212 = QueryDef(
+    "q212_topk_aggregate",
+    (s, dir) => {
+      val cents = (col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+      t(s, dir, "orders")
+        .select(col("o_orderpriority"), cents.as("cents"))
+        .groupBy("o_orderpriority")
+        .agg(
+          graft.functions.ExactTopK(s, col("cents"), 3).as("topk"),
+          count(lit(1)).as("n"))
+        .select(col("o_orderpriority"),
+          array_join(transform(col("topk"), _.cast("string")), ",").as("top3"),
+          col("n"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority,
+        array_to_string(
+          (list(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+            ORDER BY CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) DESC))[:3],
+          ',') AS top3,
+        CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+    covers = Seq("AGG-typed-imperative-topk"))
+
   val all: Seq[QueryDef] =
-    Seq(q206, q207, q208, q209, q210, q211)
+    Seq(q206, q207, q208, q209, q210, q211, q212)
 }
