@@ -4,12 +4,25 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType, StringType}
 
 /** MinHash signature as a single declarative aggregate: one buffer
-  * holds all `nHashes` running minima of the salted-md5 hex strings
-  * (hex order ≡ numeric order of the 128-bit hash, so string `Least`
-  * is the correct min).
+  * holds all `nHashes` running minima of the salted md5 hashes.
+  *
+  * The buffer keeps each minimum as a LONG — the first 15 hex chars
+  * (60 bits) of the salted md5, numerically equal to the hex-prefix
+  * string order. Fixed-width buffers matter more than they look:
+  * string minima demote the whole aggregation to SortAggregate
+  * (HashAggregate requires mutable fixed-width buffer fields), which
+  * SORTS the full postings table per pass — measured 4-5× slower on
+  * the q88 profile gate and exactly the shape that dies on a 100 TB
+  * shingle table. With long minima the signature build stays a
+  * hash aggregate with map-side partial combine.
+  *
+  * `evaluateExpression` re-encodes each minimum as the 15-char
+  * lower-hex string (zero-padded), so the public contract — array of
+  * hex strings, min over `substr(md5(salt || s), 1, 15)` — is directly
+  * reproducible in oracle SQL.
   *
   * `DeclarativeAggregate` means every phase — init, per-row update,
   * partial merge, final evaluate — is a pure Catalyst expression, so
@@ -27,15 +40,22 @@ case class MinHashSignature(child: Expression, nHashes: Int)
   override def prettyName: String = "minhash_signature"
 
   private lazy val minima: Seq[AttributeReference] =
-    (0 until nHashes).map(i => AttributeReference(s"minh$i", StringType)())
+    (0 until nHashes).map(i => AttributeReference(s"minh$i", LongType)())
 
   override lazy val aggBufferAttributes: Seq[AttributeReference] = minima
 
   override lazy val initialValues: Seq[Expression] =
-    Seq.fill(nHashes)(Literal(null, StringType))
+    Seq.fill(nHashes)(Literal(null, LongType))
 
+  // 60-bit prefix of the salted md5 as a LONG: hex-prefix order and
+  // numeric order agree, so Least is the correct running minimum.
   private def saltedHash(i: Int): Expression =
-    Md5(Cast(Concat(Seq(Literal(s"$i:"), child)), BinaryType))
+    Cast(
+      Conv(
+        Substring(Md5(Cast(Concat(Seq(Literal(s"$i:"), child)), BinaryType)),
+          Literal(1), Literal(15)),
+        Literal(16), Literal(10)),
+      LongType)
 
   // Least skips nulls: a null buffer takes the first hash, a null
   // input row leaves the buffer unchanged.
@@ -45,7 +65,10 @@ case class MinHashSignature(child: Expression, nHashes: Int)
   override lazy val mergeExpressions: Seq[Expression] =
     (0 until nHashes).map(i => Least(Seq(minima(i).left, minima(i).right)))
 
-  override lazy val evaluateExpression: Expression = CreateArray(minima)
+  // back to the oracle-reproducible 15-char lower-hex form
+  override lazy val evaluateExpression: Expression =
+    CreateArray(minima.map(m =>
+      StringLPad(Lower(Hex(m)), Literal(15), Literal("0"))))
 
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression =

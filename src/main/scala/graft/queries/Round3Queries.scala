@@ -677,7 +677,7 @@ object Round3Queries {
         .orderBy("doc_a", "doc_b")
     },
     Some {
-      val hs = (0 until 8).map(j => s"min(md5('$j:' || s)) AS h$j").mkString(", ")
+      val hs = (0 until 8).map(j => s"min(substr(md5('$j:' || s), 1, 15)) AS h$j").mkString(", ")
       val bandList = (0 until 4)
         .map(b => s"md5('band$b:' || h${2 * b} || h${2 * b + 1})").mkString(", ")
       s"""WITH toksrc AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),

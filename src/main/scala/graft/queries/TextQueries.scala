@@ -175,7 +175,7 @@ object TextQueries {
     },
     Some {
       val hs = (0 until nHashes)
-        .map(j => s"min(md5('$j:' || s)) AS h$j").mkString(", ")
+        .map(j => s"min(substr(md5('$j:' || s), 1, 15)) AS h$j").mkString(", ")
       val bandList = (0 until nHashes / bandSize)
         .map(b => s"md5('band$b:' || h${b * bandSize} || h${b * bandSize + 1})")
         .mkString(", ")
@@ -522,7 +522,7 @@ object TextQueries {
     },
     Some {
       val hs = (0 until nHashes)
-        .map(j => s"min(md5('$j:' || s)) AS h$j").mkString(", ")
+        .map(j => s"min(substr(md5('$j:' || s), 1, 15)) AS h$j").mkString(", ")
       val bandList = (0 until nHashes / bandSize)
         .map(b => s"md5('band$b:' || h${b * bandSize} || h${b * bandSize + 1})")
         .mkString(", ")
