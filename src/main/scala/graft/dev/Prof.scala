@@ -1,0 +1,33 @@
+package graft.dev
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: steady-state timing (min of two runs after a warm-up)
+  * for selected queries at bench parallelism, with optional formatted
+  * plans. `PROF_DIR` overrides the sf0.1 default; `PROF_EXPLAIN=1`
+  * prints each plan after timing.
+  *
+  * Usage: `sbt 'runMain graft.dev.Prof q88_profile q45_ivf_ann'`
+  */
+object Prof {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = sys.env.getOrElse("PROF_DIR", "/root/testdata/sf0.1")
+    val doExplain = sys.env.contains("PROF_EXPLAIN")
+    for (q <- args) {
+      val fn = graft.SparkEntry.queries(q)
+      fn(spark, dir).count() // warm: pay Janino codegen outside timing
+      val t0 = System.nanoTime(); fn(spark, dir).count()
+      val t1 = System.nanoTime(); fn(spark, dir).count()
+      val t2 = System.nanoTime()
+      println(f"TIME $q ${math.min(t1 - t0, t2 - t1) / 1e9}%.3f")
+      if (doExplain) { println(s"===== PLAN $q"); fn(spark, dir).explain("formatted") }
+    }
+    spark.stop()
+  }
+}

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 
@@ -327,20 +328,30 @@ object Round2Queries {
     covers = Seq("STR-editdist"))
 
   // ------------------------------------------------------------ argmax
-  // max_by semantics with a deterministic tiebreak via struct ordering
-  // (lexicographic field-by-field in both engines) — one aggregation,
-  // no window, no self-join.
+  // max_by semantics with a deterministic tiebreak. The oracle keeps
+  // the didactic struct-max form (lexicographic (price, key) in both
+  // engines); the engine packs the SAME ordering into one monotone
+  // DECIMAL — cents·10¹³ + orderkey — because a struct max buffer
+  // demotes HashAggregate to SortAggregate (one extra per-partition
+  // sort of the whole fact), while a DECIMAL max keeps the hash path.
+  // Decode is exact: cents < 2^53, /100.0 is correctly rounded back
+  // to the source's 2-decimal double. max_by() itself is avoided for
+  // its nondeterministic tie handling under partitioning.
   private val q57 = QueryDef(
     "q57_argmax",
     (s, dir) => {
       val o = t(s, dir, "orders")
-      val best = max(struct(col("o_totalprice").as("p"), col("o_orderkey").as("k")))
+      val packed = (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+        .cast(DecimalType(38, 0)) * lit(10000000000000L) + col("o_orderkey")
       o.groupBy(col("o_custkey"))
-        .agg(best.as("best"))
+        .agg(max(packed).as("best"))
         .select(
           col("o_custkey"),
-          col("best").getField("k").as("top_order"),
-          col("best").getField("p").as("top_price"))
+          (col("best") % lit(10000000000000L)).cast("long").as("top_order"),
+          // integral DIV (not /): decimal / rounds HALF_UP at the cast,
+          // which would leak the key part into the price for large keys
+          (expr("best DIV 10000000000000").cast("double") / lit(100.0d))
+            .as("top_price"))
         .orderBy("o_custkey")
     },
     Some("""SELECT o_custkey,
