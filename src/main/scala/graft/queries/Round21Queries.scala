@@ -35,11 +35,16 @@ object Round21Queries {
   // ----------------------------------------------------- TPC-H Q4
   // Order-priority checking: per-priority counts of one quarter's
   // orders having at least one LATE line (shipped after the order
-  // date — the commit/receipt lateness analog). The EXISTS probe is a
-  // LEFT SEMI hash join on the order key with the lateness comparison
-  // as a residual condition, so the fact table never fans out — at
-  // 100 TB the semi join ships each orderkey once, and the quarter
-  // filter is pushed into the orders scan.
+  // date — the commit/receipt lateness analog). The EXISTS with a
+  // cross-side comparison is decorrelated into an aggregate:
+  // `∃ line: l_shipdate > o_orderdate` ⟺ `max(l_shipdate) >
+  // o_orderdate`, so the fact collapses to one (orderkey, max) row
+  // via a map-side-combined aggregate and the quarter-filtered orders
+  // broadcast onto it. A direct LEFT SEMI here would put the FACT on
+  // the build side (orders is the smaller, filtered side) — the plan
+  // that dies at 100 TB; this shape shuffles lineitem once, joins
+  // without any fact-sized broadcast, and the shipdate lower bound
+  // (implied by the quarter filter) is pushed into the fact scan.
   private val q220 = QueryDef(
     "q220_tpch_q4",
     (s, dir) => {
@@ -47,12 +52,16 @@ object Round21Queries {
       val hi = lit("1997-07-01").cast("timestamp")
       val o = t(s, dir, "orders")
         .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
-        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
-      val l = t(s, dir, "lineitem").select("l_orderkey", "l_shipdate")
-      o.join(l,
-          col("o_orderkey") === col("l_orderkey") &&
-            col("l_shipdate") > col("o_orderdate"),
-          "left_semi")
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      val lastShip = t(s, dir, "lineitem")
+        // any line late for a quarter order ships after the quarter
+        // start — a pushable pre-filter that shrinks the aggregate
+        .filter(col("l_shipdate") > lo)
+        .groupBy(col("l_orderkey"))
+        .agg(max(col("l_shipdate")).as("last_ship"))
+      lastShip
+        .join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("last_ship") > col("o_orderdate"))
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("order_count"))
         .orderBy("o_orderpriority")
