@@ -43,7 +43,25 @@ class PlanGuardSpec extends SparkSpec {
     "q169_tpch_q7", "q170_tpch_q8",
     // round 13: the disjunctive-join rewrite exists precisely to stay
     // off the nested-loop path
-    "q191_disjunctive_join")
+    "q191_disjunctive_join",
+    // round 21: TPC-H completion (q227's one-row broadcast average is
+    // the allowed scalar-subquery pattern, like q52)
+    "q220_tpch_q4", "q222_tpch_q12", "q223_tpch_q13", "q224_tpch_q17",
+    "q225_tpch_q19", "q226_tpch_q21")
+
+  test("q220 never broadcasts the fact side") {
+    val dir = "/root/testdata/sf0.001"
+    val plan = graft.SparkEntry.queries("q220_tpch_q4")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the EXISTS decorrelation must aggregate lineitem BEFORE the
+    // join; a broadcast whose build side scans lineitem is the
+    // fact-broadcast anti-plan this query exists to avoid
+    val buildsFact = plan.linesIterator
+      .dropWhile(!_.contains("BroadcastExchange")).toSeq
+      .takeWhile(!_.contains("BroadcastHashJoin"))
+      .exists(_.contains("lineitem"))
+    assert(!buildsFact, "q220 broadcasts a lineitem-derived build side")
+  }
 
   test("tpch stars: dims broadcast, at most one data-sized shuffle join") {
     val dir = "/root/testdata/sf0.001"
