@@ -252,6 +252,57 @@ object Round22Queries {
       FROM g ORDER BY digit"""),
     covers = Seq("QA-benford"))
 
+  // ------------------------------------------- rendezvous sharding
+  // Highest-random-weight (rendezvous) shard assignment, and WHY it
+  // beats `key % n` at scale: growing 8 → 9 shards moves only the
+  // keys whose new shard wins the weight race (expected 1/9 ≈ 11%),
+  // while `% n` reshuffles ~8/9 of the corpus. Weights are md5-derived
+  // 56-bit integers packed with the shard id (·16 + s), the argmax is
+  // `greatest` over nine per-row arms — narrow, no explode, no
+  // aggregate buffer demotion — and the mover counts are exact in
+  // both engines because md5 of identical strings is identical.
+  private val q232 = QueryDef(
+    "q232_rendezvous_sharding",
+    (s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id")
+      def weight(i: Int): Column =
+        conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit(s":$i")).cast("binary")), 1, 14), 16, 10).cast("long") * 16 + i
+      val shard8 = greatest((0 until 8).map(weight): _*) % 16
+      val shard9 = greatest((0 until 9).map(weight): _*) % 16
+      d.select(
+          (col("doc_id") % 8 =!= col("doc_id") % 9).as("mod_moved"),
+          (shard8 =!= shard9).as("rdv_moved"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("rdv_moved"), 1L).otherwise(0L)).as("moved_rendezvous"),
+          sum(when(col("mod_moved"), 1L).otherwise(0L)).as("moved_mod"))
+        .select(col("n_docs"), col("moved_rendezvous"), col("moved_mod"),
+          (col("moved_rendezvous").cast("double") / col("n_docs").cast("double"))
+            .as("rendezvous_share"),
+          (col("moved_mod").cast("double") / col("n_docs").cast("double"))
+            .as("mod_share"))
+    },
+    Some {
+      def w(i: Int) =
+        s"(('0x' || substr(md5(doc_id || ':$i'), 1, 14))::BIGINT * 16 + $i)"
+      val g8 = (0 until 8).map(w).mkString("greatest(", ", ", ")")
+      val g9 = (0 until 9).map(w).mkString("greatest(", ", ", ")")
+      s"""WITH m AS (SELECT doc_id % 8 <> doc_id % 9 AS mod_moved,
+          $g8 % 16 <> $g9 % 16 AS rdv_moved FROM documents)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(CASE WHEN rdv_moved THEN 1 ELSE 0 END) AS BIGINT)
+            AS moved_rendezvous,
+          CAST(SUM(CASE WHEN mod_moved THEN 1 ELSE 0 END) AS BIGINT)
+            AS moved_mod,
+          CAST(SUM(CASE WHEN rdv_moved THEN 1 ELSE 0 END) AS DOUBLE) /
+            CAST(COUNT(*) AS DOUBLE) AS rendezvous_share,
+          CAST(SUM(CASE WHEN mod_moved THEN 1 ELSE 0 END) AS DOUBLE) /
+            CAST(COUNT(*) AS DOUBLE) AS mod_share
+        FROM m"""
+    },
+    covers = Seq("SHARD-rendezvous"))
+
   val all: Seq[QueryDef] =
-    Seq(q228, q229, q230, q231)
+    Seq(q228, q229, q230, q231, q232)
 }

@@ -640,8 +640,11 @@ object Round4Queries {
     (s, dir) => {
       val d = t(s, dir, "documents").select("doc_id", "text")
       val root = java.nio.file.Files.createTempDirectory("graft_admit").toString
+      // filter sized ~20× the sf0.1 corpus: admission cost scales with
+      // the filter's bit array (built per task, merged on the driver),
+      // so size for the expected corpus, not a universal constant
       val ds = new graft.store.DedupStore(
-        new graft.store.TableStore(s, root), "corpus", "text", 1000000L)
+        new graft.store.TableStore(s, root), "corpus", "text", 100000L)
       (0 to 2).foreach(b => ds.admit(s"b$b", d.filter(col("doc_id") % 3 === b)))
       ds.corpus.get.select("doc_id").orderBy("doc_id")
     },

@@ -92,8 +92,9 @@ final class DedupStore(
     }
 
     val newDocs = corpus.fold(freshMat)(_.unionByName(freshMat).localCheckpoint())
+    // the ledger is O(batches) rows forever — one partition, always
     val newLedger = ledger.fold(Seq(batchId).toDF("batch_id"))(
-      _.unionByName(Seq(batchId).toDF("batch_id")).localCheckpoint())
+      _.unionByName(Seq(batchId).toDF("batch_id")).coalesce(1).localCheckpoint())
     store.swapWriteParts(table, Seq(
       "docs" -> newDocs,
       "bloom" -> Seq(Tuple1(mergedBits)).toDF("bloom"),
