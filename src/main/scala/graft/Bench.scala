@@ -56,7 +56,13 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + shortName(k) + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // "queries" first, the headline metric LAST: the driver records only
+    // a bounded TAIL of the output, and with 200+ queries a line that
+    // leads with the total gets its head truncated away (BENCH_r01/r02
+    // both show "parsed": null for exactly this reason). JSON key order
+    // is insignificant to a full-line parse, and a tail capture now
+    // always ends with the parseable total.
+    println(f"""{"queries":$qs,"sf":"$sfDir","metric":"total","value":$total%.3f,"unit":"sec"}""")
     spark.stop()
   }
 }
