@@ -155,6 +155,7 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => RangeJoinRewrite)
+    ext.injectOptimizerRule(_ => MatViewRewrite)
     ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
   }
 }

@@ -1,0 +1,121 @@
+package graft.plans
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.store.{AggSpec, AggTable, TableStore}
+
+class MatViewRewriteSpec extends SparkSpec {
+
+  private def withRule[A](body: => A): A = {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ MatViewRewrite
+    try body
+    finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == MatViewRewrite)
+      MatViewRewrite.clear()
+    }
+  }
+
+  /** Root paths of every parquet scan in the optimized plan. */
+  private def scannedPaths(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+        case _ => Nil
+      }
+    }.flatten
+
+  /** base parquet (long measure) + AggTable folded over two batches. */
+  private def fixture(): (String, String) = {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-mv").toString
+    val base = s"$root/base"
+    val rows = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 10L), ("c", 5L), ("c", -1L))
+    rows.toDF("k", "v").write.parquet(base)
+    val store = new TableStore(spark, root)
+    val agg = new AggTable(store, "stats", AggSpec(Seq("k"), Seq("v")))
+    val df = spark.read.parquet(base)
+    agg.accumulate("b1", df.filter(col("v") >= 3))
+    agg.accumulate("b2", df.filter(col("v") < 3))
+    val statePath = store.path("stats") + "/state"
+    MatViewRewrite.register(base, AggSpec(Seq("k"), Seq("v")), statePath)
+    (base, statePath)
+  }
+
+  test("aggregate over the base table is answered from the state") {
+    withRule {
+      val (base, statePath) = fixture()
+      val q = spark.read.parquet(base)
+        .groupBy("k")
+        .agg(count(lit(1)).as("n"), sum("v").as("s"),
+          min("v").as("mn"), max("v").as("mx"))
+        .orderBy("k")
+      val paths = scannedPaths(q)
+      assert(paths.exists(_.contains(statePath.stripPrefix("file:"))),
+        s"state not scanned: $paths")
+      assert(!paths.exists(_.endsWith("/base")), s"base still scanned: $paths")
+      val got = q.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      assert(got.toSeq == Seq(("a", 3L, 6L, 1L, 3L), ("b", 1L, 10L, 10L, 10L),
+        ("c", 2L, 4L, -1L, 5L)))
+    }
+  }
+
+  test("key-predicate filters ride the rewrite; measure filters do not") {
+    withRule {
+      val (base, statePath) = fixture()
+      val keyFiltered = spark.read.parquet(base)
+        .filter(col("k") =!= "b")
+        .groupBy("k").agg(sum("v").as("s")).orderBy("k")
+      assert(scannedPaths(keyFiltered).exists(_.contains(statePath.stripPrefix("file:"))))
+      assert(keyFiltered.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+        Seq(("a", 6L), ("c", 4L)))
+
+      // a measure predicate cannot be answered by per-group state
+      val measureFiltered = spark.read.parquet(base)
+        .filter(col("v") > 0)
+        .groupBy("k").agg(sum("v").as("s"))
+      assert(scannedPaths(measureFiltered).exists(_.endsWith("/base")))
+    }
+  }
+
+  test("non-algebraic aggregates and unregistered tables stay untouched") {
+    withRule {
+      val (base, _) = fixture()
+      // avg is not derivable from the closed state set → base scan
+      val avgQ = spark.read.parquet(base).groupBy("k").agg(avg("v").as("a"))
+      assert(scannedPaths(avgQ).exists(_.endsWith("/base")))
+      // count(v) counts non-nulls — not derivable either
+      val countCol = spark.read.parquet(base).groupBy("k").agg(count(col("v")).as("n"))
+      assert(scannedPaths(countCol).exists(_.endsWith("/base")))
+      // a different parquet table with the same shape is not rewritten
+      import spark.implicits._
+      val other = Files.createTempDirectory("graft-mv-other").toString + "/t"
+      Seq(("a", 1L)).toDF("k", "v").write.parquet(other)
+      val q = spark.read.parquet(other).groupBy("k").agg(sum("v").as("s"))
+      assert(scannedPaths(q).exists(_.endsWith("/t")))
+      assert(q.collect().head.getLong(1) == 1L)
+    }
+  }
+
+  test("rewrite preserves output ids for downstream operators (join + sort)") {
+    withRule {
+      import spark.implicits._
+      val (base, statePath) = fixture()
+      val dim = Seq(("a", "alpha"), ("b", "beta"), ("c", "gamma")).toDF("k", "label")
+      val q = spark.read.parquet(base)
+        .groupBy("k").agg(sum("v").as("s"))
+        .join(dim, "k")
+        .orderBy(desc("s"))
+      assert(scannedPaths(q).exists(_.contains(statePath.stripPrefix("file:"))))
+      assert(q.collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq ==
+        Seq(("b", 10L, "beta"), ("a", 6L, "alpha"), ("c", 4L, "gamma")))
+    }
+  }
+}
