@@ -159,6 +159,15 @@ object MatViewRewrite extends Rule[LogicalPlan] {
               exactSumType(m.dataType) =>
             val src = s(s"sum_${m.name}").getOrElse(return None)
             Cast(agged(Sum(src)), al.dataType)
+          // sum(cast(m AS DECIMAL(18,2))) is the state's OWN sum
+          // definition (AggSpec.partial casts every measure to exactly
+          // this type), so re-summing the state is bit-identical for
+          // ANY base type — including floats the bare-attribute arm
+          // must refuse
+          case Sum(Cast(m: AttributeReference, d: DecimalType, _, _), _)
+              if measures.contains(m.name) && d.precision == 18 && d.scale == 2 =>
+            val src = s(s"sum_${m.name}").getOrElse(return None)
+            Cast(agged(Sum(src)), al.dataType)
           case Min(m: AttributeReference) if measures.contains(m.name) =>
             agged(Min(s(s"min_${m.name}").getOrElse(return None)))
           case Max(m: AttributeReference) if measures.contains(m.name) =>

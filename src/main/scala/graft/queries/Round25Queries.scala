@@ -115,6 +115,73 @@ object Round25Queries {
       ORDER BY c_nationkey, c_custkey"""),
     covers = Seq("O-nulls-ordering"))
 
+  // ------------------------------------------------- MV rewrite parity
+  // The materialized-view rewrite under the oracle: an AggTable is
+  // folded over three arrival batches of lineitem, the base path is
+  // registered with [[graft.plans.MatViewRewrite]], and the gate runs
+  // a plain `base.groupBy(flag, status).agg(...)` — which the rule
+  // answers from the O(groups) state. The oracle aggregates the base
+  // table directly in DuckDB, so hash-equality proves the rewritten
+  // answer is bit-identical to a fresh corpus scan (the rule's
+  // contract). Executed eagerly so the rule and registry can be
+  // uninstalled before any other gate query plans — the rewrite must
+  // never leak into a neighbor's plan.
+  private val q244 = QueryDef(
+    "q244_matview_parity",
+    (s, dir) => {
+      import graft.plans.MatViewRewrite
+      val basePath = s"$dir/lineitem.parquet"
+      val root = java.nio.file.Files.createTempDirectory("graft_mv").toString
+      val spec = graft.store.AggSpec(
+        Seq("l_returnflag", "l_linestatus"), Seq("l_quantity"))
+      val aggTable = new graft.store.AggTable(
+        new graft.store.TableStore(s, root), "li_stats", spec)
+      val base = t(s, dir, "lineitem")
+      (0 to 2).foreach(b =>
+        aggTable.accumulate(s"b$b", base.filter(col("l_orderkey") % 3 === b)))
+      MatViewRewrite.register(basePath, spec, s"$root/li_stats/state")
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ MatViewRewrite
+      try {
+        val q = base.groupBy("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n"),
+            sum(dec(col("l_quantity"))).as("sum_qty"),
+            min(col("l_quantity")).as("min_qty"),
+            max(col("l_quantity")).as("max_qty"))
+        // the gate must actually exercise the rewrite — fail loudly if
+        // the base scan survived optimization
+        val scans = q.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.rootPaths.map(_.toString)
+              case _ => Nil
+            }
+        }.flatten
+        require(scans.exists(_.contains("li_stats/state")),
+          s"matview rewrite did not fire; scans=$scans")
+        val rows = q.collect().toSeq
+        s.createDataFrame(s.sparkContext.parallelize(rows, 1), q.schema)
+          .select(col("l_returnflag"), col("l_linestatus"), col("n"),
+            col("sum_qty").cast("double").as("sum_qty"),
+            col("min_qty"), col("max_qty"))
+          .orderBy("l_returnflag", "l_linestatus")
+      } finally {
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations.filterNot(_ == MatViewRewrite)
+        MatViewRewrite.clear()
+      }
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        MIN(l_quantity) AS min_qty,
+        MAX(l_quantity) AS max_qty
+      FROM lineitem
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""),
+    covers = Seq("MV-rewrite"))
+
   val all: Seq[QueryDef] =
-    Seq(q242, q243)
+    Seq(q242, q243, q244)
 }

@@ -104,6 +104,31 @@ class MatViewRewriteSpec extends SparkSpec {
     }
   }
 
+  test("sum over the exact DECIMAL(18,2) cast rewrites even for float measures") {
+    withRule {
+      import org.apache.spark.sql.types.DecimalType
+      import spark.implicits._
+      val root = Files.createTempDirectory("graft-mv-f").toString
+      val base = s"$root/base"
+      Seq(("a", 1.25), ("a", 2.50), ("b", 0.75)).toDF("k", "v").write.parquet(base)
+      val store = new TableStore(spark, root)
+      val agg = new AggTable(store, "stats", AggSpec(Seq("k"), Seq("v")))
+      agg.accumulate("b1", spark.read.parquet(base))
+      val statePath = store.path("stats") + "/state"
+      MatViewRewrite.register(base, AggSpec(Seq("k"), Seq("v")), statePath)
+
+      // bare float sum must NOT rewrite (order-dependent) ...
+      val bare = spark.read.parquet(base).groupBy("k").agg(sum("v").as("s"))
+      assert(scannedPaths(bare).exists(_.endsWith("/base")))
+      // ... but the state's own cast form must
+      val cast = spark.read.parquet(base).groupBy("k")
+        .agg(sum(col("v").cast(DecimalType(18, 2))).as("s")).orderBy("k")
+      assert(scannedPaths(cast).exists(_.contains(statePath.stripPrefix("file:"))))
+      assert(cast.collect().map(r => (r.getString(0), r.getDecimal(1).toString)).toSeq ==
+        Seq(("a", "3.75"), ("b", "0.75")))
+    }
+  }
+
   test("rewrite preserves output ids for downstream operators (join + sort)") {
     withRule {
       import spark.implicits._
