@@ -60,10 +60,18 @@ class MatViewPropertiesSpec extends SparkSpec {
             min("v").as("mn"), max("v").as("mx"))
           .orderBy("k")
         // the property must not pass vacuously: prove the plan reads
-        // the state, not the base
-        assert(stateQ.queryExecution.optimizedPlan.toString.contains("li_stats/state")
-          || stateQ.queryExecution.optimizedPlan.toString.contains("stats/state"),
-          s"rewrite did not fire (seed=$seed)")
+        // the state, not the base (LogicalRelation.toString omits
+        // paths, so inspect the relations)
+        val scanned = stateQ.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.rootPaths.map(_.toString)
+              case _ => Nil
+            }
+        }.flatten
+        assert(scanned.exists(_.contains("stats/state")),
+          s"rewrite did not fire (seed=$seed): $scanned")
         val viaState = stateQ.collect().toSeq
         MatViewRewrite.clear()
         val direct = spark.read.parquet(base).groupBy("k")
