@@ -129,6 +129,51 @@ class MatViewRewriteSpec extends SparkSpec {
     }
   }
 
+  test("stream-maintained state answers ad-hoc aggregates over the landed base") {
+    withRule {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.types.DecimalType
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      import graft.streaming.EventStreams
+      import graft.streaming.EventStreams.Event
+
+      // production shape: raw events land in the lake (base parquet)
+      // while the SAME stream maintains the aggregate view — ad-hoc
+      // queries then target the base table and the rule answers them
+      // from the O(groups) state instead of rescanning the landed data
+      val root = Files.createTempDirectory("graft-mv-stream").toString
+      val base = s"$root/events_landed"
+      val ckpt = s"$root/ckpt"
+      val store = new TableStore(spark, root)
+      val spec = AggSpec(Seq("event_type"), Seq("value"))
+      def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+
+      val input = MemoryStream[Event]
+      val query = EventStreams.maintainAggregate(
+        input.toDF(), store, "ev_stats", spec, ckpt)
+      val b1 = Seq(Event(1L, ts(1), "click", 1.50), Event(2L, ts(2), "view", 4.00))
+      val b2 = Seq(Event(3L, ts(3), "click", 2.50), Event(4L, ts(4), "click", -1.00))
+      input.addData(b1: _*)
+      query.processAllAvailable()
+      input.addData(b2: _*)
+      query.processAllAvailable()
+      query.stop()
+      (b1 ++ b2).toDF().write.mode("append").parquet(base)
+
+      MatViewRewrite.register(base, spec, store.path("ev_stats") + "/state")
+      val q = spark.read.parquet(base).groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).as("s"),
+          min("value").as("mn"), max("value").as("mx"))
+        .orderBy("event_type")
+      assert(scannedPaths(q).exists(_.contains("ev_stats/state")))
+      assert(q.collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2).toString, r.getDouble(3), r.getDouble(4))).toSeq ==
+        Seq(("click", 3L, "3.00", -1.00, 2.50), ("view", 1L, "4.00", 4.00, 4.00)))
+    }
+  }
+
   test("rewrite preserves output ids for downstream operators (join + sort)") {
     withRule {
       import spark.implicits._
