@@ -47,7 +47,12 @@ class PlanGuardSpec extends SparkSpec {
     // round 21: TPC-H completion (q227's one-row broadcast average is
     // the allowed scalar-subquery pattern, like q52)
     "q220_tpch_q4", "q222_tpch_q12", "q223_tpch_q13", "q224_tpch_q17",
-    "q225_tpch_q19", "q226_tpch_q21")
+    "q225_tpch_q19", "q226_tpch_q21",
+    // round 23/24: TPC-H tail (q236's one-row crossJoin(broadcast)
+    // stats is the allowed scalar-subquery pattern) + the grid
+    // spatial join, which exists precisely to stay equi-shaped
+    "q234_tpch_q2", "q235_tpch_q9", "q237_tpch_q15", "q238_tpch_q16",
+    "q239_tpch_q20", "q240_grid_radius_join")
 
   test("q220 never broadcasts the fact side") {
     val dir = "/root/testdata/sf0.001"
@@ -65,7 +70,8 @@ class PlanGuardSpec extends SparkSpec {
 
   test("tpch stars: dims broadcast, at most one data-sized shuffle join") {
     val dir = "/root/testdata/sf0.001"
-    Seq("q168_tpch_q10", "q169_tpch_q7", "q170_tpch_q8", "q171_tpch_q14")
+    Seq("q168_tpch_q10", "q169_tpch_q7", "q170_tpch_q8", "q171_tpch_q14",
+        "q235_tpch_q9")
       .foreach { name =>
         val plan = graft.SparkEntry.queries(name)(spark, dir)
           .queryExecution.executedPlan.toString
