@@ -87,6 +87,43 @@ object Round28Queries {
       FROM c ORDER BY c_custkey"""),
     covers = Seq("M-extrema-nulls"))
 
+  // ------------------------------------------------- comparator array sort
+  // In-row sorting with a CUSTOM comparator lambda: each order's
+  // line structs sorted by (quantity DESC, linenumber ASC) entirely
+  // inside the row via array_sort((l, r) => …) — no explode, no
+  // window. The comparator is a total order (linenumber is unique per
+  // order), so the result is deterministic even though collect_list's
+  // input order is not: any permutation sorts to the same sequence.
+  // DuckDB has no comparator lambdas; the oracle derives the same
+  // sequence through ORDER BY inside an ordered aggregate — two
+  // different mechanisms, one pinned answer.
+  private val q252 = QueryDef(
+    "q252_comparator_sort",
+    (s, dir) => {
+      val sorted = array_sort(
+        col("lines"),
+        (l, r) => when(l.getField("q") > r.getField("q"), -1)
+          .when(l.getField("q") < r.getField("q"), 1)
+          .otherwise(l.getField("ln") - r.getField("ln")))
+      t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(collect_list(struct(
+          dec(col("l_quantity")).as("q"),
+          col("l_linenumber").as("ln"))).as("lines"))
+        .select(col("l_orderkey"), size(col("lines")).as("n_lines"),
+          array_join(transform(sorted, x => x.getField("ln").cast("string")), ",")
+            .as("ln_by_qty"))
+        .orderBy("l_orderkey")
+    },
+    Some("""SELECT l_orderkey,
+        CAST(COUNT(*) AS INTEGER) AS n_lines,
+        string_agg(CAST(l_linenumber AS VARCHAR), ','
+          ORDER BY CAST(l_quantity AS DECIMAL(18,2)) DESC, l_linenumber)
+          AS ln_by_qty
+      FROM lineitem
+      GROUP BY l_orderkey ORDER BY l_orderkey"""),
+    covers = Seq("A-comparator-sort"))
+
   val all: Seq[QueryDef] =
-    Seq(q250, q251)
+    Seq(q250, q251, q252)
 }
