@@ -387,4 +387,75 @@ object EventStreams {
       .transformWithState(new QuotaProcessor(limit),
         TimeMode.None(), OutputMode.Append())
   }
+
+  /** One flushed session per quiet period. */
+  case class SessionSummary(
+      user_id: Long, n_events: Long, total_value: Double,
+      start: Timestamp, end: Timestamp)
+
+  private case class SessState(n: Long, total: Double, loMs: Long, hiMs: Long)
+
+  /** Timer-driven sessionization on `transformWithState`: input rows
+    * only ACCUMULATE per-key state and (re)arm an EVENT-TIME timer at
+    * `last event + gap`; the session summary is emitted from
+    * [[StatefulProcessor.handleExpiredTimer]] when the watermark
+    * passes that instant — i.e. when the stream has PROVEN the quiet
+    * period, not when a batch happens to run. This is the
+    * timers-and-TTL half of the state API v2 that
+    * [[EventStreams.admitQuota]]'s counter doesn't touch: the timer
+    * registry is per-key engine state (checkpointed, replay-safe),
+    * re-arming deletes the stale timer so each key holds at most ONE,
+    * and state size stays O(active keys) at any stream length.
+    */
+  private final class SessionFlushProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, Event, SessionSummary] {
+    @transient private var st: ValueState[SessState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[SessState]("sess",
+        org.apache.spark.sql.Encoders.product[SessState], TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[Event],
+        timers: TimerValues): Iterator[SessionSummary] = {
+      var s = if (st.exists()) st.get() else SessState(0L, 0.0, Long.MaxValue, Long.MinValue)
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_type)).foreach { e =>
+        s = SessState(s.n + 1, s.total + e.value,
+          math.min(s.loMs, e.ts.getTime), math.max(s.hiMs, e.ts.getTime))
+      }
+      st.update(s)
+      // one live timer per key: re-arming replaces the stale deadline
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(s.hiMs + gapMs)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(
+        key: Long,
+        timerValues: TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[SessionSummary] = {
+      if (!st.exists()) return Iterator.empty
+      val s = st.get()
+      st.clear()
+      Iterator.single(SessionSummary(key, s.n, s.total,
+        new Timestamp(s.loMs), new Timestamp(s.hiMs)))
+    }
+  }
+
+  /** Sessions flushed by event-time timers (Append mode; requires the
+    * RocksDB state store like every transformWithState query).
+    */
+  def sessionFlush(
+      events: Dataset[Event],
+      gapMinutes: Long = 10L,
+      lateness: String = "0 seconds"): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionFlushProcessor(gapMinutes * 60000L),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 }

@@ -168,6 +168,45 @@ class EventStreamsSpec extends SparkSpec {
     assert(rows.count(_ == (2L, None)) == 1, "unmatched click did not emit null row")
   }
 
+  test("event-time timers flush sessions when the watermark proves the gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Event]
+      val query = EventStreams.sessionFlush(input.toDS(), gapMinutes = 10L)
+        .writeStream.format("memory").queryName("sess_flush")
+        .outputMode(OutputMode.Append()).start()
+
+      // session A for user 1 (10:00, 10:05); nothing can flush yet —
+      // the watermark hasn't proven the 10-minute quiet period
+      input.addData(Event(1L, ts(0), "click", 1.5), Event(1L, ts(5), "view", 2.5))
+      query.processAllAvailable()
+      assert(spark.table("sess_flush").isEmpty,
+        "session flushed before the gap was proven")
+
+      // user 2 at 10:30 pushes the watermark past 10:05 + 10min →
+      // user 1's timer fires and ONLY their session flushes
+      input.addData(Event(2L, ts(30), "click", 7.0))
+      query.processAllAvailable()
+      val first = spark.table("sess_flush").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+          r.getAs[Double]("total_value")))
+      assert(first.toSeq == Seq((1L, 2L, 4.0)), s"got ${first.toSeq}")
+
+      // a third batch far ahead expires user 2's timer as well
+      input.addData(Event(3L, Timestamp.valueOf("2026-01-01 12:00:00"), "view", 0.0))
+      query.processAllAvailable()
+      query.stop()
+      val all = spark.table("sess_flush").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events")))
+      assert(all.toSet.contains((2L, 1L)), s"user 2 session never flushed: ${all.toSeq}")
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("transformWithState quota admits the first N per user across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
