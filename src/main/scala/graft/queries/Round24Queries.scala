@@ -37,26 +37,12 @@ object Round24Queries {
   private val q240 = QueryDef(
     "q240_grid_radius_join",
     (s, dir) => {
-      val cell = 0.02d
       val pts = t(s, dir, "embeddings").select(
         col("vec_id"),
         element_at(col("embedding"), 1).cast("double").as("x"),
         element_at(col("embedding"), 2).cast("double").as("y"))
-        .withColumn("cx", floor(col("x") / lit(cell)).cast("long"))
-        .withColumn("cy", floor(col("y") / lit(cell)).cast("long"))
-      val probes = pts.select(col("vec_id").as("vec_a"),
-        col("x").as("xa"), col("y").as("ya"), col("cx"), col("cy"))
-      val offs = array((for (dx <- -1 to 1; dy <- -1 to 1)
-        yield struct(lit(dx).as("dx"), lit(dy).as("dy"))): _*)
-      val build = pts
-        .withColumn("o", explode(offs))
-        .select(col("vec_id").as("vec_b"), col("x").as("xb"), col("y").as("yb"),
-          (col("cx") + col("o.dx")).as("cx"), (col("cy") + col("o.dy")).as("cy"))
-      val d2 = (col("xa") - col("xb")) * (col("xa") - col("xb")) +
-        (col("ya") - col("yb")) * (col("ya") - col("yb"))
-      probes.join(build, Seq("cx", "cy"))
-        .filter(col("vec_a") < col("vec_b") && d2 <= lit(0.0004d))
-        .select(col("vec_a"), col("vec_b"), d2.as("dist_sq"))
+      graft.operators.GridJoin
+        .radiusSelfJoin(pts, "vec_id", "x", "y", radius = 0.02d)
         .orderBy("vec_a", "vec_b")
     },
     Some("""WITH e AS (SELECT vec_id,
@@ -66,7 +52,7 @@ object Round24Queries {
              (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist_sq
       FROM e a JOIN e b ON a.vec_id < b.vec_id
       WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
-            <= CAST(0.0004 AS DOUBLE)
+            <= CAST(0.02 AS DOUBLE) * CAST(0.02 AS DOUBLE)
       ORDER BY vec_a, vec_b"""),
     covers = Seq("SPATIAL-grid-join"))
 
