@@ -265,11 +265,8 @@ object Round22Queries {
     "q232_rendezvous_sharding",
     (s, dir) => {
       val d = t(s, dir, "documents").select("doc_id")
-      def weight(i: Int): Column =
-        conv(substring(md5(concat(col("doc_id").cast("string"),
-          lit(s":$i")).cast("binary")), 1, 14), 16, 10).cast("long") * 16 + i
-      val shard8 = greatest((0 until 8).map(weight): _*) % 16
-      val shard9 = greatest((0 until 9).map(weight): _*) % 16
+      val shard8 = graft.functions.RendezvousShard.shardOf(col("doc_id"), 8)
+      val shard9 = graft.functions.RendezvousShard.shardOf(col("doc_id"), 9)
       d.select(
           (col("doc_id") % 8 =!= col("doc_id") % 9).as("mod_moved"),
           (shard8 =!= shard9).as("rdv_moved"))
