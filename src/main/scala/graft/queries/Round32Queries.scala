@@ -227,26 +227,13 @@ object Round32Queries {
       val e = t(s, dir, "embeddings")
         .repartition(s.sparkContext.defaultParallelism)
       val q = e.filter(col("vec_id") % 10 === 0)
-        .select(col("vec_id").as("q_id"), col("label").as("true_label"),
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
           col("embedding").as("q_emb"))
       val c = e.filter(col("vec_id") % 10 =!= 0)
         .select(col("vec_id").as("n_id"), col("label").as("n_label"),
           col("embedding").as("n_emb"))
-      val cos = graft.functions.CosineSimilarity(s, col("q_emb"), col("n_emb"))
-      val wNn = Window.partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))
-      val wVote = Window.partitionBy("q_id")
-        .orderBy(desc("votes"), asc("n_label"))
-      c.crossJoin(broadcast(q))
-        .withColumn("cos", cos)
-        .withColumn("rk", row_number().over(wNn))
-        .filter(col("rk") <= 7)
-        .groupBy(col("q_id"), col("true_label"), col("n_label"))
-        .agg(count(lit(1)).as("votes"))
-        .withColumn("vr", row_number().over(wVote))
-        .filter(col("vr") === 1)
-        .select(col("q_id"), col("true_label"),
-          col("n_label").as("predicted"), col("votes"),
-          (col("n_label") === col("true_label")).as("correct"))
+      graft.similarity.KnnVote.classify(s, q, c, 7)
+        .withColumnRenamed("q_label", "true_label")
         .orderBy("q_id")
     },
     Some("""WITH q AS (SELECT vec_id AS q_id, label AS true_label, embedding AS q_emb

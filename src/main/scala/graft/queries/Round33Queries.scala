@@ -121,31 +121,13 @@ object Round33Queries {
       val e = t(s, dir, "embeddings")
         .repartition(s.sparkContext.defaultParallelism)
       val a = e.filter(col("vec_id") % 5 === 0)
-        .select(col("vec_id").as("a_id"), col("label").as("a_label"),
-          col("embedding").as("a_emb"))
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("embedding").as("q_emb"))
       val c = e.select(col("vec_id").as("n_id"), col("label").as("n_label"),
         col("embedding").as("n_emb"))
-      val cos = graft.functions.CosineSimilarity(s, col("a_emb"), col("n_emb"))
-      val wNn = Window.partitionBy("a_id").orderBy(desc("cos"), asc("n_id"))
-      val votes = c.crossJoin(broadcast(a))
-        .filter(col("a_id") =!= col("n_id"))
-        .withColumn("cos", cos)
-        .withColumn("rk", row_number().over(wNn))
-        .filter(col("rk") <= 5)
-        .groupBy("a_id", "a_label", "n_label")
-        .agg(count(lit(1)).as("votes"))
-      val wAll = Window.partitionBy("a_id")
-      val wModal = Window.partitionBy("a_id")
-        .orderBy(desc("votes"), asc("n_label"))
-      votes
-        .withColumn("agree_n",
-          sum(when(col("n_label") === col("a_label"), col("votes"))
-            .otherwise(0L)).over(wAll))
-        .withColumn("vr", row_number().over(wModal))
-        .filter(col("vr") === 1)
-        .select(col("a_id"), col("a_label"), col("agree_n"),
-          col("n_label").as("modal_label"),
-          (col("agree_n") <= 2).as("suspect"))
+      graft.similarity.KnnVote.auditLabels(s, a, c, 5, suspectMax = 2L)
+        .withColumnRenamed("q_id", "a_id")
+        .withColumnRenamed("q_label", "a_label")
         .orderBy("a_id")
     },
     Some("""WITH a AS (SELECT vec_id AS a_id, label AS a_label, embedding AS a_emb
