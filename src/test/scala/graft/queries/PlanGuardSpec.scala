@@ -52,7 +52,16 @@ class PlanGuardSpec extends SparkSpec {
     // stats is the allowed scalar-subquery pattern) + the grid
     // spatial join, which exists precisely to stay equi-shaped
     "q234_tpch_q2", "q235_tpch_q9", "q237_tpch_q15", "q238_tpch_q16",
-    "q239_tpch_q20", "q240_grid_radius_join")
+    "q239_tpch_q20", "q240_grid_radius_join",
+    // rounds 32-40: proration/spearman windows are join-free, but the
+    // vocab-overlap self-joins, the kendall year-pair join, the
+    // attribution lookback join and the audience/encoding joins must
+    // all stay equi-shaped (inequalities are post-join filters);
+    // q280's one-row crossJoin(broadcast) prior is the allowed
+    // scalar-subquery pattern, like q52
+    "q266_autocorrelation", "q271_source_vocab_overlap",
+    "q274_kendall_tau", "q276_new_vs_returning",
+    "q277_weighted_vocab_overlap", "q278_attribution")
 
   test("q220 never broadcasts the fact side") {
     val dir = "/root/testdata/sf0.001"
