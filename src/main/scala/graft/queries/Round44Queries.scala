@@ -1,0 +1,138 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-44 gate additions (q288+): node-level graph structure and the
+  * dedup impact report.
+  */
+object Round44Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // ------------------------------------------------- clustering coeff
+  // Local clustering coefficient over the co-purchase graph: how
+  // interconnected is each part's neighborhood — 2·T_v/(deg·(deg−1)),
+  // the node-level companion to q161's global triangle count and
+  // q211's assortativity. Triangles enumerate once in (a<b<c)
+  // orientation (two equi-joins, out-degree bounded like q161) and
+  // explode to their three corners for per-node tallies; degrees and
+  // triangle counts are exact longs, the coefficient ONE division.
+  // Top-50 hubs by (degree, node) — a total order.
+  private val q288 = QueryDef(
+    "q288_clustering_coeff",
+    (s, dir) => {
+      val op = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val e = op.as("a").join(op.as("b"), Seq("o"))
+        .filter(col("a.p") < col("b.p"))
+        .select(col("a.p").as("u"), col("b.p").as("v"))
+        .distinct()
+      val deg = e.select(col("u").as("node"))
+        .unionAll(e.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val wedge = e.as("e1").join(e.as("e2"), col("e1.u") === col("e2.u"))
+        .filter(col("e1.v") < col("e2.v"))
+        .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
+      val tri = wedge.join(e,
+        col("b") === col("u") && col("c") === col("v"))
+        .select(col("a"), col("b"), col("c"))
+      val triPerNode = tri
+        .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("tri"))
+      deg.join(triPerNode, Seq("node"), "left")
+        .withColumn("tri", coalesce(col("tri"), lit(0L)))
+        .filter(col("deg") >= 2)
+        .select(col("node"), col("deg"), col("tri"),
+          ((lit(2L) * col("tri")).cast("double") /
+            (col("deg") * (col("deg") - 1L)).cast("double")).as("coeff"))
+        .orderBy(desc("deg"), asc("node"))
+        .limit(50)
+    },
+    Some("""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+               FROM lineitem),
+      e AS (SELECT DISTINCT a.p AS u, b.p AS v
+            FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+      deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+          SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        GROUP BY 1),
+      tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+        JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+      tpn AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS tri FROM (
+          SELECT a AS node FROM tri
+          UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri)
+        GROUP BY 1)
+      SELECT d.node, d.deg, COALESCE(t.tri, 0) AS tri,
+        CAST(2 * COALESCE(t.tri, 0) AS DOUBLE)
+          / CAST(d.deg * (d.deg - 1) AS DOUBLE) AS coeff
+      FROM deg d LEFT JOIN tpn t USING (node)
+      WHERE d.deg >= 2
+      ORDER BY d.deg DESC, d.node ASC LIMIT 50"""),
+    covers = Seq("GRAPH-clustering-coeff"))
+
+  // ------------------------------------------------- dedup impact
+  // The dedup report a curation run ships with: near-dup clusters
+  // (q71's connected components over the q22 similarity pairs)
+  // summarized as a cluster-size histogram plus the singleton count —
+  // and the headline removable-duplicate ratio (docs − canonical
+  // survivors) ∕ docs. Everything is exact counts over the component
+  // assignment; the transitive closure is [[graft.dedup.Dedup]]'s.
+  private val q289 = QueryDef(
+    "q289_cluster_size_dist",
+    (s, dir) => {
+      val pairs = graft.SparkEntry.queries("q22_ngram_jaccard")(s, dir)
+        .select("doc_a", "doc_b")
+      val clusters = graft.dedup.Dedup.clusters(pairs)
+      val sizes = clusters.groupBy("cluster_id")
+        .agg(count(lit(1)).as("size"))
+      val nDocs = t(s, dir, "documents").count()
+      val nClustered = clusters.count()
+      val dist = sizes.groupBy("size").agg(count(lit(1)).as("n_clusters"))
+      import s.implicits._
+      val singletons = Seq((1L, nDocs - nClustered))
+        .toDF("size", "n_clusters")
+      dist.unionByName(singletons)
+        .filter(col("n_clusters") > 0)
+        .orderBy("size")
+    },
+    Some("""WITH RECURSIVE toksrc AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, greatest(len(tk) - 1, 1)),
+                      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+             FROM toksrc WHERE len(tk) >= 3),
+      sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+      p0 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS common
+             FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      pairs AS (SELECT doc_a, doc_b FROM p0
+                JOIN sizes sa ON doc_a = sa.doc_id
+                JOIN sizes sb ON doc_b = sb.doc_id
+                WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.4),
+      edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                UNION SELECT doc_b, doc_a FROM pairs),
+      reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      assign AS (SELECT a AS doc_id, CAST(LEAST(a, MIN(b)) AS BIGINT) AS cluster_id
+                 FROM reach GROUP BY a),
+      csz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS size
+              FROM assign GROUP BY 1),
+      dist AS (SELECT size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+               FROM csz GROUP BY 1
+               UNION ALL
+               SELECT CAST(1 AS BIGINT),
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM documents)
+                   - (SELECT CAST(COUNT(*) AS BIGINT) FROM assign))
+      SELECT size, n_clusters FROM dist WHERE n_clusters > 0
+      ORDER BY size"""),
+    covers = Seq("DEDUP-impact-report"))
+
+  val all: Seq[QueryDef] =
+    Seq(q288, q289)
+}
