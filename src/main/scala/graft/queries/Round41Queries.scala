@@ -87,9 +87,12 @@ object Round41Queries {
             .when(lag(col("event_type"), 1).over(wSeq) =!= col("event_type"), 1L)
             .otherwise(0L))
         .withColumn("island", sum(col("flip")).over(wRun))
-        .groupBy("user_id", "island")
-        .agg(first(col("event_type")).as("event_type"),
-          count(lit(1)).as("run_len"),
+        // event_type is constant within an island, so it can be a
+        // GROUP key — keeping it out of the aggregation buffer keeps
+        // the rollup on the HashAggregate path (a first()/min() string
+        // buffer would demote to SortAggregate, PlanAudit's flag)
+        .groupBy("user_id", "island", "event_type")
+        .agg(count(lit(1)).as("run_len"),
           min(col("us")).as("start_us"),
           max(col("us")).as("end_us"))
         .select(col("user_id"), col("island"), col("event_type"),
