@@ -21,7 +21,8 @@ class PartitionInvarianceSpec extends SparkSpec {
   private val sensitive = Seq(
     "q259_proration", "q260_spearman", "q270_hellinger_drift",
     "q274_kendall_tau", "q282_skyline", "q286_peak_rate",
-    "q287_minhash_calibration")
+    "q287_minhash_calibration", "q297_cvar", "q300_corpus_datasheet",
+    "q302_market_hhi")
 
   private def snapshot(name: String): Seq[String] = {
     val df = graft.SparkEntry.queries(name)(spark, dir)
