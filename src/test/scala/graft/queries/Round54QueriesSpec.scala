@@ -16,7 +16,8 @@ class Round54QueriesSpec extends SparkSpec {
     // volume + rate + interaction = delta (algebraic identity; the
     // doubles agree to rounding noise)
     val bad = out.filter(abs(col("volume_effect") + col("rate_effect") +
-      col("interaction") - col("delta")) > 1e-6 * abs(col("delta")) + 1e-6)
+      col("interaction") - col("delta")) >
+      lit(1e-6) * abs(col("delta")) + lit(1e-6))
     assert(bad.isEmpty, "the decomposition closes")
     assert(out.filter(abs(col("delta") -
       (col("rev_y2") - col("rev_y1"))) > 1e-6).isEmpty)
