@@ -70,8 +70,11 @@ case class ExactTopK(
     a
   }
 
+  // evaluate from a clone: dequeueAll drains the queue, and eval must
+  // leave the buffer intact for contexts that evaluate it repeatedly
+  // (e.g. a running window frame over the session-registered function)
   override def eval(heap: mutable.PriorityQueue[Long]): Any =
-    new GenericArrayData(heap.dequeueAll.reverse.toArray)
+    new GenericArrayData(heap.clone().dequeueAll.reverse.toArray)
 
   override def serialize(heap: mutable.PriorityQueue[Long]): Array[Byte] = {
     val bytes = new ByteArrayOutputStream()

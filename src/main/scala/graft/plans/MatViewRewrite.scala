@@ -151,9 +151,14 @@ object MatViewRewrite extends Rule[LogicalPlan] {
     val newAggs: Seq[NamedExpression] = aggExprs.map {
       case a: AttributeReference if keys.contains(a.name) =>
         Alias(s(a.name).getOrElse(return None), a.name)(exprId = a.exprId)
-      case al @ Alias(AggregateExpression(fn, _, false, _, _), name) =>
+      // filter position must be None: an aggregate with a FILTER
+      // (WHERE ...) clause counts a predicate-dependent subset the
+      // state never kept, so it must stay on the base scan
+      case al @ Alias(AggregateExpression(fn, _, false, None, _), name) =>
         val rewrittenFn: Expression = fn match {
-          case Count(exprs) if exprs.forall(_.foldable) =>
+          // non-nullable constants only: count(NULL) is always 0,
+          // not the group row count the state's cnt would report
+          case Count(exprs) if exprs.forall(e => e.foldable && !e.nullable) =>
             Cast(agged(Sum(s("cnt").getOrElse(return None))), LongType)
           case Sum(m: AttributeReference, _) if measures.contains(m.name) &&
               exactSumType(m.dataType) =>
