@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-provided synthetic tables (TESTDATA.md).
   *
@@ -15,16 +15,23 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.parquet stores ts as INT64 TIMESTAMP(NANOS) which Spark's
-    // parquet reader rejects; read it as raw nanos and convert to a
-    // micros timestamp (the generated values are µs-precision, so the
-    // integer DIV by 1000 is lossless).
+    // events.parquet's ts has varied across driver testdata versions:
+    // INT64 TIMESTAMP(NANOS) (Spark reads it only as raw longs under
+    // nanosAsLong), or micros without isAdjustedToUTC (Spark 4 infers
+    // TIMESTAMP_NTZ, which unix_micros & friends reject). Normalize
+    // both to a plain session-TZ TimestampType — the session is pinned
+    // UTC, so the NTZ cast is value-identity, matching how the DuckDB
+    // oracle reads the same file (naive TIMESTAMP).
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/$name.parquet")
-      if (raw.schema("ts").dataType == LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      else raw
+      raw.schema("ts").dataType match {
+        case LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        case TimestampNTZType =>
+          raw.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => raw
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 

@@ -97,20 +97,24 @@ object Round27Queries {
     "q249_decimal_rounding",
     (s, dir) => {
       val bal = dec(col("c_acctbal"))
+      // result scales pinned on BOTH sides: Spark's round/subtract
+      // derive different decimal precisions than DuckDB's (17,0) vs
+      // (18,0), (20,2) vs (18,2) — values agree, arrow types don't,
+      // and the driver hashes the typed representation
       t(s, dir, "customer")
         .select(col("c_custkey"), bal.as("bal"),
-          round(bal, 1).as("r1"),
-          round(bal, 0).as("r0"),
-          (round(bal, 1) - bal).as("d1"))
+          round(bal, 1).cast("decimal(18,1)").as("r1"),
+          round(bal, 0).cast("decimal(18,0)").as("r0"),
+          (round(bal, 1) - bal).cast("decimal(18,2)").as("d1"))
         .filter((col("bal") * 100 % 10).isin(5, -5))
         .orderBy("c_custkey")
     },
     Some("""WITH c AS (SELECT c_custkey,
           CAST(c_acctbal AS DECIMAL(18,2)) AS bal FROM customer)
       SELECT c_custkey, bal,
-        round(bal, 1) AS r1,
-        round(bal, 0) AS r0,
-        round(bal, 1) - bal AS d1
+        CAST(round(bal, 1) AS DECIMAL(18,1)) AS r1,
+        CAST(round(bal, 0) AS DECIMAL(18,0)) AS r0,
+        CAST(round(bal, 1) - bal AS DECIMAL(18,2)) AS d1
       FROM c
       WHERE bal * 100 % 10 IN (5, -5)
       ORDER BY c_custkey"""),
