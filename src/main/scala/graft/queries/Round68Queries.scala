@@ -1,0 +1,269 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
+
+import graft.Tables
+
+/** Round-68 gate additions (q359–q363): split hygiene, lifecycle
+  * curves, price dispersion, hash-bucket skew, and ingestion drift.
+  */
+object Round68Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // ------------------------------------------------- split leakage
+  // Train/eval hygiene: assign documents to arms by md5 parity (the
+  // q346 split) and count near-duplicate pairs (q22's Jaccard≥0.4)
+  // that CROSS the boundary — each one leaks eval content into
+  // training. Reports within/cross pair counts and the leakage rate;
+  // the pair set is the dedup prefilter's output, orders smaller than
+  // the corpus.
+  private val q359 = QueryDef(
+    "q359_split_leakage",
+    (s, dir) => {
+      val arm = t(s, dir, "documents")
+        .select(col("doc_id"),
+          (conv(substring(md5(col("text")), 1, 8), 16, 10)
+            .cast(LongType) % 2).cast(LongType).as("arm"))
+      val pairs = graft.SparkEntry.queries("q22_ngram_jaccard")(s, dir)
+        .select("doc_a", "doc_b")
+      val tagged = pairs
+        .join(arm.select(col("doc_id").as("doc_a"), col("arm").as("arm_a")),
+          Seq("doc_a"))
+        .join(arm.select(col("doc_id").as("doc_b"), col("arm").as("arm_b")),
+          Seq("doc_b"))
+      tagged.agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("arm_a") === col("arm_b"), 1L).otherwise(0L))
+          .as("n_within"),
+        sum(when(col("arm_a") =!= col("arm_b"), 1L).otherwise(0L))
+          .as("n_cross"))
+        .select(col("n_pairs"), col("n_within"), col("n_cross"),
+          (col("n_cross").cast("double") / col("n_pairs").cast("double"))
+            .as("leakage_rate"))
+    },
+    Some("""WITH arm AS (SELECT doc_id,
+          CAST(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 2
+            AS BIGINT) AS arm
+        FROM documents),
+      toksrc AS (SELECT doc_id, string_split(text, ' ') AS tk
+                 FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, greatest(len(tk) - 1, 1)),
+                      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+             FROM toksrc WHERE len(tk) >= 3),
+      sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh
+                GROUP BY doc_id),
+      p0 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS common
+             FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+      pairs AS (SELECT doc_a, doc_b FROM p0
+                JOIN sizes sa ON doc_a = sa.doc_id
+                JOIN sizes sb ON doc_b = sb.doc_id
+                WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.4),
+      tagged AS (SELECT aa.arm AS arm_a, ab.arm AS arm_b
+        FROM pairs
+        JOIN arm aa ON doc_a = aa.doc_id
+        JOIN arm ab ON doc_b = ab.doc_id)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        CAST(SUM(CASE WHEN arm_a = arm_b THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_within,
+        CAST(SUM(CASE WHEN arm_a <> arm_b THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_cross,
+        CAST(SUM(CASE WHEN arm_a <> arm_b THEN 1 ELSE 0 END) AS DOUBLE)
+          / CAST(COUNT(*) AS DOUBLE) AS leakage_rate
+      FROM tagged"""),
+    covers = Seq("DD-split-leakage"))
+
+  // ------------------------------------------------- user-age curve
+  // Activity by user age: events per days-since-first-event index,
+  // aligned across users — the lifecycle curve (do users warm up or
+  // burn out?). First-event times collapse the log once; the age
+  // index is an exact date diff.
+  private val q360 = QueryDef(
+    "q360_user_age_curve",
+    (s, dir) => {
+      val e = t(s, dir, "events").select(col("user_id"),
+        to_date(col("ts")).as("d"))
+      val first = e.groupBy("user_id").agg(min(col("d")).as("d0"))
+      val aged = e.join(first, Seq("user_id"))
+        .withColumn("age_d", datediff(col("d"), col("d0")).cast(LongType))
+      val g = aged.groupBy("age_d")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+      g.filter(col("age_d") <= 13)
+        .select(col("age_d"), col("n_events"), col("n_users"),
+          (col("n_events").cast("double") / col("n_users").cast("double"))
+            .as("events_per_user"))
+        .orderBy("age_d")
+    },
+    Some("""WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+      f AS (SELECT user_id, MIN(d) AS d0 FROM e GROUP BY user_id),
+      aged AS (SELECT e.user_id, CAST(d - d0 AS BIGINT) AS age_d
+        FROM e JOIN f USING (user_id)),
+      g AS (SELECT age_d, CAST(COUNT(*) AS BIGINT) AS n_events,
+          CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM aged GROUP BY age_d)
+      SELECT age_d, n_events, n_users,
+        CAST(n_events AS DOUBLE) / CAST(n_users AS DOUBLE) AS events_per_user
+      FROM g WHERE age_d <= 13
+      ORDER BY age_d"""),
+    covers = Seq("A-user-age"))
+
+  // ------------------------------------------------- price dispersion
+  // Does the same part sell at wildly different effective unit
+  // prices? Per part the exact P10/P50/P90 of the unit price in
+  // cents, dispersion = (P90−P10)/P50; per brand the MEDIAN part
+  // dispersion (an order statistic — no rational-double summation at
+  // all). Unit cents floor exactly in INTEGER arithmetic:
+  // floor(net·100/qty) = (net·10⁴) DIV (100·qty) — decimal division
+  // would round the quotient at engine-specific scales before the
+  // floor, integer division cannot.
+  private val q361 = QueryDef(
+    "q361_price_dispersion",
+    (s, dir) => {
+      val n4 = ((col("l_extendedprice").cast(DecimalType(18, 2)) *
+        (lit(1).cast(DecimalType(18, 2)) -
+          col("l_discount").cast(DecimalType(18, 2))))
+        .cast(DecimalType(18, 4)) * 10000).cast(LongType)
+      val cents = expr("n4 DIV (100 * qty)")
+      val per = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand").as("brand"), col("l_partkey").as("pk"),
+          n4.as("n4"), col("l_quantity").cast(LongType).as("qty"))
+        .select(col("brand"), col("pk"), cents.as("c"))
+        .groupBy("brand", "pk")
+        .agg(count(lit(1)).as("n_sales"),
+          expr("percentile_disc(0.1) WITHIN GROUP (ORDER BY c)")
+            .cast(LongType).as("p10"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY c)")
+            .cast(LongType).as("p50"),
+          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY c)")
+            .cast(LongType).as("p90"))
+        .filter(col("n_sales") >= 3 && col("p50") > 0)
+        .withColumn("disp",
+          (col("p90") - col("p10")).cast("double") / col("p50").cast("double"))
+      per.groupBy("brand")
+        .agg(count(lit(1)).as("n_parts"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY disp)")
+            .as("median_dispersion"))
+        .orderBy("brand")
+    },
+    Some("""WITH li AS (SELECT p_brand AS brand, l_partkey AS pk,
+          CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+              * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+              AS DECIMAL(18,4)) * 10000 AS BIGINT)
+            // (100 * CAST(l_quantity AS BIGINT)) AS c
+        FROM lineitem JOIN part ON l_partkey = p_partkey),
+      per AS (SELECT brand, pk, CAST(COUNT(*) AS BIGINT) AS n_sales,
+          CAST(percentile_disc(0.1) WITHIN GROUP (ORDER BY c) AS BIGINT)
+            AS p10,
+          CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY c) AS BIGINT)
+            AS p50,
+          CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY c) AS BIGINT)
+            AS p90
+        FROM li GROUP BY brand, pk),
+      d AS (SELECT brand, pk,
+          CAST(p90 - p10 AS DOUBLE) / CAST(p50 AS DOUBLE) AS disp
+        FROM per WHERE n_sales >= 3 AND p50 > 0)
+      SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_parts,
+        percentile_disc(0.5) WITHIN GROUP (ORDER BY disp)
+          AS median_dispersion
+      FROM d GROUP BY brand
+      ORDER BY brand"""),
+    covers = Seq("A-price-dispersion"))
+
+  // ------------------------------------------------- bucket skew audit
+  // Would hashing orders into 32 shuffle buckets balance? The md5-
+  // bucket histogram with max/mean ratio and the uniformity chi² —
+  // the skew forecast run before choosing a partition key (the same
+  // engine-agnostic md5 both engines agree on, q346). Exact counts;
+  // two divisions.
+  private val q362 = QueryDef(
+    "q362_bucket_skew_audit",
+    (s, dir) => {
+      val b = t(s, dir, "orders")
+        .select((conv(substring(md5(col("o_orderkey").cast("string")), 1, 8),
+          16, 10).cast(LongType) % 32).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+      val tot = b.agg(sum(col("n")).as("t"), count(lit(1)).as("k"),
+        max(col("n")).as("mx"))
+      b.crossJoin(broadcast(tot))
+        .select(col("bucket"), col("n"),
+          (col("n").cast("double") * col("k").cast("double") /
+            col("t").cast("double")).as("load_factor"),
+          (col("mx").cast("double") * col("k").cast("double") /
+            col("t").cast("double")).as("max_load_factor"),
+          (((col("n") * col("k") - col("t")) *
+            (col("n") * col("k") - col("t"))).cast("double") /
+            (col("t") * col("k")).cast("double")).as("chi2_part"))
+        .orderBy("bucket")
+    },
+    Some("""WITH b AS (SELECT
+          CAST(CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+            AS BIGINT) % 32 AS BIGINT) AS bucket,
+          CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders GROUP BY bucket),
+      tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t,
+          CAST(COUNT(*) AS BIGINT) AS k, MAX(n) AS mx FROM b)
+      SELECT bucket, n,
+        CAST(n AS DOUBLE) * CAST(k AS DOUBLE) / CAST(t AS DOUBLE)
+          AS load_factor,
+        CAST(mx AS DOUBLE) * CAST(k AS DOUBLE) / CAST(t AS DOUBLE)
+          AS max_load_factor,
+        CAST((n * k - t) * (n * k - t) AS DOUBLE) / CAST(t * k AS DOUBLE)
+          AS chi2_part
+      FROM b, tot
+      ORDER BY bucket"""),
+    covers = Seq("A-bucket-skew"))
+
+  // ------------------------------------------------- ingestion drift
+  // doc_id as ingestion-order proxy: mean length and language count
+  // per ingestion decile (ntile over the unique doc_id order) — did
+  // the corpus change character as it was collected? The last/first
+  // ratio summarizes the drift in one number per row.
+  private val q363 = QueryDef(
+    "q363_ingestion_drift",
+    (s, dir) => {
+      val w = Window.orderBy("doc_id")
+      val dec = t(s, dir, "documents")
+        .withColumn("decile", ntile(10).over(w).cast(LongType))
+      val g = dec.groupBy("decile")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sc"),
+          countDistinct(col("lang")).as("n_langs"))
+        .withColumn("mean_chars",
+          col("sc").cast("double") / col("n_docs").cast("double"))
+      val base = g.filter(col("decile") === 1)
+        .select(col("sc").as("sc1"), col("n_docs").as("nd1"))
+      g.crossJoin(broadcast(base))
+        .select(col("decile"), col("n_docs"), col("n_langs"),
+          col("mean_chars"),
+          ((col("sc").cast("double") / col("n_docs").cast("double")) /
+            (col("sc1").cast("double") / col("nd1").cast("double")))
+            .as("vs_first_decile"))
+        .orderBy("decile")
+    },
+    Some("""WITH d AS (SELECT n_chars, lang,
+          CAST(ntile(10) OVER (ORDER BY doc_id) AS BIGINT) AS decile
+        FROM documents),
+      g AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(n_chars) AS BIGINT) AS sc,
+          CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+        FROM d GROUP BY decile),
+      base AS (SELECT sc AS sc1, n_docs AS nd1 FROM g WHERE decile = 1)
+      SELECT decile, n_docs, n_langs,
+        CAST(sc AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_chars,
+        (CAST(sc AS DOUBLE) / CAST(n_docs AS DOUBLE))
+          / (CAST(sc1 AS DOUBLE) / CAST(nd1 AS DOUBLE)) AS vs_first_decile
+      FROM g, base
+      ORDER BY decile"""),
+    covers = Seq("A-ingestion-drift"))
+
+  val all: Seq[QueryDef] =
+    Seq(q359, q360, q361, q362, q363)
+}
