@@ -33,18 +33,24 @@ object Bench {
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
 
-    // Two timed passes, min per query: single-shot timings on a busy
-    // host conflate scheduler noise with engine cost; the minimum is
-    // the reproducible steady-state number.
-    def timedPass(): Seq[(String, Double)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
-      }
-    val p1 = timedPass().toMap
-    val results = timedPass().map { case (name, t) =>
-      name -> math.min(t, p1(name))
+    // Timed pass, then a SECOND pass over only the 50 slowest queries
+    // (min of the two per re-timed query): single-shot timings on a
+    // busy host conflate scheduler noise with engine cost, but noise
+    // is absolute (~tens of ms), so it only distorts slow queries —
+    // re-timing everything would add a full pass of wall-clock for
+    // nothing and risk the driver's bench window at 360+ queries.
+    def time(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val all = SparkEntry.queries.toSeq.sortBy(_._1)
+    val p1 = all.map { case (n, fn) => n -> time(n, fn) }
+    val slow = p1.sortBy(-_._2).take(50).map(_._1).toSet
+    val p2 = all.filter(q => slow(q._1))
+      .map { case (n, fn) => n -> time(n, fn) }.toMap
+    val results = p1.map { case (n, t) =>
+      n -> math.min(t, p2.getOrElse(n, t))
     }
     // The driver records only a bounded (~4 KB) TAIL of stdout, and a
     // per-query map over 300+ queries makes the JSON line ~5.5 KB — the
