@@ -16,10 +16,14 @@ object Round72Queries {
     Tables.load(s, dir, name)
 
   // ------------------------------------------------- harmonic centrality
-  // 3-hop harmonic centrality on the co-purchase graph: h(v) =
-  // n₁(v) + n₂(v)/2 + n₃(v)/3 over hop-limited neighborhoods —
-  // exact rationals from BFS frontier counts (no full APSP). Each hop
-  // is one join + distinct at edge cardinality; top-20 hubs.
+  // 2-hop-truncated harmonic centrality h(v) = n₁(v) + n₂(v)/2 on the
+  // co-purchase graph, for a DETERMINISTIC 2% probe set (partkey % 50
+  // = 0). Both bounds are load-bearing at scale: a dense co-purchase
+  // graph reaches nearly every node within 3 hops, so an unrestricted
+  // deeper frontier degenerates to all-pairs (measured 400+ s at
+  // sf0.1); probing from a fixed slice keeps every frontier join
+  // probe×degree-sized while the edge set stays complete. Top-20
+  // probe hubs.
   private val q379 = QueryDef(
     "q379_harmonic_centrality",
     (s, dir) => {
@@ -30,47 +34,34 @@ object Round72Queries {
         .filter(col("a.p") =!= col("b.p"))
         .select(col("a.p").as("u"), col("b.p").as("v"))
         .distinct()
-      val h1 = e.select(col("u"), col("v"))
+      val h1 = e.filter(col("u") % 50 === 0)
       val h2 = h1.as("x").join(e.as("y"), col("x.v") === col("y.u"))
         .select(col("x.u").as("u"), col("y.v").as("v"))
         .filter(col("u") =!= col("v")).distinct()
         .except(h1)
-      val h3 = h2.as("x").join(e.as("y"), col("x.v") === col("y.u"))
-        .select(col("x.u").as("u"), col("y.v").as("v"))
-        .filter(col("u") =!= col("v")).distinct()
-        .except(h1).except(h2)
       val c1 = h1.groupBy("u").agg(count(lit(1)).as("n1"))
       val c2 = h2.groupBy("u").agg(count(lit(1)).as("n2"))
-      val c3 = h3.groupBy("u").agg(count(lit(1)).as("n3"))
-      c1.join(c2, Seq("u"), "left").join(c3, Seq("u"), "left")
+      c1.join(c2, Seq("u"), "left")
         .withColumn("n2", coalesce(col("n2"), lit(0L)))
-        .withColumn("n3", coalesce(col("n3"), lit(0L)))
-        .select(col("u").as("part"), col("n1"), col("n2"), col("n3"),
+        .select(col("u").as("part"), col("n1"), col("n2"),
           (col("n1").cast("double") +
-            col("n2").cast("double") / lit(2.0d) +
-            col("n3").cast("double") / lit(3.0d)).as("harmonic"))
+            col("n2").cast("double") / lit(2.0d)).as("harmonic"))
         .orderBy(desc("harmonic"), asc("part")).limit(20)
     },
     Some("""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
           FROM lineitem),
       e AS (SELECT DISTINCT a.p AS u, b.p AS v
             FROM op a JOIN op b ON a.o = b.o AND a.p <> b.p),
-      h2 AS (SELECT DISTINCT x.u, y.v FROM e x JOIN e y ON x.v = y.u
+      h1 AS (SELECT u, v FROM e WHERE u % 50 = 0),
+      h2 AS (SELECT DISTINCT x.u, y.v FROM h1 x JOIN e y ON x.v = y.u
              WHERE x.u <> y.v
-             EXCEPT SELECT u, v FROM e),
-      h3 AS (SELECT DISTINCT x.u, y.v FROM h2 x JOIN e y ON x.v = y.u
-             WHERE x.u <> y.v
-             EXCEPT SELECT u, v FROM e
-             EXCEPT SELECT u, v FROM h2),
-      c1 AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS n1 FROM e GROUP BY u),
-      c2 AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS n2 FROM h2 GROUP BY u),
-      c3 AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS n3 FROM h3 GROUP BY u)
-      SELECT c1.u AS part, n1,
-        COALESCE(n2, 0) AS n2, COALESCE(n3, 0) AS n3,
+             EXCEPT SELECT u, v FROM h1),
+      c1 AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS n1 FROM h1 GROUP BY u),
+      c2 AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS n2 FROM h2 GROUP BY u)
+      SELECT c1.u AS part, n1, COALESCE(n2, 0) AS n2,
         CAST(n1 AS DOUBLE) + CAST(COALESCE(n2, 0) AS DOUBLE)
-          / CAST(2 AS DOUBLE)
-          + CAST(COALESCE(n3, 0) AS DOUBLE) / CAST(3 AS DOUBLE) AS harmonic
-      FROM c1 LEFT JOIN c2 ON c1.u = c2.u LEFT JOIN c3 ON c1.u = c3.u
+          / CAST(2 AS DOUBLE) AS harmonic
+      FROM c1 LEFT JOIN c2 ON c1.u = c2.u
       ORDER BY harmonic DESC, part LIMIT 20"""),
     covers = Seq("GRAPH-harmonic"))
 
