@@ -20,15 +20,17 @@ object Round46Queries {
   // and recall — the end-to-end eval of the dedup retrieval stage
   // (q287 calibrates the estimator; this scores the INDEX). All
   // counts are exact longs from two full-outer-reconciled pair sets;
-  // the two ratios close as single divisions. Both inputs are the
-  // registered gate queries, so this stays consistent with them by
-  // construction.
+  // the two ratios close as single divisions. Both pipelines are the
+  // gate queries' own factored bodies fed from ONE materialized
+  // shingle-posting set — building q22 and q23 via their registry
+  // entries paid the shingle explode twice (measured ~1.4x slower).
   private val q291 = QueryDef(
     "q291_lsh_precision_recall",
     (s, dir) => {
-      val truth = graft.SparkEntry.queries("q22_ngram_jaccard")(s, dir)
+      val sh = TextQueries.shinglePostings(s, dir).localCheckpoint()
+      val truth = TextQueries.jaccardPairsFrom(sh)
         .select(col("doc_a"), col("doc_b"), lit(1L).as("is_truth"))
-      val cand = graft.SparkEntry.queries("q23_minhash_lsh")(s, dir)
+      val cand = TextQueries.lshCandidatesFrom(s, sh)
         .select(col("doc_a"), col("doc_b"), lit(1L).as("is_cand"))
       val merged = truth.join(cand, Seq("doc_a", "doc_b"), "full_outer")
         .select(coalesce(col("is_truth"), lit(0L)).as("is_truth"),

@@ -92,12 +92,15 @@ object TextQueries {
   // ---------------------------------------------------------------- dedup: n-gram jaccard
   // Inverted-index near-dup: shingle postings → candidate pairs →
   // exact Jaccard. Only docs sharing ≥1 shingle ever pair up.
-  private val q22 = QueryDef(
-    "q22_ngram_jaccard",
-    (s, dir) => {
-      // postings feed both the sizes and the pair expansion — one
-      // explode, materialized once
-      val sh = shingles(spread(s, t(s, dir, "documents"))).persist()
+  /** Shingle postings as q22/q23 consume them — factored out so
+    * composers (q291 precision/recall) can build them ONCE and feed
+    * both pipelines instead of paying the explode twice.
+    */
+  private[queries] def shinglePostings(s: SparkSession, dir: String): DataFrame =
+    shingles(spread(s, t(s, dir, "documents")))
+
+  /** q22's exact-Jaccard pair pipeline over prebuilt postings. */
+  private[queries] def jaccardPairsFrom(sh: DataFrame): DataFrame = {
       val sizes = sh.groupBy("doc_id").agg(countDistinct(col("s")).as("n"))
       // Postings-list pair expansion: group each shingle's (sorted,
       // deduped) doc list and emit its pairs with array HOFs — one
@@ -127,7 +130,14 @@ object TextQueries {
         .filter(col("jaccard") >= 0.4)
         .select("doc_a", "doc_b", "common", "na", "nb", "jaccard")
         .orderBy("doc_a", "doc_b")
-    },
+  }
+
+  private val q22 = QueryDef(
+    "q22_ngram_jaccard",
+    (s, dir) =>
+      // postings feed both the sizes and the pair expansion — one
+      // explode, materialized once
+      jaccardPairsFrom(shinglePostings(s, dir).persist()),
     Some(s"""WITH $shinglesSql,
       sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
       pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -150,10 +160,8 @@ object TextQueries {
   private val nHashes = 8
   private val bandSize = 2
 
-  private val q23 = QueryDef(
-    "q23_minhash_lsh",
-    (s, dir) => {
-      val sh = shingles(spread(s, t(s, dir, "documents")))
+  /** q23's banded-LSH candidate pipeline over prebuilt postings. */
+  private[queries] def lshCandidatesFrom(s: SparkSession, sh: DataFrame): DataFrame = {
       // Whole signature in ONE custom DeclarativeAggregate buffer
       // (graft.functions.MinHashSignature) — the oracle below proves
       // it equals nHashes independent min(md5) aggregates.
@@ -172,7 +180,11 @@ object TextQueries {
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .agg(count(lit(1)).as("shared_bands"))
         .orderBy("doc_a", "doc_b")
-    },
+  }
+
+  private val q23 = QueryDef(
+    "q23_minhash_lsh",
+    (s, dir) => lshCandidatesFrom(s, shinglePostings(s, dir)),
     Some {
       val hs = (0 until nHashes)
         .map(j => s"min(substr(md5('$j:' || s), 1, 15)) AS h$j").mkString(", ")
