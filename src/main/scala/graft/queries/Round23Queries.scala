@@ -127,11 +127,14 @@ object Round23Queries {
       val offers = ps
         .join(broadcast(p), col("l_partkey") === col("p_partkey"))
         .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
-      val minCost = offers.groupBy(col("p_partkey").as("__mk"))
-        .agg(min(col("ps_cost")).as("__min_cost"))
+      // min-cost-per-part as a window over offers, not an agg+self-join:
+      // the self-join form re-ran the lineitem (partkey, suppkey)
+      // aggregate on both sides (measured ~1.5x slower); the window
+      // shuffles the already-filtered offers once by part
       offers
-        .join(minCost, col("p_partkey") === col("__mk") &&
-          col("ps_cost") === col("__min_cost"))
+        .withColumn("__min_cost", min(col("ps_cost")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("p_partkey")))
+        .filter(col("ps_cost") === col("__min_cost"))
         .select(col("s_acctbal"), col("s_name"), col("n_name"),
           col("p_partkey"), col("ps_cost").cast("double").as("supply_cost"))
         .orderBy(desc("s_acctbal"), col("n_name"), col("s_name"), col("p_partkey"))
