@@ -152,19 +152,30 @@ object Kmv {
     estimate(merged, k)
   }
 
+  private def theta(sk: Column, k: Int): Column =
+    when(size(sk) < k, lit(Domain))
+      .otherwise(element_at(sk, k).cast("double"))
+
   /** Intersection estimate via theta-sketch algebra: θ = min of the
     * two thresholds (each sketch's max retained hash when full, else
     * the open domain), count shared hashes below θ, scale by 2^60/θ.
     * Exact when both sides are below `k` (sketches are the sets).
     */
   def intersectEstimate(a: Column, b: Column, k: Int): Column = {
-    val thetaA = when(size(a) < k, lit(Domain))
-      .otherwise(element_at(a, k).cast("double"))
-    val thetaB = when(size(b) < k, lit(Domain))
-      .otherwise(element_at(b, k).cast("double"))
-    val theta = least(thetaA, thetaB)
+    val th = least(theta(a, k), theta(b, k))
     val shared = size(filter(array_intersect(a, b),
-      h => h.cast("double") < theta))
-    shared.cast("double") * lit(Domain) / theta
+      h => h.cast("double") < th))
+    shared.cast("double") * lit(Domain) / th
+  }
+
+  /** Difference estimate |A \ B| by the same algebra: count hashes of
+    * A below the common θ that B does not contain, scale by 2^60/θ.
+    * Exact when both sides are below `k`.
+    */
+  def differenceEstimate(a: Column, b: Column, k: Int): Column = {
+    val th = least(theta(a, k), theta(b, k))
+    val only = size(filter(array_except(a, b),
+      h => h.cast("double") < th))
+    only.cast("double") * lit(Domain) / th
   }
 }

@@ -54,16 +54,20 @@ class KmvSketchSpec extends SparkSpec {
     assert(i > 1500 && i < 8000, s"intersection estimate $i")
   }
 
-  test("small-side intersection is exact (both sketches below k)") {
+  test("small-side intersection and difference are exact (below k)") {
     val ha = (1L to 30L).toDF("id")
       .agg(Kmv.sketch(spark, Kmv.hash60(col("id")), 64).as("sk"))
       .head().getSeq[Long](0)
     val hb = (21L to 40L).toDF("id")
       .agg(Kmv.sketch(spark, Kmv.hash60(col("id")), 64).as("sk"))
       .head().getSeq[Long](0)
-    val i = Seq(1).toDF("x")
-      .select(Kmv.intersectEstimate(typedLit(ha), typedLit(hb), 64).as("i"))
-      .head().getDouble(0)
-    assert(i == 10.0)
+    val row = Seq(1).toDF("x").select(
+      Kmv.intersectEstimate(typedLit(ha), typedLit(hb), 64).as("i"),
+      Kmv.differenceEstimate(typedLit(ha), typedLit(hb), 64).as("ab"),
+      Kmv.differenceEstimate(typedLit(hb), typedLit(ha), 64).as("ba"))
+      .head()
+    assert(row.getDouble(0) == 10.0) // |{21..30}|
+    assert(row.getDouble(1) == 20.0) // |{1..20}|
+    assert(row.getDouble(2) == 10.0) // |{31..40}|
   }
 }
