@@ -77,6 +77,14 @@ object Bench {
         "\"" + shortName(n) + "\":" + f"$v%.3f"))
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // dev-only: full per-query timings to a side file (never stdout —
+    // the driver's tail capture must stay under ~1 KB)
+    sys.env.get("SPARK_GRAFT_BENCH_DUMP").foreach { p =>
+      val full = results.sortBy(-_._2)
+        .map { case (n, t) => "\"" + n + "\":" + f"$t%.3f" }
+        .mkString("{", ",", "}")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), full)
+    }
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
