@@ -184,9 +184,14 @@ object Round62Queries {
     (s, dir) => {
       val pairs = graft.SparkEntry.queries("q22_ngram_jaccard")(s, dir)
         .select("doc_a", "doc_b")
+      // materialize the (tiny) degree table ONCE: it feeds the
+      // histogram AND the isolated count, and each evaluation would
+      // otherwise re-run the full q22 shingle-pair join behind it
+      // (measured ~2x the query's whole cost)
       val deg = pairs.select(col("doc_a").as("doc_id"))
         .unionAll(pairs.select(col("doc_b").as("doc_id")))
         .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+        .localCheckpoint()
       val nDocs = t(s, dir, "documents").count()
       val withIso = deg.groupBy("degree").agg(count(lit(1)).as("n_docs"))
       import s.implicits._

@@ -30,10 +30,13 @@ object Round72Queries {
       val op = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
         .distinct()
+      // the edge set feeds h1, both sides of the 2-hop join, and the
+      // except — materialize the distinct self-join output once
       val e = op.as("a").join(op.as("b"), Seq("o"))
         .filter(col("a.p") =!= col("b.p"))
         .select(col("a.p").as("u"), col("b.p").as("v"))
         .distinct()
+        .localCheckpoint()
       val h1 = e.filter(col("u") % 50 === 0)
       val h2 = h1.as("x").join(e.as("y"), col("x.v") === col("y.u"))
         .select(col("x.u").as("u"), col("y.v").as("v"))

@@ -194,12 +194,15 @@ object Round79Queries {
             .when(col("dist") <= 10L, "2_near")
             .when(col("dist") <= 100L, "3_mid")
             .otherwise("4_far"))
-      val tot = b.agg(count(lit(1)).as("np"))
+      // total pairs via a window over the 4-bucket aggregate — a
+      // second b.agg() pass would re-run the whole shingle join
+      val wAll = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
       b.groupBy("bucket")
         .agg(count(lit(1)).as("n_pairs"),
           sum(col("common")).as("s_common"),
           sum(col("na") + col("nb") - col("common")).as("s_union"))
-        .crossJoin(broadcast(tot))
+        .withColumn("np", sum(col("n_pairs")).over(wAll))
         .select(col("bucket"), col("n_pairs"),
           (col("n_pairs").cast("double") / col("np").cast("double"))
             .as("pair_share"),

@@ -119,9 +119,13 @@ object Round82Queries {
   private val q428 = QueryDef(
     "q428_dup_transitivity",
     (s, dir) => {
+      // the pair set appears THREE times in the plan (both wedge
+      // sides + the closing probe) — materialize the expensive
+      // shingle-join output once
       val pairs = TextQueries.jaccardPairsFrom(
         TextQueries.shinglePostings(s, dir).persist())
         .select(col("doc_a"), col("doc_b"))
+        .localCheckpoint()
       val und = pairs
         .unionByName(pairs.select(col("doc_b").as("doc_a"),
           col("doc_a").as("doc_b")))

@@ -88,7 +88,11 @@ object Round87Queries {
       val rows = Seq(1L, 2L, 3L).map { thr =>
         val pairs = pw.filter(col("w") >= thr)
           .select(col("u").as("doc_a"), col("v").as("doc_b"))
-        Dedup.clusters(pairs, maxIters = 20)
+        // co-purchase graphs stay modest (≤ a few M edges even at
+        // sf1), so route all three thresholds through the exact
+        // driver union-find — measured ~4x faster than the
+        // label-propagation path the default cap falls back to
+        Dedup.clusters(pairs, maxIters = 20, localEdgeCap = 1L << 23)
           .groupBy("cluster_id").agg(count(lit(1)).as("sz"))
           .agg(count(lit(1)).as("n_components"),
             sum("sz").as("n_nodes"), max("sz").as("giant"))
