@@ -38,4 +38,31 @@ object Bfs {
     }
     d
   }
+
+  /** Per-seed distances for MANY seeds in one relaxation: (seed,
+    * node, dist) for every node within `maxHops` of each seed. All
+    * seeds share each hop's single edges⋈frontier join (the state is
+    * keyed by (seed, node)), so k seeds cost one traversal, not k —
+    * the difference between 6 and 6k shuffles for a hop-histogram
+    * over sampled seeds (q496). Each hop localCheckpoints: the state
+    * self-references once per hop and eager materialization keeps
+    * every hop a shallow job instead of one 6-level chain.
+    */
+  def perSeedDistances(edges: DataFrame, seeds: DataFrame,
+      maxHops: Int): DataFrame = {
+    require(maxHops >= 0)
+    val e = edges.repartition(col("src")).persist()
+    var d = seeds.select(col("node")).distinct()
+      .select(col("node").as("seed"), col("node"), lit(0L).as("dist"))
+      .localCheckpoint()
+    for (_ <- 1 to maxHops) {
+      d = d.unionAll(
+          e.join(d, e("src") === d("node"))
+            .select(col("seed"), e("dst").as("node"),
+              (col("dist") + 1).as("dist")))
+        .groupBy("seed", "node").agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    }
+    d
+  }
 }

@@ -332,15 +332,10 @@ object Round95Queries {
       val e = edges2(s, dir).localCheckpoint()
       val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
         .select(col("u").as("src"), col("v").as("dst"))
-      val seeds = e.select(col("u").as("n"))
-        .unionAll(e.select(col("v").as("n")))
-        .distinct().orderBy("n").limit(5)
-        .collect().map(_.getLong(0))
-      import s.implicits._
-      val perSeed = seeds.map { sd =>
-        Bfs.distances(sym, Seq(sd).toDF("node"), maxHops = 6)
-          .select(lit(sd).as("seed"), col("node"), col("dist"))
-      }.reduce(_ unionAll _)
+      val seeds = e.select(col("u").as("node"))
+        .unionAll(e.select(col("v").as("node")))
+        .distinct().orderBy("node").limit(5)
+      val perSeed = Bfs.perSeedDistances(sym, seeds, maxHops = 6)
       perSeed.groupBy("dist").agg(count(lit(1)).as("n_pairs"))
         .orderBy("dist")
     },

@@ -34,4 +34,18 @@ class BfsSpec extends SparkSpec {
   test("seed not present in the graph reaches only itself") {
     assert(dists("zz") == Map("zz" -> 0L))
   }
+
+  test("perSeedDistances matches single-seed runs for every seed") {
+    import spark.implicits._
+    val multi = Bfs.perSeedDistances(graph, Seq("a", "d", "x").toDF("node"),
+        maxHops = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    for (sd <- Seq("a", "d", "x")) {
+      val single = dists(sd)
+      assert(multi.collect { case ((s, n), v) if s == sd => n -> v }.toMap
+        == single, s"seed $sd")
+    }
+  }
 }
