@@ -102,7 +102,7 @@ object Round91Queries {
 
   // ------------------------------------------------- DBSCAN census
   // DBSCAN structure census on the embedding lattice (vectors with
-  // id < 1000): ε² self-tunes to the P5 of pairwise exact squared
+  // id < 600): ε² self-tunes to the P5 of pairwise exact squared
   // distances, minPts = 5. Core / border / noise classification and
   // the core-graph component count (Dedup union-find; oracle = 16
   // unrolled min-label rounds) are all integer decisions — density
@@ -111,7 +111,7 @@ object Round91Queries {
     "q473_dbscan_census",
     (s, dir) => {
       val vd = t(s, dir, "embeddings")
-        .filter(col("vec_id") < 1000)
+        .filter(col("vec_id") < 600)
         .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
         .select(col("vec_id"), col("d"),
           floor(col("x").cast("double") * lit(Q.toDouble))
@@ -181,7 +181,7 @@ object Round91Queries {
           CAST(floor(CAST(embedding[dd.i] AS DOUBLE) * 1048576.0)
             AS BIGINT) AS q
         FROM embeddings, (SELECT unnest(range(1, 65)) AS i) dd
-        WHERE vec_id < 1000),
+        WHERE vec_id < 600),
       d2 AS MATERIALIZED (SELECT a.vec_id AS va, b.vec_id AS vb,
           CAST(SUM((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS d2
         FROM vd a JOIN vd b ON b.d = a.d AND a.vec_id < b.vec_id
