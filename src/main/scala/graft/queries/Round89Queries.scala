@@ -110,7 +110,7 @@ object Round89Queries {
     * co-occurrence count, ties → partner key) — q463/q466's shared
     * model. Train = orders shipped before 1999.
     */
-  private def recs(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def recs(s: SparkSession, dir: String): DataFrame = {
     val trainOrders = t(s, dir, "orders")
       .filter(to_date(col("o_orderdate")) < lit("1999-01-01").cast(DateType))
       .select(col("o_orderkey"))
@@ -129,7 +129,7 @@ object Round89Queries {
       .select("part", "rec", "rk")
   }
 
-  private val recsSql: String =
+  private[queries] val recsSql: String =
     """train_o AS (SELECT o_orderkey FROM orders
         WHERE CAST(o_orderdate AS DATE) < DATE '1999-01-01'),
       op AS MATERIALIZED (SELECT DISTINCT l.l_orderkey AS o,
