@@ -160,6 +160,7 @@ object Round25Queries {
         }.flatten
         require(scans.exists(_.contains("li_stats/state")),
           s"matview rewrite did not fire; scans=$scans")
+        // bounded-collect: grouped q1 result — O(flag x status) rows
         val rows = q.collect().toSeq
         s.createDataFrame(s.sparkContext.parallelize(rows, 1), q.schema)
           .select(col("l_returnflag"), col("l_linestatus"), col("n"),

@@ -91,30 +91,33 @@ object Round27Queries {
   // rounds the shortest decimal repr and DuckDB the binary value).
   // On decimals both engines implement HALF_UP away from zero;
   // exact-half inputs at the cut digit (x.x5 cents) and negatives
-  // prove it. Deltas are computed in DECIMAL, so the gate would catch
-  // a banker's-rounding engine on every .x5 row.
+  // prove it. The rounding itself happens in DECIMAL; the OUTPUT
+  // columns are scaled BIGINTs (cents/tenths/units) because the
+  // driver's hash normalizes decimal columns differently per engine
+  // (r4 post-mortem: arrow values byte-identical, hash still red —
+  // every green gate in the suite emits only BIGINT/DOUBLE finals,
+  // so q249 now does too; the half-up pin is unchanged, a banker's-
+  // rounding engine still flips r1_tenths/d1_cents on every .x5 row).
   private val q249 = QueryDef(
     "q249_decimal_rounding",
     (s, dir) => {
       val bal = dec(col("c_acctbal"))
-      // result scales pinned on BOTH sides: Spark's round/subtract
-      // derive different decimal precisions than DuckDB's (17,0) vs
-      // (18,0), (20,2) vs (18,2) — values agree, arrow types don't,
-      // and the driver hashes the typed representation
       t(s, dir, "customer")
-        .select(col("c_custkey"), bal.as("bal"),
-          round(bal, 1).cast("decimal(18,1)").as("r1"),
-          round(bal, 0).cast("decimal(18,0)").as("r0"),
-          (round(bal, 1) - bal).cast("decimal(18,2)").as("d1"))
-        .filter((col("bal") * 100 % 10).isin(5, -5))
+        .select(col("c_custkey"),
+          (bal * 100).cast("long").as("bal_cents"),
+          (round(bal, 1) * 10).cast("long").as("r1_tenths"),
+          round(bal, 0).cast("long").as("r0_units"),
+          ((round(bal, 1) - bal) * 100).cast("long").as("d1_cents"))
+        .filter((bal * 100 % 10).isin(5, -5))
         .orderBy("c_custkey")
     },
     Some("""WITH c AS (SELECT c_custkey,
           CAST(c_acctbal AS DECIMAL(18,2)) AS bal FROM customer)
-      SELECT c_custkey, bal,
-        CAST(round(bal, 1) AS DECIMAL(18,1)) AS r1,
-        CAST(round(bal, 0) AS DECIMAL(18,0)) AS r0,
-        CAST(round(bal, 1) - bal AS DECIMAL(18,2)) AS d1
+      SELECT c_custkey,
+        CAST(bal * 100 AS BIGINT) AS bal_cents,
+        CAST(round(bal, 1) * 10 AS BIGINT) AS r1_tenths,
+        CAST(round(bal, 0) AS BIGINT) AS r0_units,
+        CAST((round(bal, 1) - bal) * 100 AS BIGINT) AS d1_cents
       FROM c
       WHERE bal * 100 % 10 IN (5, -5)
       ORDER BY c_custkey"""),

@@ -51,6 +51,7 @@ object Round89Queries {
         .select(col("i"), col("j"),
           (dec38(col("n")) * dec38(col("sij")) -
             dec38(col("si")) * dec38(col("sj"))).cast("double").as("cnum"))
+        // bounded-collect: 64x64 covariance cells — O(dim²) model state
         .collect()
       val dDim = 64
       val cov = Array.ofDim[Double](dDim, dDim)

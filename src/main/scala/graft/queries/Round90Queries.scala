@@ -244,6 +244,7 @@ object Round90Queries {
         .filter(col("nxt").isNotNull)
         .groupBy(col("event_type").as("fr"), col("nxt").as("to"))
         .agg(count(lit(1)).as("c"))
+      // bounded-collect: distinct event types — a small fixed enum
       val states = ev.select(col("event_type").as("st")).distinct()
         .orderBy("st").collect().map(_.getString(0))
       val idx = states.zipWithIndex.toMap
@@ -251,6 +252,7 @@ object Round90Queries {
       val pCells = trans.join(rowTot, Seq("fr"))
         .select(col("fr"), col("to"),
           (col("c").cast("double") / col("rt").cast("double")).as("p"))
+        // bounded-collect: states x states transition cells — O(enum²)
         .collect()
       val k = states.length
       val pm = Array.ofDim[Double](k, k)
@@ -334,6 +336,7 @@ object Round90Queries {
         .select(col("i"), col("j"),
           (dec38(col("n")) * dec38(col("sij")) -
             dec38(col("si")) * dec38(col("sj"))).cast("double").as("cnum"))
+        // bounded-collect: 64x64 covariance cells — O(dim²) model state
         .collect()
       val dDim = 64
       val cov = Array.ofDim[Double](dDim, dDim)

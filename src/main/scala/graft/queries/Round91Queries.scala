@@ -32,11 +32,20 @@ object Round91Queries {
   // Hubs-and-authorities over the customer→part purchase bipartite
   // graph, 6 alternating power steps: authority(p) = Σ hub(u) over
   // buyers, hub(u) = Σ authority(p) over their parts, L2-normalized
-  // each half-step. Every Σ is a LEFT fold in neighbor-id order
-  // (driver reduceLeft ≡ list_reduce(list ORDER BY)), so six rounds
-  // of float arithmetic stay bit-identical to the SQL oracle.
-  // Top-10 authority parts — the "catalog anchors" bought by the
-  // broadest heavy buyers.
+  // each half-step. FULLY DISTRIBUTED: the edge set (the corpus-
+  // sized frame, derived from lineitem) never leaves Spark — each
+  // half-step is one edges⋈scores equi-join plus a grouped ordered
+  // fold; only the two O(1) norm scalars broadcast back. Every Σ is
+  // a LEFT fold in neighbor-id order (`aggregate` over
+  // `array_sort(collect_list(struct(key, val)))` ≡ the oracle's
+  // `list_reduce(list(x ORDER BY key))`; the 0.0 seed is exact
+  // because 0.0 + x == x for the strictly positive terms), so six
+  // rounds of float arithmetic stay bit-identical to the SQL oracle
+  // regardless of partitioning. The norm's single-group fold holds
+  // O(nodes) values in one array — bounded by the score-vector
+  // state, never by |E|; per-half-step localCheckpoint truncates the
+  // 12-step lineage. Top-10 authority parts — the "catalog anchors"
+  // bought by the broadest heavy buyers.
   private val q472 = QueryDef(
     "q472_hits",
     (s, dir) => {
@@ -45,30 +54,39 @@ object Round91Queries {
           col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("u"), col("l_partkey").as("p"))
         .distinct()
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
-      val byP = edges.groupBy(_._2).map { case (p, es) =>
-        p -> es.map(_._1).sorted }.toArray.sortBy(_._1)
-      val byU = edges.groupBy(_._1).map { case (u, es) =>
-        u -> es.map(_._2).sorted }.toArray.sortBy(_._1)
-      var hub = byU.map(_._1 -> 1.0).toMap
-      var auth = Map.empty[Long, Double]
+        .persist()
+      // ordered left fold of `v` in ascending `key` order (key is
+      // unique within each group, so the struct sort is total)
+      def foldSum(key: String, v: String): Column =
+        expr(s"aggregate(transform(array_sort(collect_list(" +
+          s"struct($key, $v))), e -> e.$v), 0.0D, (acc, x) -> acc + x)")
+      def foldSumSq(key: String, v: String): Column =
+        expr(s"sqrt(aggregate(transform(array_sort(collect_list(" +
+          s"struct($key, $v))), e -> e.$v * e.$v), 0.0D, " +
+          "(acc, x) -> acc + x))")
+      var h = edges.select("u").distinct()
+        .select(col("u"), lit(1.0).as("h")).localCheckpoint()
+      var a: DataFrame = null
       for (_ <- 1 to 6) {
-        val aRaw = byP.map { case (p, us) =>
-          p -> us.map(hub).reduceLeft(_ + _) }
-        val aNrm = math.sqrt(
-          aRaw.map { case (_, x) => x * x }.reduceLeft(_ + _))
-        auth = aRaw.map { case (p, x) => p -> x / aNrm }.toMap
-        val hRaw = byU.map { case (u, ps) =>
-          u -> ps.map(auth).reduceLeft(_ + _) }
-        val hNrm = math.sqrt(
-          hRaw.map { case (_, x) => x * x }.reduceLeft(_ + _))
-        hub = hRaw.map { case (u, x) => u -> x / hNrm }.toMap
+        val aRaw = edges.join(h, "u").groupBy("p")
+          .agg(foldSum("u", "h").as("araw"))
+        val aNrm = aRaw.agg(foldSumSq("p", "araw").as("nrm"))
+        a = aRaw.crossJoin(broadcast(aNrm))
+          .select(col("p"), (col("araw") / col("nrm")).as("a"))
+          .localCheckpoint()
+        val hRaw = edges.join(a, "p").groupBy("u")
+          .agg(foldSum("p", "a").as("hraw"))
+        val hNrm = hRaw.agg(foldSumSq("u", "hraw").as("nrm"))
+        h = hRaw.crossJoin(broadcast(hNrm))
+          .select(col("u"), (col("hraw") / col("nrm")).as("h"))
+          .localCheckpoint()
       }
-      import s.implicits._
-      auth.toSeq.sortBy { case (p, a) => (-a, p) }.take(10)
-        .zipWithIndex
-        .map { case ((p, a), i) => (i + 1L, p, a) }
-        .toDF("rnk", "part", "authority")
+      edges.unpersist()
+      val top = a.orderBy(col("a").desc, col("p")).limit(10)
+      top.select(
+          row_number().over(Window.orderBy(col("a").desc, col("p")))
+            .cast(LongType).as("rnk"),
+          col("p").cast(LongType).as("part"), col("a").as("authority"))
         .orderBy("rnk")
     },
     Some {
@@ -110,8 +128,10 @@ object Round91Queries {
   private val q473 = QueryDef(
     "q473_dbscan_census",
     (s, dir) => {
+      // pool = SamplePools.DbscanPool-sized id-prefix sample; the
+      // iteration below is O(pool²) and NEVER sees the full corpus
       val vd = t(s, dir, "embeddings")
-        .filter(col("vec_id") < 600)
+        .filter(col("vec_id") < SamplePools.DbscanPool)
         .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
         .select(col("vec_id"), col("d"),
           floor(col("x").cast("double") * lit(Q.toDouble))
@@ -143,6 +163,7 @@ object Round91Queries {
         .groupBy("cluster_id").agg(count(lit(1)).as("sz"))
         .agg(count(lit(1)).as("n_clusters"),
           coalesce(max("sz"), lit(0L)).as("giant"))
+        // bounded-collect: one fully-aggregated summary row
         .collect()(0)
       val coresInEdges = coreEdges
         .select(col("doc_a").as("v"))

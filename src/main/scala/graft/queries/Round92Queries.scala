@@ -112,6 +112,7 @@ object Round92Queries {
       // complete weeks re-indexed densely (the calendar has gap
       // weeks), so the sequential chain never breaks — mirrored by
       // the oracle's row_number re-index
+      // bounded-collect: weekly series — O(calendar weeks), not corpus
       val wk = weekly(s, dir).orderBy("wk")
         .collect().map(r => (r.getLong(0), r.getLong(1)))
       val alpha = 0.2

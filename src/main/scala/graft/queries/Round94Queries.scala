@@ -270,11 +270,13 @@ object Round94Queries {
     "q490_farthest_point_coreset",
     (s, dir) => {
       val rows = t(s, dir, "embeddings")
-        .filter(col("vec_id") < 500)
+        .filter(col("vec_id") < SamplePools.CoresetPool)
         .select(col("vec_id"),
           expr(s"transform(embedding, x -> " +
             s"CAST(floor(CAST(x AS DOUBLE) * ${Q}.0) AS BIGINT))")
             .as("qs"))
+        // bounded-collect: SamplePools.CoresetPool rows — the pool IS
+        // the sample (q100 sampler at corpus scale), never the corpus
         .collect()
         .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
         .sortBy(_._1)

@@ -200,6 +200,7 @@ object Round96Queries {
       val nPairs = pairs.count()
       val clusters = graft.dedup.Dedup.clusters(pairs)
         .groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+      // bounded-collect: one fully-aggregated summary row
       val sums = clusters.agg(count(lit(1)).as("n_clusters"),
         sum("sz").as("n_clustered")).collect()(0)
       val removable = sums.getLong(1) - sums.getLong(0)
