@@ -36,7 +36,13 @@ object Bfs {
             .select(e("dst").as("node"), (col("dist") + 1).as("dist")))
         .groupBy("node").agg(min(col("dist")).as("dist"))
     }
-    d
+    // materialize, then release the cached edge blocks — without this
+    // every invocation leaks |E| cached partitions until a periodic
+    // GC happens to run (the final localCheckpoint makes the result
+    // independent of e's lineage, so the unpersist is safe)
+    val res = if (maxHops > 0) d.localCheckpoint() else d
+    e.unpersist()
+    res
   }
 
   /** Per-seed distances for MANY seeds in one relaxation: (seed,
@@ -63,6 +69,10 @@ object Bfs {
         .groupBy("seed", "node").agg(min(col("dist")).as("dist"))
         .localCheckpoint()
     }
+    // the last hop's localCheckpoint already materialized d
+    // independent of e's lineage — release the cached edge blocks
+    // instead of leaking them until a periodic GC
+    e.unpersist()
     d
   }
 }

@@ -59,6 +59,15 @@ object KCore {
       }
       iter += 1
     }
+    // a partial peel is NOT a k-core: nodes with in-subgraph degree
+    // < k would silently survive and diverge from any fixpoint
+    // consumer (q452's oracle unrolls a FIXED round count that must
+    // exceed the true fixpoint depth at every tested SF) — fail
+    // loudly instead of returning a wrong subgraph
+    if (!done)
+      throw new IllegalStateException(
+        s"k-core peel did not reach a fixpoint within $maxIter rounds " +
+          "— raise maxIter (convergence depth is graph-dependent)")
     cur.groupBy("u").agg(count(lit(1)).as("deg"))
       .select(col("u").as("node"), col("deg"))
   }
