@@ -104,6 +104,43 @@ class MatViewRewriteSpec extends SparkSpec {
     }
   }
 
+  test("FILTER-clause aggregates stay on the base scan") {
+    withRule {
+      val (base, statePath) = fixture()
+      // an aggregate with FILTER (WHERE …) counts a predicate-
+      // dependent subset the per-group state never kept — rewriting
+      // it to the state's cnt/sum would return the UNfiltered group
+      // totals (the wrong-results failure mode the `None` filter
+      // match in MatViewRewrite.tryRewrite guards against). A
+      // wildcard match in the filter position would take q1/q2 off
+      // the base and this test pins both the plan and the values.
+      val q1 = spark.read.parquet(base).groupBy("k")
+        .agg(expr("count(*) FILTER (WHERE v > 2)").as("n")).orderBy("k")
+      assert(scannedPaths(q1).exists(_.endsWith("/base")),
+        s"FILTER count left the base scan: ${scannedPaths(q1)}")
+      assert(q1.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+        Seq(("a", 1L), ("b", 1L), ("c", 1L)))
+
+      val q2 = spark.read.parquet(base).groupBy("k")
+        .agg(expr("sum(v) FILTER (WHERE v > 2)").as("s")).orderBy("k")
+      assert(scannedPaths(q2).exists(_.endsWith("/base")),
+        s"FILTER sum left the base scan: ${scannedPaths(q2)}")
+      assert(q2.collect().map(r => (r.getString(0),
+        if (r.isNullAt(1)) -999L else r.getLong(1))).toSeq ==
+        Seq(("a", 3L), ("b", 10L), ("c", 5L)))
+
+      // count_if desugars to count with a non-foldable child (or a
+      // filter clause depending on version) — either way it must not
+      // be answered by the state's row counts
+      val q3 = spark.read.parquet(base).groupBy("k")
+        .agg(expr("count_if(v < 0)").as("n")).orderBy("k")
+      assert(scannedPaths(q3).exists(_.endsWith("/base")),
+        s"count_if left the base scan: ${scannedPaths(q3)}")
+      assert(q3.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+        Seq(("a", 0L), ("b", 0L), ("c", 1L)))
+    }
+  }
+
   test("sum over the exact DECIMAL(18,2) cast rewrites even for float measures") {
     withRule {
       import org.apache.spark.sql.types.DecimalType
