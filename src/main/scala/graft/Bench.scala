@@ -29,13 +29,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Untimed warm pass over every query: Janino compilation of each
-    // query's generated code costs seconds on first execution and is
-    // cached after — timing cold runs would measure the compiler, not
-    // the engine. Steady-state throughput is what scales to 100 TB.
-    // Codegen'd classes depend on PLAN SHAPE, not data, so the warm
-    // pass runs at the smallest SF that exists — same generated
-    // sources, ~1/6 the wall-clock of warming at the bench SF.
+    // Untimed warm pass over every query at the smallest SF: Janino
+    // compilation of each query's generated code costs seconds on
+    // first execution and is cached after — timing cold runs would
+    // measure the compiler, not the engine. Steady-state throughput
+    // is what scales to 100 TB.
     val warmDir = {
       val small = "/root/testdata/sf0.001"
       if (new java.io.File(small).isDirectory) small else sfDir
@@ -45,12 +43,15 @@ object Bench {
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
 
-    // Timed pass, then a SECOND pass over only the 50 slowest queries
-    // (min of the two per re-timed query): single-shot timings on a
-    // busy host conflate scheduler noise with engine cost, but noise
-    // is absolute (~tens of ms), so it only distorts slow queries —
-    // re-timing everything would add a full pass of wall-clock for
-    // nothing and risk the driver's bench window at 360+ queries.
+    // TWO full timed passes at the bench SF, per-query min. The
+    // small-SF warm pass compiles the static plan's codegen, but with
+    // AQE on the FINAL physical plan depends on data size (broadcast
+    // conversions, coalesced partition counts, skew splits), so some
+    // bench-SF stages still compile cold in pass 1 — pass 1 is
+    // therefore also the AQE-shape warmup, and pass 2 is the
+    // steady-state measurement. min-of-two also strips one-JVM
+    // contention noise (GC, cache churn from 500+ sequential
+    // queries), which r4 showed can drift shared-query timings 2-3×.
     def time(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -58,9 +59,8 @@ object Bench {
     }
     val all = SparkEntry.queries.toSeq.sortBy(_._1)
     val p1 = all.map { case (n, fn) => n -> time(n, fn) }
-    val slow = p1.sortBy(-_._2).take(50).map(_._1).toSet
-    val p2 = all.filter(q => slow(q._1))
-      .map { case (n, fn) => n -> time(n, fn) }.toMap
+    System.gc()
+    val p2 = all.map { case (n, fn) => n -> time(n, fn) }.toMap
     val results = p1.map { case (n, t) =>
       n -> math.min(t, p2.getOrElse(n, t))
     }

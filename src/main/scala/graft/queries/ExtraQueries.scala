@@ -98,9 +98,16 @@ object ExtraQueries {
     covers = Seq("AGG-rollup"))
 
   // ---------------------------------------------------------------- approx
-  // HLL sketches differ across engines → no SQL oracle; the driver
-  // records a rows-only check. The exact twin columns let the round
-  // report eyeball the sketch error.
+  // HLL / GK sketch values differ across engines, so the sketch
+  // OUTPUTS can't hash-match an oracle — but their accuracy BOUNDS
+  // can: the query emits the exact values (both engines compute
+  // those) plus integer flags asserting each estimate sits inside
+  // its documented error band (HLL rsd 0.02 → generous ±10%;
+  // approx_percentile accuracy 1000 → rank error ≤ n/1000, checked
+  // against a ±5-rank-percent exact band). The sketches are
+  // deterministic for fixed data, so the flags are stable and the
+  // oracle pins them to 1 — a sketch drifting out of its band turns
+  // the gate red instead of passing a rows-only check.
   private val q40 = QueryDef(
     "q40_approx_distinct",
     (s, dir) => {
@@ -108,12 +115,29 @@ object ExtraQueries {
       li.groupBy(col("l_returnflag"))
         .agg(
           countDistinct(col("l_partkey")).as("exact_parts"),
-          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("p50_price"),
-          expr("approx_percentile(l_extendedprice, 0.99, 1000)").as("p99_price"))
+          approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("p50a"),
+          expr("approx_percentile(l_extendedprice, 0.99, 1000)").as("p99a"),
+          expr("percentile(l_extendedprice, 0.45)").as("p45e"),
+          expr("percentile(l_extendedprice, 0.55)").as("p55e"),
+          expr("percentile(l_extendedprice, 0.985)").as("p985e"),
+          expr("percentile(l_extendedprice, 0.995)").as("p995e"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (col("ap").cast("double") >= col("exact_parts") * 0.9 &&
+            col("ap").cast("double") <= col("exact_parts") * 1.1)
+            .cast("long").as("hll_within_10pct"),
+          (col("p50a") >= col("p45e") && col("p50a") <= col("p55e"))
+            .cast("long").as("p50_in_band"),
+          (col("p99a") >= col("p985e") && col("p99a") <= col("p995e"))
+            .cast("long").as("p99_in_band"))
         .orderBy("l_returnflag")
     },
-    None,
+    Some("""SELECT l_returnflag,
+        CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        CAST(1 AS BIGINT) AS hll_within_10pct,
+        CAST(1 AS BIGINT) AS p50_in_band,
+        CAST(1 AS BIGINT) AS p99_in_band
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
     covers = Seq("AGG-approx"))
 
   // ---------------------------------------------------------------- as-of join
@@ -271,9 +295,13 @@ object ExtraQueries {
 
   // ---------------------------------------------------------------- IVF ANN
   // The trained-index similarity path: deterministic k-means IVF with
-  // nprobe cluster pruning (graft.similarity.IvfIndex). k-means is not
-  // expressible in DuckDB SQL → rows-only check; IvfIndexSpec asserts
-  // recall against brute force and run-to-run determinism.
+  // nprobe cluster pruning (graft.similarity.IvfIndex). k-means is
+  // not expressible in DuckDB SQL, so the gate is semantic instead of
+  // hashed: the query computes recall@3 against an IN-QUERY
+  // brute-force baseline over the same corpus (the documented exact
+  // twin, q29's shape) and FAILS — not "returns rows" — if mean
+  // recall drops below the pinned floor. IvfIndexSpec additionally
+  // asserts run-to-run determinism.
   private val q45 = QueryDef(
     "q45_ivf_ann",
     (s, dir) => {
@@ -287,8 +315,32 @@ object ExtraQueries {
       val index = graft.similarity.IvfIndex.assign(emb, cents, "vec_id", "embedding")
       val queries = emb.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      graft.similarity.IvfIndex
+      val ivf = graft.similarity.IvfIndex
         .search(index, cents, queries, "vec_id", "embedding", nprobe = 4, topK = 3)
+      // brute-force top-3 over the full corpus (queries broadcast —
+      // the tiny side), same cosine, same tiebreak
+      val cos = graft.functions.CosineSimilarity(s, col("q_emb"), col("embedding"))
+      val scoredAll = emb.crossJoin(broadcast(queries))
+        .filter(col("q_id") =!= col("vec_id"))
+        .withColumn("cos_bf", cos)
+        .select(col("q_id"), col("vec_id").as("n_id"), col("cos_bf"))
+      val bf = graft.plans.TopKPerKey.perKey(scoredAll, Seq("q_id"),
+        Seq(desc("cos_bf"), asc("n_id")), 3, rankName = "bf_rk")
+      val recall = ivf
+        .join(bf.select(col("q_id"), col("n_id"), lit(1L).as("hit")),
+          Seq("q_id", "n_id"), "left")
+        .groupBy("q_id")
+        .agg((sum(coalesce(col("hit"), lit(0L))).cast("double") / 3.0)
+          .as("recall3"))
+      // bounded-collect: one aggregated mean-recall row — the
+      // semantic gate. 0.5 is a CATASTROPHE floor (a broken probe or
+      // bucket join scores ~0.05), not a quality target: measured
+      // means are 0.59-0.63 across SFs at nprobe 4/16; quality at
+      // full training is pinned in IvfIndexSpec
+      val mean = recall.agg(avg(col("recall3"))).collect()(0).getDouble(0)
+      require(mean >= 0.5, f"IVF recall@3 vs brute force = $mean%.3f < 0.5")
+      ivf.join(recall, Seq("q_id"))
+        .select(col("q_id"), col("rk"), col("n_id"), col("cos"), col("recall3"))
         .orderBy("q_id", "rk")
     },
     None,

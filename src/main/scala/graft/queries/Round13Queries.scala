@@ -17,11 +17,16 @@ object Round13Queries {
 
   // ------------------------------------------------ approx percentiles
   // Mergeable quantile summary (Greenwald-Khanna) per group — the
-  // sketch answer to q50's exact sort-based percentiles. rows-only
-  // gate (sketch results are accuracy-bounded, not exact);
-  // Round13QueriesSpec pins the bound against the exact order
-  // statistics. At 100 TB the sketch is one pass + tiny merges where
-  // exact percentiles need a full sort per group.
+  // sketch answer to q50's exact sort-based percentiles. The sketch
+  // returns an element within rank-error n/accuracy of the true
+  // order statistic, so the raw values can't hash-match an oracle —
+  // but the rank BANDS can: each approx percentile is checked
+  // against generous exact interpolated bands (±1 rank percent for
+  // p50/p90, [98.5, 99.5] for p99 — accuracy 10000 keeps the true
+  // error two orders below the band), and the oracle pins the flags
+  // to 1. Round13QueriesSpec still pins the raw estimates against
+  // exact order statistics. At 100 TB the sketch is one pass + tiny
+  // merges where exact percentiles need a full sort per group.
   private val q190 = QueryDef(
     "q190_approx_percentile",
     (s, dir) =>
@@ -30,14 +35,25 @@ object Round13Queries {
         .agg(
           approx_percentile(col("l_extendedprice"), array(lit(0.5), lit(0.9), lit(0.99)),
             lit(10000)).as("approx_p"),
+          expr("percentile(l_extendedprice, array(0.49D, 0.51D, 0.89D, " +
+            "0.91D, 0.985D, 0.995D))").as("bands"),
           count(lit(1)).as("n"))
-        .select(col("l_returnflag"),
-          element_at(col("approx_p"), 1).as("p50"),
-          element_at(col("approx_p"), 2).as("p90"),
-          element_at(col("approx_p"), 3).as("p99"),
-          col("n"))
+        .select(col("l_returnflag"), col("n"),
+          (element_at(col("approx_p"), 1) >= element_at(col("bands"), 1) &&
+            element_at(col("approx_p"), 1) <= element_at(col("bands"), 2))
+            .cast("long").as("p50_in_band"),
+          (element_at(col("approx_p"), 2) >= element_at(col("bands"), 3) &&
+            element_at(col("approx_p"), 2) <= element_at(col("bands"), 4))
+            .cast("long").as("p90_in_band"),
+          (element_at(col("approx_p"), 3) >= element_at(col("bands"), 5) &&
+            element_at(col("approx_p"), 3) <= element_at(col("bands"), 6))
+            .cast("long").as("p99_in_band"))
         .orderBy("l_returnflag"),
-    None,
+    Some("""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(1 AS BIGINT) AS p50_in_band,
+        CAST(1 AS BIGINT) AS p90_in_band,
+        CAST(1 AS BIGINT) AS p99_in_band
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
     covers = Seq("A-approx-percentile"))
 
   // ------------------------------------------------- disjunctive join

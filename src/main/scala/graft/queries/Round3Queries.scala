@@ -780,10 +780,12 @@ object Round3Queries {
   // like q94's decimal sums, and the estimate is read at the end.
   // Unlike the decimal sums the fold is not bit-invariant to batching
   // (a union densifies the sketch), but the drift is bounded by the
-  // sketch's error (HllSketchSpec: 3-batch fold within 1% of the
-  // one-shot sketch, both within 5% of exact).
-  // No SQL oracle (DuckDB has no compatible sketch) → rows-only gate,
-  // like q40's HLL estimate.
+  // sketch's error. DuckDB has no compatible sketch, so the gate pins
+  // the BOUNDS instead of the estimate: exact distincts (both engines
+  // compute those) plus flags asserting the folded estimate sits
+  // within 5% of exact and within 1% of the one-shot sketch
+  // (HllSketchSpec's two bounds). Sketches are deterministic for
+  // fixed data → the flags are stable and the oracle pins them to 1.
   private val q96 = QueryDef(
     "q96_hll_incremental_distinct",
     (s, dir) => {
@@ -791,12 +793,27 @@ object Round3Queries {
       val parts = (0 until 3).map(i =>
         e.filter(col("event_id") % 3 === i)
           .groupBy("event_type").agg(hll_sketch_agg(col("user_id")).as("sk")))
-      parts.reduce(_ unionByName _)
+      val folded = parts.reduce(_ unionByName _)
         .groupBy("event_type").agg(hll_union_agg(col("sk")).as("sk"))
-        .select(col("event_type"), hll_sketch_estimate(col("sk")).as("n_users_approx"))
+        .select(col("event_type"), hll_sketch_estimate(col("sk")).as("estf"))
+      val oneshot = e.groupBy("event_type")
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est1"))
+      val exact = e.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_users"))
+      exact.join(folded, Seq("event_type")).join(oneshot, Seq("event_type"))
+        .select(col("event_type"), col("n_users"),
+          (abs(col("estf").cast("double") - col("n_users")) <=
+            col("n_users") * 0.05).cast("long").as("fold_within_5pct"),
+          (abs(col("estf").cast("double") - col("est1").cast("double")) <=
+            col("est1").cast("double") * 0.01)
+            .cast("long").as("fold_matches_oneshot_1pct"))
         .orderBy("event_type")
     },
-    None,
+    Some("""SELECT event_type,
+        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        CAST(1 AS BIGINT) AS fold_within_5pct,
+        CAST(1 AS BIGINT) AS fold_matches_oneshot_1pct
+      FROM events GROUP BY event_type ORDER BY event_type"""),
     covers = Seq("AGG-sketch-incremental"))
 
   val all: Seq[QueryDef] =

@@ -370,9 +370,12 @@ object Round4Queries {
   // ------------------------------------------------------ PQ compressed ANN
   // Product-quantization ANN (similarity/PqIndex): train 8×16
   // codebooks, encode the corpus 32× smaller, ADC-generate candidates
-  // from the codes alone, exact-cosine refine to top-5. Approximate by
-  // construction → rows-only gate (like q45's IVF); recall vs brute
-  // force is pinned in PqIndexSpec.
+  // from the codes alone, exact-cosine refine to top-5. Approximate
+  // by construction, so the gate is semantic (like q45's IVF): the
+  // query computes recall@5 against an in-query brute-force baseline
+  // and FAILS below the pinned floor instead of passing rows-only.
+  // The floor is deliberately under PqIndexSpec's 0.8 (that spec
+  // trains the book fully; iters=1 here keeps the gate cheap).
   private val q106 = QueryDef(
     "q106_pq_ann",
     (s, dir) => {
@@ -384,8 +387,31 @@ object Round4Queries {
       // fully-trained book — this gate checks the pipeline shape
       val book = PqIndex.train(emb, "vec_id", "embedding", m = 8, k = 16, iters = 1)
       val codes = PqIndex.encode(emb, "vec_id", "embedding", book)
-      PqIndex.searchRefined(codes, emb, queries, book,
-          "vec_id", "embedding", topK = 5, refine = 40)
+      val pq = PqIndex.searchRefined(codes, emb, queries, book,
+        "vec_id", "embedding", topK = 5, refine = 40)
+      val cosBf = graft.functions.CosineSimilarity(
+        s, col("q_emb"), col("embedding"))
+      val scoredAll = emb.crossJoin(broadcast(queries))
+        .filter(col("q_id") =!= col("vec_id"))
+        .withColumn("cos_bf", cosBf)
+        .select(col("q_id"), col("vec_id").as("n_id"), col("cos_bf"))
+      val bf = graft.plans.TopKPerKey.perKey(scoredAll, Seq("q_id"),
+        Seq(desc("cos_bf"), asc("n_id")), 5, rankName = "bf_rk")
+      val recall = pq
+        .join(bf.select(col("q_id"), col("n_id"), lit(1L).as("hit")),
+          Seq("q_id", "n_id"), "left")
+        .groupBy("q_id")
+        .agg((sum(coalesce(col("hit"), lit(0L))).cast("double") / 5.0)
+          .as("recall5"))
+      // bounded-collect: one aggregated mean-recall row — the
+      // semantic gate for the shape-checking iters=1 book. 0.4 is a
+      // CATASTROPHE floor (broken ADC or refine scores near 0):
+      // measured means are 0.51-0.68 across SFs with this one-iter
+      // book; full-training quality is pinned in PqIndexSpec
+      val mean = recall.agg(avg(col("recall5"))).collect()(0).getDouble(0)
+      require(mean >= 0.4, f"PQ recall@5 vs brute force = $mean%.3f < 0.4")
+      pq.join(recall, Seq("q_id"))
+        .select(col("q_id"), col("rk"), col("n_id"), col("cos"), col("recall5"))
         .orderBy("q_id", "rk")
     },
     None,

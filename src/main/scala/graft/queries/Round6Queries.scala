@@ -333,23 +333,42 @@ object Round6Queries {
   // [[graft.functions.CmsEstimate]] expression. At 100 TB the exact
   // per-term count requires a full groupBy shuffle; the sketch answers
   // "how often does THIS term occur" from kilobytes of state. Exact
-  // counts ride along here so the gate exposes the estimate-vs-exact
-  // contract (`cms_n ≥ exact_n`, within eps·N — pinned in
-  // CmsSketchSpec); no SQL twin for a sketch binary → rows-only gate.
+  // counts ride along so the gate enforces the estimate-vs-exact
+  // contract IN the oracle: CMS never undercounts (cms_n ≥ exact_n,
+  // structural) and overcounts by at most eps·N with the sketch's
+  // confidence (N = total token count — exact, both engines compute
+  // it). The sketch binary itself can't hash-match DuckDB, but these
+  // two flags can, and the seed makes them deterministic; the
+  // estimate column is replaced by the bound flags the oracle pins
+  // to 1 (the raw estimate remains covered by CmsSketchSpec).
   private val q160 = QueryDef(
     "q160_cms_heavy_hitters",
     (s, dir) => {
       val tok = t(s, dir, "documents")
         .select(explode(split(col("text"), " ")).as("w"))
-      val sketch = tok.agg(expr("count_min_sketch(w, 0.0001d, 0.99d, 42)").as("sk"))
+      val sketch = tok.agg(expr("count_min_sketch(w, 0.0001d, 0.99d, 42)").as("sk"),
+        count(lit(1)).as("n_total"))
       val top = tok.groupBy("w").agg(count(lit(1)).as("exact_n"))
         .orderBy(desc("exact_n"), col("w")).limit(20)
       top.crossJoin(broadcast(sketch))
         .select(col("w"), col("exact_n"),
-          graft.functions.CmsEstimate(s, col("sk"), col("w")).as("cms_n"))
+          graft.functions.CmsEstimate(s, col("sk"), col("w")).as("cms_n"),
+          col("n_total"))
+        .select(col("w"), col("exact_n"),
+          (col("cms_n") >= col("exact_n")).cast("long").as("cms_ge_exact"),
+          (col("cms_n").cast("double") <=
+            col("exact_n") + col("n_total").cast("double") * 0.0001)
+            .cast("long").as("cms_within_eps"))
         .orderBy(desc("exact_n"), col("w"))
     },
-    None,
+    Some("""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w
+          FROM documents),
+      top AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS exact_n
+        FROM tok GROUP BY w ORDER BY exact_n DESC, w LIMIT 20)
+      SELECT w, exact_n,
+        CAST(1 AS BIGINT) AS cms_ge_exact,
+        CAST(1 AS BIGINT) AS cms_within_eps
+      FROM top ORDER BY exact_n DESC, w"""),
     covers = Seq("SKETCH-cms"))
 
   // ------------------------------------------------- triangle counting
