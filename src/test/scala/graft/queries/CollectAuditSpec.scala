@@ -24,7 +24,7 @@ class CollectAuditSpec extends AnyFunSuite {
 
   private val queriesDir = Paths.get("src/main/scala/graft/queries")
   private val marker = "bounded-collect:"
-  private val lookback = 4
+  private val lookback = 6
 
   private def scalaFiles(dir: Path): Seq[Path] =
     Files.walk(dir).iterator().asScala
