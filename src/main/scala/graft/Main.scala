@@ -44,8 +44,21 @@ object Main {
       clock: Clock): Seq[(String, Long)] = {
     val store = new TableStore(spark, storeRoot)
 
-    // Extract: archived raw snapshots with the explicit API schema.
-    val raw = RawSource.readRawJsonArray(spark, rawPath)
+    // Extract: archived raw snapshots with the explicit API schema —
+    // or, with an `api:` prefix, the S1 live path: fetch the URL with
+    // the retry/backoff client (API key from NS_API_KEY as the
+    // reference's Ocp-Apim-Subscription-Key header), archive the
+    // snapshot under the store, and read the archive back, so both
+    // extract paths converge on the same raw frame.
+    val raw =
+      if (rawPath.startsWith("api:")) {
+        val url = rawPath.stripPrefix("api:")
+        val headers = sys.env.get("NS_API_KEY")
+          .map(k => Map("Ocp-Apim-Subscription-Key" -> k))
+          .getOrElse(Map.empty[String, String])
+        graft.sources.ApiClient.extract(
+          spark, url, s"$storeRoot/raw_archive", headers, clock)
+      } else RawSource.readRawJsonArray(spark, rawPath)
     if (raw.isEmpty) return Seq("extracted" -> 0L) // P13 short-circuit
 
     // Load 1 (bronze): raw JSON kept verbatim, insert-if-absent on the
