@@ -124,7 +124,11 @@ object Round92Queries {
         if (i >= n - 52) errs += math.abs(x - level)
         level = alpha * x + (1.0 - alpha) * level
       }
-      val mae = errs.reduceLeft(_ + _) / 52.0
+      // a 0/1-week series has no one-step errors; the oracle's
+      // list_reduce over an empty list is NULL — mirror it instead of
+      // throwing (only reachable below the gate SF, e.g. sf0.001)
+      val mae: Option[Double] =
+        if (errs.isEmpty) None else Some(errs.reduceLeft(_ + _) / 52.0)
       import s.implicits._
       Seq((n.toLong, level, mae))
         .toDF("n_weeks", "final_level", "mae_52")

@@ -49,13 +49,13 @@ class CmsSketchSpec extends SparkSpec {
     assert(estimates(1) == estimates(13))
   }
 
-  test("q160 gate: candidates probed, no undercount") {
+  test("q160 gate: candidates probed, bound flags all hold") {
     val rows = graft.SparkEntry.queries("q160_cms_heavy_hitters")(
       spark, "/root/testdata/sf0.001").collect()
     assert(rows.length == 20)
     rows.foreach { r =>
-      assert(r.getLong(2) >= r.getLong(1),
-        s"${r.getString(0)}: cms_n < exact_n")
+      assert(r.getLong(2) == 1L, s"${r.getString(0)}: cms_ge_exact flag 0")
+      assert(r.getLong(3) == 1L, s"${r.getString(0)}: cms_within_eps flag 0")
     }
   }
 }
