@@ -75,5 +75,158 @@ object Round101Queries {
       GROUP BY 1, 2 ORDER BY window_start_us, event_type"""),
     covers = Seq("STREAM-windowed-fold", "§2.10a", "§2.10b"))
 
-  val all: Seq[QueryDef] = Seq(q520)
+  // ------------------------------------------------- sessionize fold
+  // The CUSTOM-STATE streaming operator (flatMapGroupsWithState)
+  // under the oracle gate. Batching-invariance here comes from
+  // successor-closure: with an effectively-infinite watermark delay
+  // no event-time timeout ever fires, so a session emits exactly
+  // when a later event of the same user arrives more than `gap`
+  // after it — WHICH batch that successor rides in cannot change the
+  // emitted set, only when it emits. Each user's final session stays
+  // open (never emitted); the oracle reproduces that by dropping the
+  // last session per user. Two determinism guards: (1) the source is
+  // written as 8 sequential ts-sliced appends, so file mtimes make
+  // micro-batch delivery chronological per user (out-of-order
+  // cross-batch delivery would change session splits); (2) values
+  // stream as integer CENTS carried in the double field, so the
+  // per-session sum is exact whatever the accumulation order.
+  // Session bounds are MILLISECOND-resolution (the processor keeps
+  // epoch-ms state); the oracle truncates its micros to match.
+  private val q521 = QueryDef(
+    "q521_stream_sessionize_fold",
+    (s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_type"),
+          (col("value").cast(DecimalType(18, 2)) * 100)
+            .cast("long").cast("double").as("value"))
+      val tmp = Files.createTempDirectory("graft-sess-gate")
+      val src = tmp.resolve("src").toString
+      // 8 chronological slices appended sequentially: strictly
+      // increasing file mtimes ⇒ the file source replays the feed in
+      // event-time order
+      val sliced = ev.withColumn("slice",
+        ntile(8).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("ts"), col("user_id"), col("event_type"))))
+      for (i <- 1 to 8)
+        sliced.filter(col("slice") === i).drop("slice")
+          .coalesce(1).write.mode("append").parquet(src)
+      val stream = s.readStream
+        .schema(ev.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+        .as[EventStreams.Event]
+      val out = tmp.resolve("out").toString
+      val q = EventStreams.sessionize(stream, gapMinutes = 30,
+          lateness = "3650 days")
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[EventStreams.Session], _: Long) =>
+          batch.write.mode("append").parquet(out)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(out)
+        .select(col("user_id"),
+          unix_micros(col("session_start")).as("session_start_us"),
+          unix_micros(col("session_end")).as("session_end_us"),
+          col("n_events").cast("long").as("n_events"),
+          col("total_value").cast("long").as("total_cents"))
+        .orderBy("user_id", "session_start_us")
+    },
+    Some("""WITH ev AS (SELECT user_id, ts, event_id,
+          CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events),
+      ordered AS (SELECT *,
+          LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS prev
+        FROM ev),
+      flagged AS (SELECT *, CASE WHEN prev IS NULL OR
+            epoch_us(ts) - epoch_us(prev) > 30*60*1000000
+          THEN 1 ELSE 0 END AS new_s
+        FROM ordered),
+      numbered AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged),
+      sessions AS (SELECT user_id, sid,
+          (epoch_us(MIN(ts)) // 1000) * 1000 AS session_start_us,
+          (epoch_us(MAX(ts)) // 1000) * 1000 AS session_end_us,
+          CAST(COUNT(*) AS BIGINT) AS n_events,
+          CAST(SUM(cents) AS BIGINT) AS total_cents
+        FROM numbered GROUP BY user_id, sid)
+      SELECT user_id, session_start_us, session_end_us, n_events,
+        total_cents
+      FROM sessions
+      WHERE sid < (SELECT MAX(sid) FROM sessions s2
+        WHERE s2.user_id = sessions.user_id)
+      ORDER BY user_id, session_start_us"""),
+    covers = Seq("STREAM-sessionize-fold", "§2.10c"))
+
+  // ------------------------------------------- stream-stream join fold
+  // Stream-stream inner interval join under the oracle gate: clicks
+  // and purchases stream as two file sources through
+  // EventStreams.clickToPurchase (symmetric stateful join, both
+  // sides watermarked), every match appends to parquet via
+  // foreachBatch. With an effectively-infinite lateness no state is
+  // ever evicted, so the drained output is exactly the BATCH join —
+  // a cross-batch match emits when its later side arrives, and
+  // batching can only reorder emission, never change the set. The
+  // oracle is the plain SQL interval join.
+  private val q522 = QueryDef(
+    "q522_stream_interval_join",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_type"),
+          (col("value").cast(DecimalType(18, 2)) * 100)
+            .cast("long").as("cents"))
+      val tmp = Files.createTempDirectory("graft-ssj-gate")
+      val srcC = tmp.resolve("clicks").toString
+      val srcP = tmp.resolve("purch").toString
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("cents").cast("double").as("value"))
+      clicks.repartition(4).write.parquet(srcC)
+      purch.repartition(4).write.parquet(srcP)
+      val cStream = s.readStream.schema(clicks.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcC)
+      val pStream = s.readStream.schema(purch.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcP)
+      val out = tmp.resolve("out").toString
+      val q = EventStreams.clickToPurchase(cStream, pStream,
+          withinMinutes = 30, lateness = "3650 days")
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(out)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(out)
+        .select(col("user_id"),
+          unix_micros(col("click_ts")).as("click_us"),
+          unix_micros(col("purchase_ts")).as("purchase_us"),
+          col("purchase_value").cast("long").as("purchase_cents"))
+        .orderBy("user_id", "click_us", "purchase_us", "purchase_cents")
+    },
+    Some("""SELECT c.user_id,
+        epoch_us(c.ts) AS click_us,
+        epoch_us(p.ts) AS purchase_us,
+        CAST(CAST(p.value AS DECIMAL(18,2)) * 100 AS BIGINT)
+          AS purchase_cents
+      FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+      JOIN (SELECT user_id, ts, value FROM events
+        WHERE event_type = 'purchase') p
+      ON p.user_id = c.user_id
+        AND p.ts >= c.ts
+        AND epoch_us(p.ts) <= epoch_us(c.ts) + 30*60*1000000
+      ORDER BY c.user_id, click_us, purchase_us, purchase_cents"""),
+    covers = Seq("STREAM-interval-join-fold"))
+
+  val all: Seq[QueryDef] = Seq(q520, q521, q522)
 }
