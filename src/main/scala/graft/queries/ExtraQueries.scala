@@ -317,6 +317,7 @@ object ExtraQueries {
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       val ivf = graft.similarity.IvfIndex
         .search(index, cents, queries, "vec_id", "embedding", nprobe = 4, topK = 3)
+        .localCheckpoint() // O(queries·k) rows; read by recall AND output
       // brute-force top-3 over the full corpus (queries broadcast —
       // the tiny side), same cosine, same tiebreak
       val cos = graft.functions.CosineSimilarity(s, col("q_emb"), col("embedding"))
@@ -326,12 +327,14 @@ object ExtraQueries {
         .select(col("q_id"), col("vec_id").as("n_id"), col("cos_bf"))
       val bf = graft.plans.TopKPerKey.perKey(scoredAll, Seq("q_id"),
         Seq(desc("cos_bf"), asc("n_id")), 3, rankName = "bf_rk")
+        .localCheckpoint() // O(queries·k) rows
       val recall = ivf
         .join(bf.select(col("q_id"), col("n_id"), lit(1L).as("hit")),
           Seq("q_id", "n_id"), "left")
         .groupBy("q_id")
         .agg((sum(coalesce(col("hit"), lit(0L))).cast("double") / 3.0)
           .as("recall3"))
+        .localCheckpoint() // O(queries) rows; mean gate + output column
       // bounded-collect: one aggregated mean-recall row — the
       // semantic gate. 0.5 is a CATASTROPHE floor (a broken probe or
       // bucket join scores ~0.05), not a quality target: measured

@@ -389,6 +389,7 @@ object Round4Queries {
       val codes = PqIndex.encode(emb, "vec_id", "embedding", book)
       val pq = PqIndex.searchRefined(codes, emb, queries, book,
         "vec_id", "embedding", topK = 5, refine = 40)
+        .localCheckpoint() // O(queries·k) rows; read by recall AND output
       val cosBf = graft.functions.CosineSimilarity(
         s, col("q_emb"), col("embedding"))
       val scoredAll = emb.crossJoin(broadcast(queries))
@@ -397,12 +398,14 @@ object Round4Queries {
         .select(col("q_id"), col("vec_id").as("n_id"), col("cos_bf"))
       val bf = graft.plans.TopKPerKey.perKey(scoredAll, Seq("q_id"),
         Seq(desc("cos_bf"), asc("n_id")), 5, rankName = "bf_rk")
+        .localCheckpoint() // O(queries·k) rows
       val recall = pq
         .join(bf.select(col("q_id"), col("n_id"), lit(1L).as("hit")),
           Seq("q_id", "n_id"), "left")
         .groupBy("q_id")
         .agg((sum(coalesce(col("hit"), lit(0L))).cast("double") / 5.0)
           .as("recall5"))
+        .localCheckpoint() // O(queries) rows; mean gate + output column
       // bounded-collect: one aggregated mean-recall row — the
       // semantic gate for the shape-checking iters=1 book. 0.4 is a
       // CATASTROPHE floor (broken ADC or refine scores near 0):

@@ -54,7 +54,16 @@ object Round91Queries {
           col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("u"), col("l_partkey").as("p"))
         .distinct()
-        .persist()
+      // BOTH orientations cached, each hash-partitioned on its fold
+      // key (GraphX keeps the same dual layout): the score side
+      // broadcasts, the broadcast join preserves the cached edge
+      // partitioning, and each half-step's grouped fold is therefore
+      // EXCHANGE-FREE — the |E|-sized frame is scanned 12× but never
+      // re-shuffled after the two initial repartitions. Few fat
+      // partitions: a 6-round loop pays per-task scheduling 12×; at
+      // cluster scale this is the edge-partition count.
+      val eP = edges.repartition(8, col("p")).persist()
+      val eU = edges.repartition(8, col("u")).persist()
       // ordered left fold of `v` in ascending `key` order (key is
       // unique within each group, so the struct sort is total)
       def foldSum(key: String, v: String): Column =
@@ -64,24 +73,30 @@ object Round91Queries {
         expr(s"sqrt(aggregate(transform(array_sort(collect_list(" +
           s"struct($key, $v))), e -> e.$v * e.$v), 0.0D, " +
           "(acc, x) -> acc + x))")
-      var h = edges.select("u").distinct()
+      var h = eU.select("u").distinct()
         .select(col("u"), lit(1.0).as("h")).localCheckpoint()
       var a: DataFrame = null
+      // the expensive stage of a half-step is the edges⋈scores join +
+      // grouped fold (aRaw/hRaw) — checkpoint exactly THAT, so the
+      // norm subquery, the normalized projection, and the next
+      // half-step all read the materialized O(nodes) frame instead of
+      // re-running the corpus-sized join (unmaterialized, the embedded
+      // norm broadcast re-evaluates the join 3× per half-step)
       for (_ <- 1 to 6) {
-        val aRaw = edges.join(h, "u").groupBy("p")
+        val aRaw = eP.join(broadcast(h), "u").groupBy("p")
           .agg(foldSum("u", "h").as("araw"))
+          .localCheckpoint()
         val aNrm = aRaw.agg(foldSumSq("p", "araw").as("nrm"))
         a = aRaw.crossJoin(broadcast(aNrm))
           .select(col("p"), (col("araw") / col("nrm")).as("a"))
-          .localCheckpoint()
-        val hRaw = edges.join(a, "p").groupBy("u")
+        val hRaw = eU.join(broadcast(a), "p").groupBy("u")
           .agg(foldSum("p", "a").as("hraw"))
+          .localCheckpoint()
         val hNrm = hRaw.agg(foldSumSq("u", "hraw").as("nrm"))
         h = hRaw.crossJoin(broadcast(hNrm))
           .select(col("u"), (col("hraw") / col("nrm")).as("h"))
-          .localCheckpoint()
       }
-      edges.unpersist()
+      eP.unpersist(); eU.unpersist()
       val top = a.orderBy(col("a").desc, col("p")).limit(10)
       top.select(
           row_number().over(Window.orderBy(col("a").desc, col("p")))
