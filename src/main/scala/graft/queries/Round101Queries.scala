@@ -228,5 +228,72 @@ object Round101Queries {
       ORDER BY c.user_id, click_us, purchase_us, purchase_cents"""),
     covers = Seq("STREAM-interval-join-fold"))
 
-  val all: Seq[QueryDef] = Seq(q520, q521, q522)
+  // --------------------------------------------- quota admission fold
+  // transformWithState (the Spark 4 arbitrary-state API, RocksDB
+  // backend) under the oracle gate: per-user first-5 admission over
+  // the chronologically-sliced stream. The per-key counter makes the
+  // admitted SET equal to "first 5 by (ts, event_type) per user"
+  // whenever delivery is chronological per user — which the
+  // mtime-ordered slices guarantee — so the oracle is a plain
+  // row_number() window. The value column is deliberately dropped
+  // (zeroed) before streaming: rows identical up to the sort key make
+  // same-key tie order unobservable in both engines, keeping the
+  // admission boundary deterministic.
+  private val q523 = QueryDef(
+    "q523_stream_quota_admission",
+    (s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_type"),
+          lit(0.0).as("value"))
+      val tmp = Files.createTempDirectory("graft-quota-gate")
+      val src = tmp.resolve("src").toString
+      val sliced = ev.withColumn("slice",
+        ntile(8).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("ts"), col("user_id"), col("event_type"))))
+      for (i <- 1 to 8)
+        sliced.filter(col("slice") === i).drop("slice")
+          .coalesce(1).write.mode("append").parquet(src)
+      val out = tmp.resolve("out").toString
+      val confKey = "spark.sql.streaming.stateStore.providerClass"
+      val prior = s.conf.getOption(confKey)
+      s.conf.set(confKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val stream = s.readStream
+          .schema(ev.schema)
+          .option("maxFilesPerTrigger", 2)
+          .parquet(src)
+          .as[EventStreams.Event]
+        val q = EventStreams.admitQuota(stream, limit = 5L)
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", tmp.resolve("ckpt").toString)
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[EventStreams.Admitted], _: Long) =>
+            batch.write.mode("append").parquet(out)
+            ()
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      } finally prior match {
+        case Some(v) => s.conf.set(confKey, v)
+        case None    => s.conf.unset(confKey)
+      }
+      s.read.parquet(out)
+        .select(col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("event_type"), col("n_admitted"))
+        .orderBy("user_id", "n_admitted", "ts_us", "event_type")
+    },
+    Some("""WITH r AS (SELECT user_id, ts, event_type,
+          ROW_NUMBER() OVER (PARTITION BY user_id
+            ORDER BY ts, event_type) AS n_admitted
+        FROM events)
+      SELECT user_id, epoch_us(ts) AS ts_us, event_type,
+        CAST(n_admitted AS BIGINT) AS n_admitted
+      FROM r WHERE n_admitted <= 5
+      ORDER BY user_id, n_admitted, ts_us, event_type"""),
+    covers = Seq("STREAM-quota-admission"))
+
+  val all: Seq[QueryDef] = Seq(q520, q521, q522, q523)
 }
