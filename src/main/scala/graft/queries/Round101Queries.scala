@@ -295,5 +295,96 @@ object Round101Queries {
       ORDER BY user_id, n_admitted, ts_us, event_type"""),
     covers = Seq("STREAM-quota-admission"))
 
-  val all: Seq[QueryDef] = Seq(q520, q521, q522, q523)
+  // --------------------------------------------- streaming dedup fold
+  // dropDuplicatesWithinWatermark under the oracle: with infinite
+  // lateness no key state is ever evicted, so the emitted set is
+  // exactly one row per distinct (user_id, ts) — WHICH duplicate
+  // survives is arrival-order-dependent, so the gate projects the
+  // KEY columns only, making the surviving-row ambiguity
+  // unobservable; the oracle is SELECT DISTINCT. (Production tunes
+  // lateness down and the state stays watermark-bounded — the whole
+  // point of the operator over plain dropDuplicates.)
+  private val q524 = QueryDef(
+    "q524_stream_dedup",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_type"),
+          lit(0.0).as("value"))
+      val tmp = Files.createTempDirectory("graft-dedup-gate")
+      val src = tmp.resolve("src").toString
+      ev.repartition(8).write.parquet(src)
+      val stream = s.readStream
+        .schema(ev.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+      val out = tmp.resolve("out").toString
+      val q = EventStreams.dedupWithinWatermark(stream, lateness = "3650 days")
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(out)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(out)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+        .orderBy("user_id", "ts_us")
+    },
+    Some("""SELECT DISTINCT user_id, epoch_us(ts) AS ts_us
+      FROM events ORDER BY user_id, ts_us"""),
+    covers = Seq("STREAM-dedup-fold"))
+
+  // --------------------------------------------- stream-static enrich
+  // The stream-static broadcast dimension join under the oracle:
+  // every micro-batch left-joins the static customer dimension
+  // (re-resolved per batch, broadcast, zero streaming state), so the
+  // drained output is row-for-row the batch left join — streaming
+  // enrichment must never drop or duplicate events whatever the
+  // batching. Purchases carry exact cents; unmatched users keep NULL
+  // segment (outer semantics preserved through the stream).
+  private val q525 = QueryDef(
+    "q525_stream_enrich",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          (col("value").cast(DecimalType(18, 2)) * 100)
+            .cast("long").as("cents"))
+      val dim = t(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"),
+          col("c_mktsegment").as("segment"))
+      val tmp = Files.createTempDirectory("graft-enrich-gate")
+      val src = tmp.resolve("src").toString
+      ev.repartition(8).write.parquet(src)
+      val stream = s.readStream
+        .schema(ev.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+      val out = tmp.resolve("out").toString
+      val q = EventStreams.enrich(stream, dim, Seq("user_id"))
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(out)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(out)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("cents"), col("segment"))
+        .orderBy("user_id", "ts_us", "cents", "segment")
+    },
+    Some("""SELECT e.user_id, epoch_us(e.ts) AS ts_us,
+        CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        c.c_mktsegment AS segment
+      FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
+      WHERE e.event_type = 'purchase'
+      ORDER BY e.user_id, ts_us, cents, segment"""),
+    covers = Seq("STREAM-static-enrich"))
+
+  val all: Seq[QueryDef] = Seq(q520, q521, q522, q523, q524, q525)
 }
