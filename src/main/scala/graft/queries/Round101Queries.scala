@@ -23,6 +23,58 @@ object Round101Queries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Temp dir removed on JVM exit: each streaming gate copies the
+    * events table plus checkpoint/output state, and the bench
+    * executes every gate three times — without cleanup a bench run
+    * leaks ~20 corpus-sized copies under /tmp.
+    */
+  private def tempDir(prefix: String): java.nio.file.Path = {
+    val p = Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(p.toFile)
+    }))
+    p
+  }
+
+  /** Write `ev` as `n` chronological slice files with deterministic,
+    * strictly-increasing mtimes (a fixed base, 1 s apart). The file
+    * stream source orders new files by modification time and breaks
+    * ties by arbitrary UUID part names, so plain sequential appends
+    * could deliver slices out of order when two writes land in the
+    * same ms — the explicit stamps make micro-batch delivery order
+    * reproducible.
+    */
+  private def writeChronoSlices(
+      ev: DataFrame,
+      src: java.nio.file.Path,
+      order: Seq[org.apache.spark.sql.Column],
+      n: Int): Unit = {
+    val sliced = ev.withColumn("slice",
+      ntile(n).over(org.apache.spark.sql.expressions.Window
+        .orderBy(order: _*)))
+    Files.createDirectories(src)
+    val baseMs = 1700000000000L // fixed stamp: only the ORDER matters
+    for (i <- 1 to n) {
+      val stage = Files.createTempDirectory("graft-slice")
+      sliced.filter(col("slice") === i).drop("slice")
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = stage.toFile.listFiles()
+        .find(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file in $stage"))
+      val dest = src.resolve(f"slice-$i%02d.parquet")
+      Files.move(part.toPath, dest)
+      dest.toFile.setLastModified(baseMs + i * 1000L)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(stage.toFile)
+    }
+  }
+
   // ------------------------------------------------- streaming fold
   // End-to-end streaming correctness: the events table lands as a
   // multi-file parquet source, streams through
@@ -44,7 +96,7 @@ object Round101Queries {
       val ev = t(s, dir, "events")
         .select(col("ts"), col("event_type"),
           col("value").cast(DecimalType(18, 2)).as("value"))
-      val tmp = Files.createTempDirectory("graft-stream-gate")
+      val tmp = tempDir("graft-stream-gate")
       val src = tmp.resolve("src").toString
       // range-partition by ts so the stream sees roughly
       // chronological micro-batches, like a real feed
@@ -100,17 +152,12 @@ object Round101Queries {
         .select(col("user_id"), col("ts"), col("event_type"),
           (col("value").cast(DecimalType(18, 2)) * 100)
             .cast("long").cast("double").as("value"))
-      val tmp = Files.createTempDirectory("graft-sess-gate")
+      val tmp = tempDir("graft-sess-gate")
       val src = tmp.resolve("src").toString
-      // 8 chronological slices appended sequentially: strictly
-      // increasing file mtimes ⇒ the file source replays the feed in
-      // event-time order
-      val sliced = ev.withColumn("slice",
-        ntile(8).over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("ts"), col("user_id"), col("event_type"))))
-      for (i <- 1 to 8)
-        sliced.filter(col("slice") === i).drop("slice")
-          .coalesce(1).write.mode("append").parquet(src)
+      // 8 chronological slices with deterministic mtime order: the
+      // file source replays the feed in event-time order
+      writeChronoSlices(ev, tmp.resolve("src"),
+        Seq(col("ts"), col("user_id"), col("event_type")), 8)
       val stream = s.readStream
         .schema(ev.schema)
         .option("maxFilesPerTrigger", 2)
@@ -144,7 +191,8 @@ object Round101Queries {
             AS prev
         FROM ev),
       flagged AS (SELECT *, CASE WHEN prev IS NULL OR
-            epoch_us(ts) - epoch_us(prev) > 30*60*1000000
+            (epoch_us(ts) // 1000) - (epoch_us(prev) // 1000)
+              > 30*60*1000
           THEN 1 ELSE 0 END AS new_s
         FROM ordered),
       numbered AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id
@@ -182,7 +230,7 @@ object Round101Queries {
         .select(col("user_id"), col("ts"), col("event_type"),
           (col("value").cast(DecimalType(18, 2)) * 100)
             .cast("long").as("cents"))
-      val tmp = Files.createTempDirectory("graft-ssj-gate")
+      val tmp = tempDir("graft-ssj-gate")
       val srcC = tmp.resolve("clicks").toString
       val srcP = tmp.resolve("purch").toString
       val clicks = ev.filter(col("event_type") === "click")
@@ -246,14 +294,14 @@ object Round101Queries {
       val ev = t(s, dir, "events")
         .select(col("user_id"), col("ts"), col("event_type"),
           lit(0.0).as("value"))
-      val tmp = Files.createTempDirectory("graft-quota-gate")
+      val tmp = tempDir("graft-quota-gate")
       val src = tmp.resolve("src").toString
-      val sliced = ev.withColumn("slice",
-        ntile(8).over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("ts"), col("user_id"), col("event_type"))))
-      for (i <- 1 to 8)
-        sliced.filter(col("slice") === i).drop("slice")
-          .coalesce(1).write.mode("append").parquet(src)
+      // slices ordered by MILLISECOND time + type — the same order
+      // the processor sorts by (its state keys on epoch-ms), so
+      // cross-batch arrival order and in-batch sort order agree and
+      // both match the oracle's window ordering
+      writeChronoSlices(ev, tmp.resolve("src"),
+        Seq(unix_millis(col("ts")), col("event_type"), col("user_id")), 8)
       val out = tmp.resolve("out").toString
       val confKey = "spark.sql.streaming.stateStore.providerClass"
       val prior = s.conf.getOption(confKey)
@@ -279,20 +327,24 @@ object Round101Queries {
         case Some(v) => s.conf.set(confKey, v)
         case None    => s.conf.unset(confKey)
       }
+      // ts reported at MILLISECOND resolution: the processor orders
+      // by ms, so same-ms rows are interchangeable — reporting µs
+      // would re-expose the unobservable tie order
       s.read.parquet(out)
         .select(col("user_id"),
-          unix_micros(col("ts")).as("ts_us"),
+          unix_millis(col("ts")).as("ts_ms"),
           col("event_type"), col("n_admitted"))
-        .orderBy("user_id", "n_admitted", "ts_us", "event_type")
+        .orderBy("user_id", "n_admitted", "ts_ms", "event_type")
     },
-    Some("""WITH r AS (SELECT user_id, ts, event_type,
+    Some("""WITH r AS (SELECT user_id,
+          epoch_us(ts) // 1000 AS ts_ms, event_type,
           ROW_NUMBER() OVER (PARTITION BY user_id
-            ORDER BY ts, event_type) AS n_admitted
+            ORDER BY epoch_us(ts) // 1000, event_type) AS n_admitted
         FROM events)
-      SELECT user_id, epoch_us(ts) AS ts_us, event_type,
+      SELECT user_id, ts_ms, event_type,
         CAST(n_admitted AS BIGINT) AS n_admitted
       FROM r WHERE n_admitted <= 5
-      ORDER BY user_id, n_admitted, ts_us, event_type"""),
+      ORDER BY user_id, n_admitted, ts_ms, event_type"""),
     covers = Seq("STREAM-quota-admission"))
 
   // --------------------------------------------- streaming dedup fold
@@ -310,7 +362,7 @@ object Round101Queries {
       val ev = t(s, dir, "events")
         .select(col("user_id"), col("ts"), col("event_type"),
           lit(0.0).as("value"))
-      val tmp = Files.createTempDirectory("graft-dedup-gate")
+      val tmp = tempDir("graft-dedup-gate")
       val src = tmp.resolve("src").toString
       ev.repartition(8).write.parquet(src)
       val stream = s.readStream
@@ -355,7 +407,7 @@ object Round101Queries {
       val dim = t(s, dir, "customer")
         .select(col("c_custkey").as("user_id"),
           col("c_mktsegment").as("segment"))
-      val tmp = Files.createTempDirectory("graft-enrich-gate")
+      val tmp = tempDir("graft-enrich-gate")
       val src = tmp.resolve("src").toString
       ev.repartition(8).write.parquet(src)
       val stream = s.readStream

@@ -35,7 +35,11 @@ object Round91Queries {
   // each half-step. FULLY DISTRIBUTED: the edge set (the corpus-
   // sized frame, derived from lineitem) never leaves Spark — each
   // half-step is one edges⋈scores equi-join plus a grouped ordered
-  // fold; only the two O(1) norm scalars broadcast back. Every Σ is
+  // fold. The score side (O(nodes)) is broadcast-hinted, which is
+  // the right call while the score vector fits the broadcast budget;
+  // past that the hint comes off and the join falls back to a
+  // shuffle keyed like the cached edge layout — only the O(1) norm
+  // scalars are irreducibly driver-bound. Every Σ is
   // a LEFT fold in neighbor-id order (`aggregate` over
   // `array_sort(collect_list(struct(key, val)))` ≡ the oracle's
   // `list_reduce(list(x ORDER BY key))`; the 0.0 seed is exact

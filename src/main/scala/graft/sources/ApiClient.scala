@@ -80,7 +80,9 @@ object ApiClient {
         case _: SocketTimeoutException =>
           if (attempt < maxRetries) sleep((1L << attempt) * 1000L) // 2s, 4s, 8s
           else return Left(TimedOut)
-        case e: Throwable =>
+        // NonFatal only: an OOM/interrupt must propagate, not be
+        // misreported as an API fetch error
+        case scala.util.control.NonFatal(e) =>
           return Left(Unexpected(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
       }
       attempt += 1

@@ -75,7 +75,9 @@ object DbSource {
     while (out.isEmpty) {
       try out = Some(connect())
       catch {
-        case e: Throwable =>
+        // NonFatal only: a VM error or thread interrupt must
+        // propagate immediately, not trigger 30/60 s blind retries
+        case scala.util.control.NonFatal(e) =>
           if (attempt >= maxRetries) throw e
           sleep(backoffMsPerAttempt * attempt)
           attempt += 1
