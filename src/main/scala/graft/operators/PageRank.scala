@@ -52,7 +52,13 @@ object PageRank {
     val e = edges.repartition(col("src")).persist()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().persist()
+    // deg and the rank vector are referenced by EVERY iteration's
+    // plan — materialize them (O(nodes) frames) so one job per
+    // iteration reads cached state instead of re-deriving the whole
+    // upstream subplan per reference (the q472 lesson: an embedded
+    // re-used subplan re-evaluates unless it is materialized)
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint()
     val nRow = nodes.agg(count(lit(1)).as("n"))
 
     // every rank expression stays in Long floor division (DIV) —
@@ -62,6 +68,7 @@ object PageRank {
 
     var r = nodes.crossJoin(broadcast(nRow))
       .select(col("node"), expr(s"$scale DIV n").as("r"))
+      .localCheckpoint()
     for (_ <- 1 to iters) {
       val contrib = e
         .join(r, e("src") === r("node"))
@@ -72,7 +79,9 @@ object PageRank {
         .crossJoin(broadcast(nRow))
         .select(col("node"),
           (teleport + expr(s"($dampNum * coalesce(contrib, 0L)) DIV $dampDen")).as("r"))
+        .localCheckpoint()
     }
+    e.unpersist(); nodes.unpersist()
     r
   }
 }
