@@ -210,19 +210,25 @@ object TextQueries {
   private val q24 = QueryDef(
     "q24_simhash",
     (s, dir) => {
+      // per-ROW signature via array HOFs — no explode, so the only
+      // shuffle left is the tiny signature groupBy: at corpus scale
+      // the old token-level explode+groupBy moved |tokens| rows
+      // through an exchange to compute what is a per-document
+      // function. md5 per token computed once (its own projection),
+      // then 16 integer vote folds over the hash array; votes are
+      // order-independent integer sums, so the signature is
+      // bit-identical to the exploded form and the SQL oracle.
       val d = spread(s, t(s, dir, "documents"))
-      val tok = d.select(col("doc_id"), explode(toks(col("text"))).as("tok"))
-        .withColumn("h", md5(col("tok")))
-      val voteCols = (0 until simBits).map { k =>
-        sum(when(
-          (instr(lit("0123456789abcdef"), substring(col("h"), k + 1, 1)) - 1)
-            .bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$k")
-      }
-      val votes = tok.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
+      val withHashes = d.select(col("doc_id"),
+        transform(toks(col("text")), tok => md5(tok)).as("hs"))
       val sim = (0 until simBits).map { k =>
-        when(col(s"v$k") > 0, lit(1L << k)).otherwise(lit(0L))
+        val vote = aggregate(col("hs"), lit(0), (acc, h) =>
+          acc + when(
+            (instr(lit("0123456789abcdef"), substring(h, k + 1, 1)) - 1)
+              .bitwiseAND(1) === 1, 1).otherwise(-1))
+        when(vote > 0, lit(1L << k)).otherwise(lit(0L))
       }.reduce(_ + _)
-      val sigs = votes.select(col("doc_id"), sim.as("simhash"))
+      val sigs = withHashes.select(col("doc_id"), sim.as("simhash"))
       val grouped = sigs.groupBy("simhash")
         .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"))
       grouped.filter(col("n_docs") > 1)
