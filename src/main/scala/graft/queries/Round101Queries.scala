@@ -438,5 +438,89 @@ object Round101Queries {
       ORDER BY e.user_id, ts_us, cents, segment"""),
     covers = Seq("STREAM-static-enrich"))
 
-  val all: Seq[QueryDef] = Seq(q520, q521, q522, q523, q524, q525)
+  // ---------------------------------- outer stream-stream join fold
+  // The LEFT OUTER interval join — the only streaming join whose
+  // output depends on the WATERMARK, not just the data: a click with
+  // no purchase in its window emits (with null purchase columns)
+  // only once the watermark proves no match can arrive. Determinism
+  // needs two things. (1) Chronological delivery per source
+  // (writeChronoSlices): the global watermark then lags every
+  // arriving event, so no row is ever late-dropped and every
+  // cross-batch match is found — the inner part of the output is
+  // exactly the batch join. (2) The null rows are decided by the
+  // FINAL watermark alone (eviction is monotone in wm):
+  // wm = min(max click ts, max purchase ts) − 30 min lateness, and a
+  // matchless click emits iff its whole window sits below it, i.e.
+  // click_ts + 30 min (window) < wm. The oracle computes the same
+  // closure predicate; clicks still inside the horizon are withheld
+  // by BOTH sides. Purchase cents exact; ms/µs is moot (timestamps
+  // pass through untouched).
+  private val q526 = QueryDef(
+    "q526_stream_outer_interval_join",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_type"),
+          (col("value").cast(DecimalType(18, 2)) * 100)
+            .cast("long").as("cents"))
+      val tmp = tempDir("graft-ssoj-gate")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("cents").cast("double").as("value"))
+      writeChronoSlices(clicks, tmp.resolve("clicks"),
+        Seq(col("ts"), col("user_id")), 8)
+      writeChronoSlices(purch, tmp.resolve("purch"),
+        Seq(col("ts"), col("user_id")), 8)
+      val cStream = s.readStream.schema(clicks.schema)
+        .option("maxFilesPerTrigger", 2).parquet(tmp.resolve("clicks").toString)
+      val pStream = s.readStream.schema(purch.schema)
+        .option("maxFilesPerTrigger", 2).parquet(tmp.resolve("purch").toString)
+      val out = tmp.resolve("out").toString
+      val q = EventStreams.clickToPurchaseOuter(cStream, pStream,
+          withinMinutes = 30, lateness = "30 minutes")
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(out)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(out)
+        .select(col("user_id"),
+          unix_micros(col("click_ts")).as("click_us"),
+          unix_micros(col("purchase_ts")).as("purchase_us"),
+          col("purchase_value").cast("long").as("purchase_cents"))
+        .orderBy("user_id", "click_us", "purchase_us", "purchase_cents")
+    },
+    Some("""WITH c AS (SELECT user_id, ts FROM events
+          WHERE event_type = 'click'),
+      p AS (SELECT user_id, ts, value FROM events
+        WHERE event_type = 'purchase'),
+      wm AS (SELECT LEAST((SELECT MAX(ts) FROM c),
+          (SELECT MAX(ts) FROM p))
+          - INTERVAL 30 MINUTES AS w),
+      inner_m AS (SELECT c.user_id, c.ts AS click_ts,
+          p.ts AS purchase_ts,
+          CAST(CAST(p.value AS DECIMAL(18,2)) * 100 AS BIGINT)
+            AS purchase_cents
+        FROM c JOIN p ON p.user_id = c.user_id
+          AND p.ts >= c.ts
+          AND epoch_us(p.ts) <= epoch_us(c.ts) + 30*60*1000000),
+      no_match AS (SELECT c.user_id, c.ts AS click_ts,
+          CAST(NULL AS TIMESTAMP) AS purchase_ts,
+          CAST(NULL AS BIGINT) AS purchase_cents
+        FROM c CROSS JOIN wm
+        WHERE NOT EXISTS (SELECT 1 FROM p
+            WHERE p.user_id = c.user_id AND p.ts >= c.ts
+              AND epoch_us(p.ts) <= epoch_us(c.ts) + 30*60*1000000)
+          AND epoch_us(c.ts) + 30*60*1000000 < epoch_us(wm.w))
+      SELECT user_id, epoch_us(click_ts) AS click_us,
+        epoch_us(purchase_ts) AS purchase_us, purchase_cents
+      FROM (SELECT * FROM inner_m UNION ALL SELECT * FROM no_match)
+      ORDER BY user_id, click_us, purchase_us, purchase_cents"""),
+    covers = Seq("STREAM-outer-interval-join"))
+
+  val all: Seq[QueryDef] = Seq(q520, q521, q522, q523, q524, q525, q526)
 }
