@@ -55,12 +55,24 @@ object Round101Queries {
     val sliced = ev.withColumn("slice",
       ntile(n).over(org.apache.spark.sql.expressions.Window
         .orderBy(order: _*)))
+    writeOrderedSlices(
+      (1 to n).map(i => sliced.filter(col("slice") === i).drop("slice")),
+      src)
+  }
+
+  /** Write each frame as one parquet file under `src`, stamped with
+    * deterministic strictly-increasing mtimes so the file stream
+    * source delivers them in sequence order.
+    */
+  private def writeOrderedSlices(
+      frames: Seq[DataFrame],
+      src: java.nio.file.Path): Unit = {
     Files.createDirectories(src)
     val baseMs = 1700000000000L // fixed stamp: only the ORDER matters
-    for (i <- 1 to n) {
+    frames.zipWithIndex.foreach { case (f, i0) =>
+      val i = i0 + 1
       val stage = Files.createTempDirectory("graft-slice")
-      sliced.filter(col("slice") === i).drop("slice")
-        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      f.coalesce(1).write.mode("overwrite").parquet(stage.toString)
       val part = stage.toFile.listFiles()
         .find(f => f.getName.startsWith("part-") &&
           f.getName.endsWith(".parquet"))
@@ -522,5 +534,66 @@ object Round101Queries {
       ORDER BY user_id, click_us, purchase_us, purchase_cents"""),
     covers = Seq("STREAM-outer-interval-join"))
 
-  val all: Seq[QueryDef] = Seq(q520, q521, q522, q523, q524, q525, q526)
+  // ------------------------------------------------- late-drop gate
+  // The watermark's DROP side, the one §2.10 behavior not yet under
+  // the gate. Spark (3.4+) filters late events against the PREVIOUS
+  // batch's watermark, so a drop needs the stale data to arrive two
+  // triggers after the max: slice 1 is the on-time stream (everything
+  // at or above an exact integer cutoff = min_us + span DIV 5,
+  // including the global max, so the watermark jumps to max − 10 min
+  // after it), slice 2 is the old tail — still ACCEPTED, its
+  // late-filter watermark is one batch behind — and slice 3 REPLAYS
+  // the tail, which by then must drop (its windows sit ≫ 20 min
+  // under the watermark at every SF, so no boundary sensitivity).
+  // The upserted table therefore equals the one-shot aggregate with
+  // every event counted ONCE — if the engine failed to drop the
+  // replay, the tail windows would double-count and the hash would
+  // go red. (Pinned in the LateDebug experiment: batch 2 emits the
+  // first tail arrival, batch 3 emits nothing.)
+  private val q527 = QueryDef(
+    "q527_stream_late_drop",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("ts"), col("event_type"),
+          col("value").cast(DecimalType(18, 2)).as("value"))
+      val bounds = ev.agg(
+        min(unix_micros(col("ts"))).as("mn"),
+        max(unix_micros(col("ts"))).as("mx"))
+      val withCut = ev.crossJoin(broadcast(bounds))
+        .withColumn("cut", expr("mn + (mx - mn) DIV 5"))
+      val onTime = withCut.filter(unix_micros(col("ts")) >= col("cut"))
+        .select("ts", "event_type", "value")
+      val lateTail = withCut.filter(unix_micros(col("ts")) < col("cut"))
+        .select("ts", "event_type", "value")
+      val tmp = tempDir("graft-late-gate")
+      writeOrderedSlices(Seq(onTime, lateTail, lateTail),
+        tmp.resolve("src"))
+      val stream = s.readStream
+        .schema(onTime.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(tmp.resolve("src").toString)
+      val store = new TableStore(s, tmp.resolve("store").toString)
+      val q = EventStreams.countsToStore(stream, store, "late_counts",
+        tmp.resolve("ckpt").toString,
+        windowLength = "10 minutes", lateness = "10 minutes")
+      try q.processAllAvailable() finally q.stop()
+      store.read("late_counts").get
+        .select(
+          unix_micros(col("window_start")).as("window_start_us"),
+          col("event_type"), col("n_events"),
+          col("total_value").cast("double").as("total_value"))
+        .orderBy("window_start_us", "event_type")
+    },
+    Some("""SELECT
+        (epoch_us(ts) // (10*60*1000000)) * (10*60*1000000)
+          AS window_start_us,
+        event_type,
+        CAST(COUNT(*) AS BIGINT) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM events
+      GROUP BY 1, 2 ORDER BY window_start_us, event_type"""),
+    covers = Seq("STREAM-late-drop", "§2.10d"))
+
+  val all: Seq[QueryDef] =
+    Seq(q520, q521, q522, q523, q524, q525, q526, q527)
 }
