@@ -148,7 +148,10 @@ object Round91Queries {
     "q473_dbscan_census",
     (s, dir) => {
       // pool = SamplePools.DbscanPool-sized id-prefix sample; the
-      // iteration below is O(pool²) and NEVER sees the full corpus
+      // iteration below is O(pool²) and NEVER sees the full corpus.
+      // (A zip_with-fold pair-join variant was measured and rejected:
+      // the per-dimension explode + grouped sum stays fully codegen'd
+      // and beats the interpreted HOF lambdas at this shape.)
       val vd = t(s, dir, "embeddings")
         .filter(col("vec_id") < SamplePools.DbscanPool)
         .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))

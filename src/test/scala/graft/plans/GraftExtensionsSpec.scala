@@ -5,12 +5,21 @@ import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Proves the `spark.sql.extensions` registration path — the way a
-  * USER of the library gets the engine's Catalyst extensions, as
-  * opposed to the per-spec experimental injection the other suites
-  * use. A session built with the extensions class must (a) run the
-  * overlap-join rewrite (no nested-loop join for an interval-overlap
-  * theta join) and (b) plan TopKPerKey through its custom strategy.
+/** Proves the [[GraftExtensions]] registration class — the entry
+  * point a USER binds via `spark.sql.extensions=graft.plans
+  * .GraftExtensions` at spark-submit — as opposed to the per-spec
+  * experimental injection the other suites use. A session built with
+  * the extensions must (a) run the overlap-join rewrite (no
+  * nested-loop join for an interval-overlap theta join) and
+  * (b) plan TopKPerKey through its injected strategy.
+  *
+  * The class is applied through the builder's `withExtensions` (the
+  * same `SparkSessionExtensions => Unit` application Spark performs
+  * for the string conf): `spark.sql.extensions` itself is a STATIC
+  * conf read from the SparkContext, so inside a shared-context test
+  * JVM the string form silently no-ops — exactly the deployment
+  * footgun this comment exists to record; at spark-submit time the
+  * context is fresh and the string conf takes the identical path.
   *
   * The extensions session may share the JVM-wide SparkContext with
   * the other suites' shared session, so it is never stop()ped (that
@@ -31,7 +40,7 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     SparkSession.builder()
       .master("local[2]")
       .appName("graft-ext-test")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .withExtensions(new GraftExtensions())
       .config("spark.sql.shuffle.partitions", "2")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
