@@ -27,46 +27,64 @@ object CleanerGateQuery {
   private val imputedUs: Long =
     Instant.parse("2024-01-31T02:00:00Z").toEpochMilli * 1000L
 
+  /** NS-shaped synthetic raw records derived from the events table —
+    * shared by the batch gate (q46) and the streaming AvailableNow
+    * gate (Round101's q528), so both execution modes clean literally
+    * the same input.
+    */
+  private[queries] def rawFromEvents(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val e = Tables.load(s, dir, "events")
+    val endTs = timestamp_micros(unix_micros(col("ts")) +
+      (col("value").cast(DecimalType(18, 2)) * 60000000).cast(LongType))
+    e.select(
+      when(col("event_id") % 97 === 0, lit(null).cast(StringType))
+        .otherwise(col("event_id").cast(StringType)).as("id"),
+      when(col("event_type") === "error", "CALAMITY")
+        .when(col("event_type") === "purchase", "cancellation")
+        .when(col("event_type") === "signup", "werkzaamheden")
+        .when(col("event_type") === "click", "verstoring")
+        .otherwise("storing").as("type"),
+      when(col("event_id") % 5 === 0, lit(null).cast(StringType))
+        .when(col("event_id") % 5 === 1, "ab")
+        .when(col("event_id") % 5 === 2, "Storing ASD richting GVC")
+        .when(col("event_id") % 5 === 3, "  Geplande werkzaamheden Utrecht  ")
+        .otherwise(concat(lit("x"), col("event_id").cast(StringType))).as("title"),
+      when(col("event_id") % 13 === 0, "not-a-date")
+        .otherwise(concat(date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"),
+          lit("+0000"))).as("start"),
+      when(col("event_id") % 3 === 0, lit(null).cast(StringType))
+        .otherwise(concat(date_format(endTs, "yyyy-MM-dd'T'HH:mm:ss"),
+          lit("+0000"))).as("end"))
+  }
+
+  /** The gate's per-type aggregate over a cleaned frame (shared with
+    * q528, which must produce the identical report from the streamed
+    * clean).
+    */
+  private[queries] def cleanedReport(
+      cleaned: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    cleaned.groupBy("type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("impact_level")).as("sum_impact"),
+        count(col("affected_stations")).as("n_with_stations"),
+        sum(when(col("duration_minutes").isNull, 1).otherwise(0))
+          .as("n_null_duration"),
+        min(col("duration_minutes")).as("min_duration"),
+        max(col("duration_minutes")).as("max_duration"),
+        sum(when(unix_micros(col("end_time")) === imputedUs, 1).otherwise(0))
+          .as("n_imputed_end"))
+      .orderBy("type")
+
+  /** The pinned cleaner clock, shared with q528. */
+  private[queries] val gateClock = clock
+
   private val q46 = QueryDef(
     "q46_cleaner_parity",
-    (s, dir) => {
-      val e = Tables.load(s, dir, "events")
-      val endTs = timestamp_micros(unix_micros(col("ts")) +
-        (col("value").cast(DecimalType(18, 2)) * 60000000).cast(LongType))
-      val raw = e.select(
-        when(col("event_id") % 97 === 0, lit(null).cast(StringType))
-          .otherwise(col("event_id").cast(StringType)).as("id"),
-        when(col("event_type") === "error", "CALAMITY")
-          .when(col("event_type") === "purchase", "cancellation")
-          .when(col("event_type") === "signup", "werkzaamheden")
-          .when(col("event_type") === "click", "verstoring")
-          .otherwise("storing").as("type"),
-        when(col("event_id") % 5 === 0, lit(null).cast(StringType))
-          .when(col("event_id") % 5 === 1, "ab")
-          .when(col("event_id") % 5 === 2, "Storing ASD richting GVC")
-          .when(col("event_id") % 5 === 3, "  Geplande werkzaamheden Utrecht  ")
-          .otherwise(concat(lit("x"), col("event_id").cast(StringType))).as("title"),
-        when(col("event_id") % 13 === 0, "not-a-date")
-          .otherwise(concat(date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"),
-            lit("+0000"))).as("start"),
-        when(col("event_id") % 3 === 0, lit(null).cast(StringType))
-          .otherwise(concat(date_format(endTs, "yyyy-MM-dd'T'HH:mm:ss"),
-            lit("+0000"))).as("end"))
-
-      val cleaned = DisruptionCleaner.clean(raw, clock)
-      cleaned.groupBy("type")
-        .agg(
-          count(lit(1)).as("n"),
-          sum(col("impact_level")).as("sum_impact"),
-          count(col("affected_stations")).as("n_with_stations"),
-          sum(when(col("duration_minutes").isNull, 1).otherwise(0))
-            .as("n_null_duration"),
-          min(col("duration_minutes")).as("min_duration"),
-          max(col("duration_minutes")).as("max_duration"),
-          sum(when(unix_micros(col("end_time")) === imputedUs, 1).otherwise(0))
-            .as("n_imputed_end"))
-        .orderBy("type")
-    },
+    (s, dir) =>
+      cleanedReport(DisruptionCleaner.clean(rawFromEvents(s, dir), clock)),
     Some(s"""WITH raw AS (
         SELECT
           CASE WHEN event_id % 97 = 0 THEN NULL ELSE CAST(event_id AS VARCHAR) END AS id,
@@ -132,6 +150,9 @@ object CleanerGateQuery {
         CAST(SUM(CASE WHEN end_us = $imputedUs THEN 1 ELSE 0 END) AS BIGINT) AS n_imputed_end
       FROM c2 GROUP BY type ORDER BY type"""),
     covers = Seq("P1-P13"))
+
+  /** q46's oracle SQL, reused verbatim by the streaming twin q528. */
+  private[queries] def parityOracle: String = q46.oracle.get
 
   val all: Seq[QueryDef] = Seq(q46)
 }

@@ -594,6 +594,35 @@ object Round101Queries {
       GROUP BY 1, 2 ORDER BY window_start_us, event_type"""),
     covers = Seq("STREAM-late-drop", "§2.10d"))
 
+  // --------------------------------- AvailableNow disruption clean
+  // The reference's daily-batch contract (§2.10a) under the oracle:
+  // the SAME synthetic raw disruptions q46 cleans in batch are
+  // written as a JSONL directory, drained by DisruptionStream.runOnce
+  // — file source + checkpoint + Trigger.AvailableNow, the exact
+  // scheduled-ingest path — into a parquet sink, and the landed
+  // table's per-type report must hash-match q46's DuckDB oracle
+  // VERBATIM (same builder, same clock, same aggregate, same SQL).
+  // One cleaner definition, two execution modes, one oracle.
+  private val q528 = QueryDef(
+    "q528_stream_available_now_clean",
+    (s, dir) => {
+      val tmp = tempDir("graft-avnow-gate")
+      val raw = CleanerGateQuery.rawFromEvents(s, dir)
+      raw.repartition(4).write.mode("overwrite")
+        .json(tmp.resolve("src").toString)
+      val q = graft.streaming.DisruptionStream.runOnce(
+        s,
+        tmp.resolve("src").toString,
+        tmp.resolve("out").toString,
+        tmp.resolve("ckpt").toString,
+        CleanerGateQuery.gateClock)
+      q.awaitTermination()
+      CleanerGateQuery.cleanedReport(
+        s.read.parquet(tmp.resolve("out").toString))
+    },
+    Some(CleanerGateQuery.parityOracle),
+    covers = Seq("STREAM-available-now", "§2.10a"))
+
   val all: Seq[QueryDef] =
-    Seq(q520, q521, q522, q523, q524, q525, q526, q527)
+    Seq(q520, q521, q522, q523, q524, q525, q526, q527, q528)
 }
