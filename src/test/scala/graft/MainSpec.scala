@@ -39,4 +39,32 @@ class MainSpec extends SparkSpec {
     assert(set(store.read("daily_stats").get) ==
       set(graft.analytics.NsQueries.dailyStats(silver, clock)))
   }
+
+  test("api: extract source converges with the file path on the golden capture") {
+    assume(Files.exists(Paths.get(goldenRaw)))
+    // S1 live path offline: the api: prefix routes Main's extract
+    // through ApiClient (file:// transport), archives the snapshot
+    // under the store, and the pipeline output must be IDENTICAL to
+    // a plain file-based run over the same capture
+    val rootApi = Files.createTempDirectory("graft-pipe-api").toString
+    val rootFile = Files.createTempDirectory("graft-pipe-file").toString
+    val clock = Clock.golden
+    val viaApi = Main.run(spark,
+      s"api:${Paths.get(goldenRaw).toUri}", rootApi, clock).toMap
+    val viaFile = Main.run(spark, goldenRaw, rootFile, clock).toMap
+    assert(viaApi == viaFile)
+    assert(viaApi("extracted") == 125L)
+    // the snapshot was archived with the dated raw filename contract
+    val archived = new java.io.File(s"$rootApi/raw_archive").listFiles()
+    assert(archived != null && archived.exists(
+      _.getName.matches("disruptions_\\d{8}_\\d{6}\\.json")),
+      s"no dated archive under $rootApi/raw_archive")
+    // silver tables are row-identical
+    val sApi = new graft.store.TableStore(spark, rootApi)
+      .read("disruptions").get
+    val sFile = new graft.store.TableStore(spark, rootFile)
+      .read("disruptions").get
+    assert(sApi.collect().map(_.toSeq).toSet ==
+      sFile.collect().map(_.toSeq).toSet)
+  }
 }
