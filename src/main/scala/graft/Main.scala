@@ -79,6 +79,8 @@ object Main {
     // upsert swaps the files the stored-side plan reads; the set is
     // small (days per batch), so a driver-side collect is free.
     def dates(df: org.apache.spark.sql.DataFrame): Seq[Option[java.sql.Date]] =
+      // bounded-collect: distinct() calendar dates — O(days touched
+      // by one batch), not rows
       df.select(to_date(col("start_time")).as("d")).distinct()
         .collect().map(r => Option(r.getDate(0))).toSeq
     val touched = (dates(cleaned) ++ store.read("disruptions").toSeq.flatMap(ex =>
@@ -123,6 +125,7 @@ object Main {
     }
 
     // Report (pipeline.py:304-342).
+    // bounded-collect: todaysReport is a global O(1)-row aggregate
     val report = NsQueries.todaysReport(silver, clock).collect()(0)
     Seq(
       "extracted" -> raw.count(),

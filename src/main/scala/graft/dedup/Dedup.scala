@@ -110,6 +110,9 @@ object Dedup extends Logging {
       idType: org.apache.spark.sql.types.DataType): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    // bounded-collect: O(localEdgeCap) — callers gate on nEdges <=
+    // localEdgeCap, so at most that many pairs land on the driver;
+    // past the cap the distributed label-propagation path runs instead
     val es = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .as[(Long, Long)].collect()
     val parent = scala.collection.mutable.Map.empty[Long, Long]

@@ -313,20 +313,17 @@ object ExtraQueries {
       val cents = graft.similarity.IvfIndex
         .trainCentroids(emb, "vec_id", "embedding", k = 16, iters = 3)
       val index = graft.similarity.IvfIndex.assign(emb, cents, "vec_id", "embedding")
-      val queries = emb.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      // query pool + brute-force top-3: the AnnBaseline shared path —
+      // pool capped at SamplePools.AnnQueryPool (keeps the baseline
+      // O(pool · corpus), linear in the corpus) and HASH-GATED as its
+      // own sibling gate q45b, so this recall floor measures the IVF
+      // index against an oracle-proven baseline
+      val queries = AnnBaseline.queryPool(emb, stride = 50L)
       val ivf = graft.similarity.IvfIndex
         .search(index, cents, queries, "vec_id", "embedding", nprobe = 4, topK = 3)
         .localCheckpoint() // O(queries·k) rows; read by recall AND output
-      // brute-force top-3 over the full corpus (queries broadcast —
-      // the tiny side), same cosine, same tiebreak
-      val cos = graft.functions.CosineSimilarity(s, col("q_emb"), col("embedding"))
-      val scoredAll = emb.crossJoin(broadcast(queries))
-        .filter(col("q_id") =!= col("vec_id"))
-        .withColumn("cos_bf", cos)
-        .select(col("q_id"), col("vec_id").as("n_id"), col("cos_bf"))
-      val bf = graft.plans.TopKPerKey.perKey(scoredAll, Seq("q_id"),
-        Seq(desc("cos_bf"), asc("n_id")), 3, rankName = "bf_rk")
+      val bf = AnnBaseline
+        .bruteForceTopK(s, emb, queries, k = 3, rankName = "bf_rk")
         .localCheckpoint() // O(queries·k) rows
       val recall = ivf
         .join(bf.select(col("q_id"), col("n_id"), lit(1L).as("hit")),

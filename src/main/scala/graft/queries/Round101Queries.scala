@@ -23,38 +23,88 @@ object Round101Queries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  /** Temp dir removed on JVM exit: each streaming gate copies the
-    * events table plus checkpoint/output state, and the bench
-    * executes every gate three times — without cleanup a bench run
-    * leaks ~20 corpus-sized copies under /tmp.
-    */
-  private def tempDir(prefix: String): java.nio.file.Path = {
-    val p = Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(p.toFile)
-    }))
-    p
+  private def rmTree(p: java.nio.file.Path): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(p.toFile)
   }
 
-  /** Write `ev` as `n` chronological slice files with deterministic,
-    * strictly-increasing mtimes (a fixed base, 1 s apart). The file
-    * stream source orders new files by modification time and breaks
-    * ties by arbitrary UUID part names, so plain sequential appends
-    * could deliver slices out of order when two writes land in the
-    * same ms — the explicit stamps make micro-batch delivery order
-    * reproducible.
+  /** Shuffle-partition count for the streaming gates' micro-batches.
+    * For stateful streaming, `spark.sql.shuffle.partitions` (pinned
+    * into the checkpoint at first start) fixes the number of STATE
+    * STORE instances per stateful operator — and every micro-batch
+    * pays per-instance commit/maintenance cost whether or not a
+    * partition holds data. At gate scale (tens of rows per
+    * partition, 4–8 micro-batches, each gate run 3× per bench) the
+    * session's 32 instances are pure fixed overhead; the landed
+    * result is partition-count invariant, so the same hashes pass at
+    * any value. Production keeps the session default — this is the
+    * gate-harness twin of sizing shuffle partitions to the data,
+    * the exact tuning a real deployment applies per stream.
+    */
+  private val StreamGateShufflePartitions = 8
+
+  /** Run a streaming gate body in its own temp dir — with the gate
+    * shuffle fan-out above — and delete the dir EAGERLY once the
+    * result is materialized: the returned frame reads lazily from
+    * parquet inside the dir, so the body's result is pinned off-disk
+    * with an eager localCheckpoint (gate outputs are
+    * aggregate/result-sized, O(windows) or O(matches), never the raw
+    * corpus copy) before the finally removes the files. The shutdown
+    * hook is a backstop for abnormal exits (a killed run mid-gate)
+    * and is deregistered on the normal path so hooks don't
+    * accumulate across the bench's ~27 gate executions.
+    */
+  private def withGateDir(s: SparkSession, prefix: String)(
+      body: java.nio.file.Path => DataFrame): DataFrame = {
+    val tmp = Files.createTempDirectory(prefix)
+    val hook = new Thread(() => rmTree(tmp))
+    Runtime.getRuntime.addShutdownHook(hook)
+    val key = "spark.sql.shuffle.partitions"
+    val prior = s.conf.getOption(key)
+    s.conf.set(key, StreamGateShufflePartitions.toString)
+    try body(tmp).localCheckpoint()
+    finally {
+      prior match {
+        case Some(v) => s.conf.set(key, v)
+        case None    => s.conf.unset(key)
+      }
+      rmTree(tmp)
+      // throws IllegalStateException if shutdown already started —
+      // in which case the hook itself is doing the cleanup
+      try Runtime.getRuntime.removeShutdownHook(hook)
+      catch { case _: IllegalStateException => () }
+    }
+  }
+
+  /** Write `ev` as up to `n` chronological slice files — equal-width
+    * EVENT-TIME intervals between the global min and max of `timeCol`
+    * — with deterministic, strictly-increasing mtimes (a fixed base,
+    * 1 s apart; the file stream source orders new files by
+    * modification time, so the stamps make micro-batch delivery order
+    * reproducible). Value-based cuts have three properties the
+    * earlier global-`ntile` slicer lacked: the boundaries depend only
+    * on the DATA (min/max), not on partitioning or parallelism, so
+    * batch contents reproduce across environments; rows sharing a
+    * millisecond never straddle a slice, so cross-batch arrival stays
+    * chronological and the processors' in-batch sorts yield the
+    * oracle's total order; and the slice id is a narrow per-row
+    * expression — no single-partition window sort of the whole table
+    * per gate (the one non-scalable shape left in the scaffolding).
     */
   private def writeChronoSlices(
       ev: DataFrame,
       src: java.nio.file.Path,
-      order: Seq[org.apache.spark.sql.Column],
+      timeCol: org.apache.spark.sql.Column,
       n: Int): Unit = {
+    val ms = unix_millis(timeCol)
+    // bounded-collect: O(1) — the global (min, max) pair for the cuts
+    val bounds = ev.agg(min(ms), max(ms)).head()
+    val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
+    val width = math.max((mx - mn) / n + 1, 1L)
     val sliced = ev.withColumn("slice",
-      ntile(n).over(org.apache.spark.sql.expressions.Window
-        .orderBy(order: _*)))
+      least(lit(n), (floor((ms - lit(mn)) / lit(width)) + 1).cast("int")))
     writeOrderedSlices(
       (1 to n).map(i => sliced.filter(col("slice") === i).drop("slice")),
       src)
@@ -104,11 +154,10 @@ object Round101Queries {
   // cast to double only at the end — the engine-wide float rule.
   private val q520 = QueryDef(
     "q520_stream_windowed_fold",
-    (s, dir) => {
+    (s, dir) => withGateDir(s, "graft-stream-gate") { tmp =>
       val ev = t(s, dir, "events")
         .select(col("ts"), col("event_type"),
           col("value").cast(DecimalType(18, 2)).as("value"))
-      val tmp = tempDir("graft-stream-gate")
       val src = tmp.resolve("src").toString
       // range-partition by ts so the stream sees roughly
       // chronological micro-batches, like a real feed
@@ -158,18 +207,16 @@ object Round101Queries {
   // epoch-ms state); the oracle truncates its micros to match.
   private val q521 = QueryDef(
     "q521_stream_sessionize_fold",
-    (s, dir) => {
+    (s, dir) => withGateDir(s, "graft-sess-gate") { tmp =>
       import s.implicits._
       val ev = t(s, dir, "events")
         .select(col("user_id"), col("ts"), col("event_type"),
           (col("value").cast(DecimalType(18, 2)) * 100)
             .cast("long").cast("double").as("value"))
-      val tmp = tempDir("graft-sess-gate")
       val src = tmp.resolve("src").toString
       // 8 chronological slices with deterministic mtime order: the
       // file source replays the feed in event-time order
-      writeChronoSlices(ev, tmp.resolve("src"),
-        Seq(col("ts"), col("user_id"), col("event_type")), 8)
+      writeChronoSlices(ev, tmp.resolve("src"), col("ts"), 8)
       val stream = s.readStream
         .schema(ev.schema)
         .option("maxFilesPerTrigger", 2)
@@ -237,12 +284,11 @@ object Round101Queries {
   // oracle is the plain SQL interval join.
   private val q522 = QueryDef(
     "q522_stream_interval_join",
-    (s, dir) => {
+    (s, dir) => withGateDir(s, "graft-ssj-gate") { tmp =>
       val ev = t(s, dir, "events")
         .select(col("user_id"), col("ts"), col("event_type"),
           (col("value").cast(DecimalType(18, 2)) * 100)
             .cast("long").as("cents"))
-      val tmp = tempDir("graft-ssj-gate")
       val srcC = tmp.resolve("clicks").toString
       val srcP = tmp.resolve("purch").toString
       val clicks = ev.filter(col("event_type") === "click")
@@ -301,19 +347,17 @@ object Round101Queries {
   // admission boundary deterministic.
   private val q523 = QueryDef(
     "q523_stream_quota_admission",
-    (s, dir) => {
+    (s, dir) => withGateDir(s, "graft-quota-gate") { tmp =>
       import s.implicits._
       val ev = t(s, dir, "events")
         .select(col("user_id"), col("ts"), col("event_type"),
           lit(0.0).as("value"))
-      val tmp = tempDir("graft-quota-gate")
       val src = tmp.resolve("src").toString
       // slices ordered by MILLISECOND time + type — the same order
       // the processor sorts by (its state keys on epoch-ms), so
       // cross-batch arrival order and in-batch sort order agree and
       // both match the oracle's window ordering
-      writeChronoSlices(ev, tmp.resolve("src"),
-        Seq(unix_millis(col("ts")), col("event_type"), col("user_id")), 8)
+      writeChronoSlices(ev, tmp.resolve("src"), col("ts"), 8)
       val out = tmp.resolve("out").toString
       val confKey = "spark.sql.streaming.stateStore.providerClass"
       val prior = s.conf.getOption(confKey)
@@ -370,11 +414,10 @@ object Round101Queries {
   // point of the operator over plain dropDuplicates.)
   private val q524 = QueryDef(
     "q524_stream_dedup",
-    (s, dir) => {
+    (s, dir) => withGateDir(s, "graft-dedup-gate") { tmp =>
       val ev = t(s, dir, "events")
         .select(col("user_id"), col("ts"), col("event_type"),
           lit(0.0).as("value"))
-      val tmp = tempDir("graft-dedup-gate")
       val src = tmp.resolve("src").toString
       ev.repartition(8).write.parquet(src)
       val stream = s.readStream
@@ -410,7 +453,7 @@ object Round101Queries {
   // segment (outer semantics preserved through the stream).
   private val q525 = QueryDef(
     "q525_stream_enrich",
-    (s, dir) => {
+    (s, dir) => withGateDir(s, "graft-enrich-gate") { tmp =>
       val ev = t(s, dir, "events")
         .filter(col("event_type") === "purchase")
         .select(col("user_id"), col("ts"),
@@ -419,7 +462,6 @@ object Round101Queries {
       val dim = t(s, dir, "customer")
         .select(col("c_custkey").as("user_id"),
           col("c_mktsegment").as("segment"))
-      val tmp = tempDir("graft-enrich-gate")
       val src = tmp.resolve("src").toString
       ev.repartition(8).write.parquet(src)
       val stream = s.readStream
@@ -469,20 +511,17 @@ object Round101Queries {
   // pass through untouched).
   private val q526 = QueryDef(
     "q526_stream_outer_interval_join",
-    (s, dir) => {
+    (s, dir) => withGateDir(s, "graft-ssoj-gate") { tmp =>
       val ev = t(s, dir, "events")
         .select(col("user_id"), col("ts"), col("event_type"),
           (col("value").cast(DecimalType(18, 2)) * 100)
             .cast("long").as("cents"))
-      val tmp = tempDir("graft-ssoj-gate")
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("user_id"), col("ts"))
       val purch = ev.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("ts"), col("cents").cast("double").as("value"))
-      writeChronoSlices(clicks, tmp.resolve("clicks"),
-        Seq(col("ts"), col("user_id")), 8)
-      writeChronoSlices(purch, tmp.resolve("purch"),
-        Seq(col("ts"), col("user_id")), 8)
+      writeChronoSlices(clicks, tmp.resolve("clicks"), col("ts"), 8)
+      writeChronoSlices(purch, tmp.resolve("purch"), col("ts"), 8)
       val cStream = s.readStream.schema(clicks.schema)
         .option("maxFilesPerTrigger", 2).parquet(tmp.resolve("clicks").toString)
       val pStream = s.readStream.schema(purch.schema)
@@ -548,11 +587,14 @@ object Round101Queries {
   // The upserted table therefore equals the one-shot aggregate with
   // every event counted ONCE — if the engine failed to drop the
   // replay, the tail windows would double-count and the hash would
-  // go red. (Pinned in the LateDebug experiment: batch 2 emits the
-  // first tail arrival, batch 3 emits nothing.)
+  // go red. (The one-batch-lag assumption is pinned by
+  // LateDropSemanticsSpec, which asserts the per-batch emissions —
+  // tail accepted in batch 1, replay emits nothing in batch 2 — so a
+  // Spark upgrade that changes the filter watermark fails THERE by
+  // name, not here as an apparent aggregation bug.)
   private val q527 = QueryDef(
     "q527_stream_late_drop",
-    (s, dir) => {
+    (s, dir) => withGateDir(s, "graft-late-gate") { tmp =>
       val ev = t(s, dir, "events")
         .select(col("ts"), col("event_type"),
           col("value").cast(DecimalType(18, 2)).as("value"))
@@ -565,7 +607,6 @@ object Round101Queries {
         .select("ts", "event_type", "value")
       val lateTail = withCut.filter(unix_micros(col("ts")) < col("cut"))
         .select("ts", "event_type", "value")
-      val tmp = tempDir("graft-late-gate")
       writeOrderedSlices(Seq(onTime, lateTail, lateTail),
         tmp.resolve("src"))
       val stream = s.readStream
@@ -605,8 +646,7 @@ object Round101Queries {
   // One cleaner definition, two execution modes, one oracle.
   private val q528 = QueryDef(
     "q528_stream_available_now_clean",
-    (s, dir) => {
-      val tmp = tempDir("graft-avnow-gate")
+    (s, dir) => withGateDir(s, "graft-avnow-gate") { tmp =>
       val raw = CleanerGateQuery.rawFromEvents(s, dir)
       raw.repartition(4).write.mode("overwrite")
         .json(tmp.resolve("src").toString)

@@ -381,8 +381,10 @@ object Round4Queries {
     (s, dir) => {
       import graft.similarity.PqIndex
       val emb = t(s, dir, "embeddings")
-      val queries = emb.filter(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      // query pool via the AnnBaseline shared path — every-100th id
+      // capped at SamplePools.AnnQueryPool (linear-in-corpus
+      // baseline); the baseline itself is hash-gated as q106b
+      val queries = AnnBaseline.queryPool(emb, stride = 100L)
       // iters=1 keeps the gate cheap; PqIndexSpec pins recall with a
       // fully-trained book — this gate checks the pipeline shape
       val book = PqIndex.train(emb, "vec_id", "embedding", m = 8, k = 16, iters = 1)

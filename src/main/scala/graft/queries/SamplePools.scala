@@ -25,4 +25,14 @@ object SamplePools {
     * driver for the 8 sequential argmax stages.
     */
   val CoresetPool = 500L
+
+  /** q45/q106 ANN recall-gate query pool: at most this many query
+    * points (a deterministic id-stride prefix of the lattice). The
+    * cap is what keeps the gates' in-query brute-force recall
+    * baseline O(pool · corpus) — LINEAR in the corpus — instead of
+    * the unbounded-stride form's O(corpus²/stride). Unlike the
+    * driver-held pools above this one never leaves the executors;
+    * the bound is on the crossJoin's broadcast side.
+    */
+  val AnnQueryPool = 64L
 }

@@ -395,7 +395,12 @@ object TextQueries {
     "q29_cosine_topk",
     (s, dir) => {
       val e = spread(s, t(s, dir, "embeddings"))
-      val q = e.filter(col("vec_id") % 50 === 0)
+      // query pool capped at SamplePools.AnnQueryPool (round 6): the
+      // scan side stays the FULL corpus — that's the point of the
+      // exact baseline — but the pool no longer grows with it, so the
+      // gate is O(pool · corpus), linear in the corpus
+      val q = e.filter(col("vec_id") % 50 === 0 &&
+          col("vec_id") < lit(50L * SamplePools.AnnQueryPool))
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       val c = e.select(
         col("vec_id").as("n_id"), col("label").as("n_label"),
@@ -411,8 +416,10 @@ object TextQueries {
           col("rk").cast("long").as("rk"))
         .orderBy("q_id", "rk")
     },
-    Some("""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
-                       FROM embeddings WHERE vec_id % 50 = 0),
+    Some(s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+                       FROM embeddings
+                       WHERE vec_id % 50 = 0
+                         AND vec_id < ${50L * SamplePools.AnnQueryPool}),
       c AS (SELECT vec_id AS n_id, label AS n_label, embedding AS n_emb FROM embeddings),
       scored AS (
         SELECT q_id, n_id, n_label,
@@ -444,7 +451,10 @@ object TextQueries {
       val b = e.select(
         col("vec_id"), col("label"), col("embedding"),
         bucketOf(col("embedding")).as("bucket"))
-      val q = b.filter(col("vec_id") % 50 === 0)
+      // same AnnQueryPool cap as q29 — the bucket join already bounds
+      // the scan side; the cap bounds the probe side too
+      val q = b.filter(col("vec_id") % 50 === 0 &&
+          col("vec_id") < lit(50L * SamplePools.AnnQueryPool))
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
           col("bucket"))
       val c = b.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
@@ -461,14 +471,16 @@ object TextQueries {
           Seq(desc("cos"), asc("n_id")), 3, rankName = "rk")
         .orderBy("q_id", "rk")
     },
-    Some("""WITH b AS (
+    Some(s"""WITH b AS (
         SELECT vec_id, embedding,
           (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END) ||
           (CASE WHEN embedding[9] >= 0 THEN '1' ELSE '0' END) ||
           (CASE WHEN embedding[17] >= 0 THEN '1' ELSE '0' END) ||
           (CASE WHEN embedding[25] >= 0 THEN '1' ELSE '0' END) AS bucket
         FROM embeddings),
-      q AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket FROM b WHERE vec_id % 50 = 0),
+      q AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket FROM b
+            WHERE vec_id % 50 = 0
+              AND vec_id < ${50L * SamplePools.AnnQueryPool}),
       c AS (SELECT vec_id AS n_id, embedding AS n_emb, bucket FROM b),
       scored AS (
         SELECT q.bucket, q_id, n_id,

@@ -63,6 +63,7 @@ object IvfIndex {
     val spark = emb.sparkSession
     import spark.implicits._
 
+    // bounded-collect: limit(k) — exactly k seed vectors (model-sized)
     var centroids: Seq[(Int, Seq[Double])] = emb
       .orderBy(col(idCol)).limit(k)
       .select(col(vecCol)).collect()
@@ -75,6 +76,8 @@ object IvfIndex {
       // one scan: narrow assignment + per-dimension means by cluster
       val means = (1 to dim).map(i =>
         avg(element_at(col(vecCol), i).cast("double")).as(s"m$i"))
+      // bounded-collect: grouped agg over cid — at most k centroid
+      // rows (O(model)), never corpus rows
       centroids = emb
         .select(col(vecCol), nearestCid(col(vecCol), centroids).as("cid"))
         .groupBy("cid")
@@ -91,6 +94,8 @@ object IvfIndex {
     * by `cid` at scale).
     */
   def assign(emb: DataFrame, centroids: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    // bounded-collect: the centroid table is O(k) model rows by
+    // construction (trainCentroids emits ≤ k)
     val model = centroids.collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1)).toSeq
     emb.withColumn("cid", nearestCid(col(vecCol), model))

@@ -73,6 +73,7 @@ object PqIndex {
     val subDim = dim / m
 
     // init: subvectors of the k lowest-id rows
+    // bounded-collect: limit(k) — exactly k seed vectors (model-sized)
     val seed = emb.orderBy(col(idCol)).limit(k).select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble))
     var book: Codebook =
@@ -87,6 +88,8 @@ object PqIndex {
         }: _*)).as(Seq("j", "a")))
       val means = (1 to subDim).map(i =>
         avg(element_at(col("a.sv"), i).cast("double")).as(s"m$i"))
+      // bounded-collect: grouped agg over (j, cid) — at most m·k
+      // codebook cells (O(model)), never corpus rows
       val rows = assigned
         .groupBy(col("j"), col("a.cid").as("cid"))
         .agg(means.head, means.tail: _*)

@@ -138,8 +138,26 @@ object ApiClient {
           .format(clock.now.atZone(java.time.ZoneOffset.UTC))
         val dir = Paths.get(archiveRoot)
         Files.createDirectories(dir)
-        val path = dir.resolve(s"disruptions_$ts.json")
-        Files.writeString(path, body)
+        // the timestamp has 1-second resolution, so two fetches in
+        // the same second would otherwise SILENTLY clobber the
+        // earlier snapshot: CREATE_NEW makes a collision loud, and
+        // the `_<n>` uniquifier keeps both snapshots (first file
+        // keeps the reference's exact filename contract)
+        val path = Iterator.from(0)
+          .map {
+            case 0 => dir.resolve(s"disruptions_$ts.json")
+            case n => dir.resolve(s"disruptions_${ts}_$n.json")
+          }
+          .flatMap { p =>
+            try {
+              Files.writeString(p, body,
+                java.nio.file.StandardOpenOption.CREATE_NEW)
+              Some(p)
+            } catch {
+              case _: java.nio.file.FileAlreadyExistsException => None
+            }
+          }
+          .next()
         path.toString
       }
 

@@ -86,10 +86,35 @@ object DbSource {
     out.get
   }
 
+  /** Read `table` from the selected backend, with a schema to apply
+    * when the local table does not exist yet: a fresh store then
+    * behaves like an EMPTY TYPED table — column references resolve,
+    * joins/unions line up — mirroring the reference's fresh-SQLite
+    * path, where `initialize_schema()` gives an absent table its DDL
+    * columns before the first read (`database.py` / `schema.sql`).
+    */
+  def read(
+      spark: SparkSession,
+      backend: Backend,
+      table: String,
+      schemaIfAbsent: org.apache.spark.sql.types.StructType): DataFrame =
+    backend match {
+      case LocalStore(root) =>
+        new TableStore(spark, root).read(table)
+          .getOrElse(spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            schemaIfAbsent))
+      case pg => read(spark, pg, table)
+    }
+
   /** Read `table` from the selected backend. The Postgres arm wraps
     * Spark's JDBC source in the retry loop (the load() handshake is
     * the connect); the local arm reads the parquet table, empty-frame
     * on absence (the reference's fresh-SQLite-file behavior).
+    * NOTE the absent-table frame is SCHEMA-LESS (zero columns):
+    * callers that will reference columns on a possibly-absent table
+    * must use the `schemaIfAbsent` overload above, which returns an
+    * empty typed table instead.
     */
   def read(spark: SparkSession, backend: Backend, table: String): DataFrame =
     backend match {

@@ -72,6 +72,7 @@ object BpeMerges {
     var i = 0
     var done = false
     while (i < nMerges && !done) {
+      // bounded-collect: limit(1) — the single best merge pair
       val top = pairCounts(vocab)
         .orderBy(desc("n"), col("a"), col("b"))
         .limit(1).collect()

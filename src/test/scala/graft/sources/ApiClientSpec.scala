@@ -112,6 +112,23 @@ class ApiClientSpec extends AnyFunSuite {
       Seq("d1", "d2"))
   }
 
+  test("fetchToArchive same-second fetches keep BOTH snapshots (no clobber)") {
+    val root = Files.createTempDirectory("graft-api-arch2").toString
+    val clock = Clock(java.time.Instant.parse("2026-08-14T12:30:05Z"))
+    var n = 0
+    val s = new Script(() => { n += 1; Response(200, s"""[{"id":"d$n"}]""") })
+    val first = fetchToArchive("u", root, clock = clock,
+      transport = s.transport, sleep = s.sleep)
+    val second = fetchToArchive("u", root, clock = clock,
+      transport = s.transport, sleep = s.sleep)
+    assert(first == Right(s"$root/disruptions_20260814_123005.json"))
+    assert(second == Right(s"$root/disruptions_20260814_123005_1.json"))
+    assert(Files.readString(java.nio.file.Paths.get(first.toOption.get))
+      .contains("d1"))
+    assert(Files.readString(java.nio.file.Paths.get(second.toOption.get))
+      .contains("d2"))
+  }
+
   test("extract throws loudly on fetch failure") {
     val s = new Script(() => Response(401, ""))
     val spark = SparkSpec.session

@@ -78,4 +78,23 @@ class DbSourceSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
       Seq(1L -> "a", 2L -> "b"))
   }
+
+  test("local backend: absent table with schemaIfAbsent is an empty TYPED table") {
+    val spark = SparkSpec.session
+    import org.apache.spark.sql.types._
+    val root = Files.createTempDirectory("graft-db-schema").toString
+    val b = LocalStore(root)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    val df = DbSource.read(spark, b, "absent", schema)
+    assert(df.schema == schema)
+    // the fresh-SQLite contract: downstream column references resolve
+    assert(df.filter(org.apache.spark.sql.functions.col("id") > 0).count() == 0L)
+    // a PRESENT table ignores the fallback schema and reads as stored
+    DbSource.write(spark, b, "t2",
+      spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(7L, "x"))), schema))
+    assert(DbSource.read(spark, b, "t2", schema).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq(7L -> "x"))
+  }
 }
