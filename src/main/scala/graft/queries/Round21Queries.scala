@@ -184,10 +184,14 @@ object Round21Queries {
   // (l_quantity < 0.2·avg over the same part) evaluated WITHOUT a
   // division — `5·n·qty < sum` over exact DECIMAL sums is the same
   // predicate with integer-exact arithmetic, so the boundary rows
-  // cannot flip on float rounding. Shape: one per-part aggregate of
-  // the fact, broadcast back onto the fact⋈part join — two fact
-  // scans, zero fan-out, the standard decorrelation Catalyst itself
-  // applies to the scalar-subquery form.
+  // cannot flip on float rounding. Shape: the brand filter broadcasts
+  // onto the fact FIRST, and the per-part aggregate runs over that
+  // filtered fact — the correlated average is only ever consulted for
+  // parts that survive the filter (1/25 of brands), so the group-by
+  // touches ~4% of lineitem instead of all of it. The oracle's
+  // subquery aggregates the full table, but the join restricts it to
+  // the same parts with identical per-group values, so the results
+  // coincide while the engine's plan is the one that survives 100 TB.
   private val q224 = QueryDef(
     "q224_tpch_q17",
     (s, dir) => {
@@ -196,11 +200,13 @@ object Round21Queries {
         .select("p_partkey")
       val l = t(s, dir, "lineitem")
         .select("l_partkey", "l_quantity", "l_extendedprice")
-      val perPart = l.groupBy(col("l_partkey").as("a_partkey"))
+      // one broadcast brand-filtered fact frame feeds BOTH the
+      // per-part aggregate and the probe side
+      val lp = l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      val perPart = lp.groupBy(col("l_partkey").as("a_partkey"))
         .agg(sum(dec(col("l_quantity"))).as("qty_sum"),
           count(lit(1)).as("qty_n"))
-      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
-        .join(perPart, col("l_partkey") === col("a_partkey"))
+      lp.join(perPart, col("l_partkey") === col("a_partkey"))
         .filter(dec(col("l_quantity")) * lit(5) * col("qty_n") < col("qty_sum"))
         .agg((sum(dec(col("l_extendedprice"))).cast("double") / lit(7.0d))
           .as("avg_yearly"))
@@ -257,13 +263,18 @@ object Round21Queries {
   // suppliers that were the SOLE late supplier in a multi-supplier
   // order. The classical form is EXISTS + NOT-EXISTS self-joins of
   // lineitem (the oracle runs exactly that); the engine computes the
-  // same set with ONE per-order aggregate — distinct suppliers,
-  // distinct late suppliers, the unique late supplier (min over the
-  // late side), and the number of late LINES (Q21's numwait counts
-  // l1 rows, so an order contributes once per late line) — then
-  // filters n_late=1 AND n_supp>1. Replacing two correlated fact
-  // self-joins with one reduce is the 100 TB-safe plan: lineitem is
-  // scanned once and shuffled once.
+  // same set with per-(order, supplier) then per-order aggregates —
+  // distinct suppliers, distinct late suppliers, the unique late
+  // supplier (min over the late side), and the number of late LINES
+  // (Q21's numwait counts l1 rows, so an order contributes once per
+  // late line) — then filters n_late=1 AND n_supp>1. Replacing two
+  // correlated fact self-joins with one reduce is the 100 TB-safe
+  // plan: lineitem is scanned once and shuffled once. The two-level
+  // aggregate (pairs, then orders) replaces the earlier single
+  // distinct-aggregate form, whose two countDistincts planned an
+  // Expand ×3 of the joined fact ahead of the shuffle; the per-pair
+  // partial aggregate map-side combines to unique (order, supplier)
+  // pairs instead, and the second aggregate is pair-sized.
   private val q226 = QueryDef(
     "q226_tpch_q21",
     (s, dir) => {
@@ -273,13 +284,17 @@ object Round21Queries {
       val l = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
       val sup = t(s, dir, "supplier").select("s_suppkey", "s_name")
       val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS")
-      val perOrder = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      val perPair = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderkey", "l_suppkey")
+        .agg(sum(when(late, 1L).otherwise(0L)).as("late_lines"))
+      val lateSupp = col("late_lines") > 0
+      val perOrder = perPair
         .groupBy("o_orderkey")
         .agg(
-          countDistinct(col("l_suppkey")).as("n_supp"),
-          countDistinct(when(late, col("l_suppkey"))).as("n_late"),
-          min(when(late, col("l_suppkey"))).as("late_supp"),
-          sum(when(late, 1L).otherwise(0L)).as("n_late_lines"))
+          count(lit(1)).as("n_supp"),
+          sum(when(lateSupp, 1L).otherwise(0L)).as("n_late"),
+          min(when(lateSupp, col("l_suppkey"))).as("late_supp"),
+          sum(col("late_lines")).as("n_late_lines"))
         .filter(col("n_late") === 1 && col("n_supp") > 1)
       perOrder
         .groupBy("late_supp")

@@ -187,19 +187,25 @@ object Round2Queries {
     "q52_tfidf_topterms",
     (s, dir) => {
       val d = spread(s, t(s, dir, "documents"))
-      // the explode feeds both the tf and df aggregates — materialize once
       val tok = d.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-        .persist()
+      // tf rows are DISTINCT (doc, term) pairs by construction, so df
+      // is a plain count over tf — one aggregation of the token
+      // explode total, not two, and no countDistinct dedup pass over
+      // the raw postings (which at 100 TB is the larger-by-far frame)
       val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val df = tok.groupBy("term").agg(countDistinct("doc_id").as("df"))
+        .persist() // feeds both df and the scored join
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val nd = d.agg(count(lit(1)).as("nn"))
-      val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("term"))
-      tf.join(df, "term")
+      val scored = tf.join(df, "term")
         .crossJoin(broadcast(nd))
         .withColumn("score",
           col("tf").cast("double") * (col("nn").cast("double") / col("df").cast("double")))
-        .withColumn("rk", row_number().over(w).cast("long"))
-        .filter(col("rk") <= 3)
+        .select("doc_id", "term", "tf", "df", "score")
+      // per-doc top-3 via the bounded-heap operator — partial heaps
+      // cap the shuffle at 3 rows/doc/partition instead of sorting
+      // every doc's full term list under a window
+      graft.plans.TopKPerKey.perKey(scored, Seq("doc_id"),
+          Seq(desc("score"), asc("term")), 3, rankName = "rk")
         .select("doc_id", "term", "tf", "df", "score", "rk")
         .orderBy("doc_id", "rk")
     },
