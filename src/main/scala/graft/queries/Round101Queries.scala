@@ -92,6 +92,15 @@ object Round101Queries {
     * oracle's total order; and the slice id is a narrow per-row
     * expression — no single-partition window sort of the whole table
     * per gate (the one non-scalable shape left in the scaffolding).
+    *
+    * All `n` slice files land in ONE write job (`partitionBy` over the
+    * slice id on a coalesced frame — gate inputs are small by
+    * construction), not `n` filtered jobs that each re-scan the
+    * source; the stage's `slice=i` part files are then renamed into
+    * the flat mtime-stamped layout. A slice with no rows writes no
+    * file — batch boundaries shift by one, which the gates are
+    * insensitive to by design (batching-invariance is the property
+    * under test).
     */
   private def writeChronoSlices(
       ev: DataFrame,
@@ -105,9 +114,24 @@ object Round101Queries {
     val width = math.max((mx - mn) / n + 1, 1L)
     val sliced = ev.withColumn("slice",
       least(lit(n), (floor((ms - lit(mn)) / lit(width)) + 1).cast("int")))
-    writeOrderedSlices(
-      (1 to n).map(i => sliced.filter(col("slice") === i).drop("slice")),
-      src)
+    val stage = Files.createTempDirectory("graft-slices")
+    sliced.coalesce(1).write.partitionBy("slice")
+      .mode("overwrite").parquet(stage.toString)
+    Files.createDirectories(src)
+    val baseMs = 1700000000000L // fixed stamp: only the ORDER matters
+    (1 to n).foreach { i =>
+      val sliceDir = stage.resolve(s"slice=$i")
+      if (Files.isDirectory(sliceDir)) {
+        val part = sliceDir.toFile.listFiles()
+          .find(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file in $sliceDir"))
+        val dest = src.resolve(f"slice-$i%02d.parquet")
+        Files.move(part.toPath, dest)
+        dest.toFile.setLastModified(baseMs + i * 1000L)
+      }
+    }
+    rmTree(stage)
   }
 
   /** Write each frame as one parquet file under `src`, stamped with

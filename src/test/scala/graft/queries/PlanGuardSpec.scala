@@ -93,6 +93,26 @@ class PlanGuardSpec extends SparkSpec {
       }
   }
 
+  test("q226 aggregates without an Expand of the fact") {
+    val dir = "/root/testdata/sf0.001"
+    // the two-countDistinct form planned Expand ×3 of the joined
+    // lineitem ahead of the shuffle; the per-(order, supplier)
+    // two-level aggregate must keep the plan Expand-free
+    val plan = graft.SparkEntry.queries("q226_tpch_q21")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), "q226 plans Expand over the fact")
+  }
+
+  test("q52 takes per-doc top-k through the bounded-heap operator") {
+    val dir = "/root/testdata/sf0.001"
+    val plan = graft.SparkEntry.queries("q52_tfidf_topterms")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"),
+      "q52 lost the TopKPerKey bounded-heap top-k")
+    assert(!plan.contains("Window"),
+      "q52 fell back to a full per-doc window sort")
+  }
+
   test("no nested-loop or cartesian joins in shuffle-sensitive queries") {
     val dir = "/root/testdata/sf0.001"
     guarded.foreach { name =>
