@@ -39,16 +39,20 @@ object IvfIndex {
       lit(0.0), (acc, x) => acc + x)
 
   /** Nearest centroid id for a vector column, against a driver-side
-    * centroid model turned into array literals: distances via array
-    * HOFs, argmin via first position of the minimum (= lowest cid on
-    * ties, because the array is cid-sorted).
+    * centroid model: the codegen'd
+    * [[graft.functions.NearestCentroids]] hot loop (m=1 subspace)
+    * yields the argmin POSITION in the cid-sorted centroid array —
+    * first minimum = lowest cid on ties — and a literal lookup maps
+    * position back to the (possibly non-dense) cluster id.
     */
-  private def nearestCid(v: Column, model: Seq[(Int, Seq[Double])]): Column = {
+  private def nearestCid(
+      s: org.apache.spark.sql.SparkSession,
+      v: Column,
+      model: Seq[(Int, Seq[Double])]): Column = {
     val cents = model.sortBy(_._1)
-    val centArr = typedLit(cents.map(_._2))
     val cidArr = typedLit(cents.map(_._1))
-    val dists = transform(centArr, c => sqDist(v, c))
-    element_at(cidArr, array_position(dists, array_min(dists)).cast("int"))
+    val pos = graft.functions.NearestCentroids(s, v, Seq(cents.map(_._2)))
+    element_at(cidArr, element_at(pos, lit(1)) + 1)
   }
 
   /** Train `k` centroids with `iters` Lloyd iterations. Returns
@@ -79,7 +83,7 @@ object IvfIndex {
       // bounded-collect: grouped agg over cid — at most k centroid
       // rows (O(model)), never corpus rows
       centroids = emb
-        .select(col(vecCol), nearestCid(col(vecCol), centroids).as("cid"))
+        .select(col(vecCol), nearestCid(spark, col(vecCol), centroids).as("cid"))
         .groupBy("cid")
         .agg(means.head, means.tail: _*)
         .collect()
@@ -98,7 +102,7 @@ object IvfIndex {
     // construction (trainCentroids emits ≤ k)
     val model = centroids.collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1)).toSeq
-    emb.withColumn("cid", nearestCid(col(vecCol), model))
+    emb.withColumn("cid", nearestCid(emb.sparkSession, col(vecCol), model))
   }
 
   /** Top-`topK` cosine neighbours per query, scanning only each

@@ -33,14 +33,6 @@ object PqIndex {
   private def sub(vec: Column, j: Int, subDim: Int): Column =
     slice(vec, j * subDim + 1, subDim)
 
-  private def sqDist(v: Column, c: Column): Column =
-    aggregate(
-      zip_with(v, c, (x, y) => {
-        val d = x.cast("double") - y
-        d * d
-      }),
-      lit(0.0), (acc, x) => acc + x)
-
   private def dot(v: Column, c: Column): Column =
     aggregate(
       zip_with(v, c, (x, y) => x.cast("double") * y),
@@ -51,11 +43,16 @@ object PqIndex {
     */
   type Codebook = Seq[Seq[Seq[Double]]]
 
-  /** Nearest centroid id within one subspace (ties → lowest cid). */
-  private def nearestCid(subVec: Column, centroids: Seq[Seq[Double]]): Column = {
-    val dists = transform(typedLit(centroids), c => sqDist(subVec, c))
-    (array_position(dists, array_min(dists)) - 1).cast("int")
-  }
+  /** All m per-subspace nearest-centroid ids in ONE codegen'd pass
+    * ([[graft.functions.NearestCentroids]]; ties → lowest cid) — the
+    * encode/train hot loop, bit-identical to the interpreted
+    * HOF form it replaced but fused into whole-stage codegen.
+    */
+  private def allCodes(
+      s: org.apache.spark.sql.SparkSession,
+      vec: Column,
+      book: Codebook): Column =
+    graft.functions.NearestCentroids(s, vec, book)
 
   /** Train `k` centroids per subspace with `iters` Lloyd iterations —
     * every iteration is ONE corpus scan (subspaces in parallel via
@@ -80,12 +77,15 @@ object PqIndex {
       (0 until m).map(j => seed.toSeq.map(v => v.slice(j * subDim, (j + 1) * subDim)))
 
     for (_ <- 1 to iters) {
-      // (j, cid, subvector) rows for every subspace of every vector
-      val assigned = emb.select(posexplode(array(
-        (0 until m).map { j =>
-          val sv = sub(col(vecCol), j, subDim)
-          struct(nearestCid(sv, book(j)).as("cid"), sv.as("sv"))
-        }: _*)).as(Seq("j", "a")))
+      // (j, cid, subvector) rows for every subspace of every vector —
+      // codes for ALL subspaces come from one fused expression pass
+      val assigned = emb
+        .select(col(vecCol), allCodes(emb.sparkSession, col(vecCol), book).as("__codes"))
+        .select(posexplode(array(
+          (0 until m).map { j =>
+            struct(element_at(col("__codes"), j + 1).as("cid"),
+              sub(col(vecCol), j, subDim).as("sv"))
+          }: _*)).as(Seq("j", "a")))
       val means = (1 to subDim).map(i =>
         avg(element_at(col("a.sv"), i).cast("double")).as(s"m$i"))
       // bounded-collect: grouped agg over (j, cid) — at most m·k
@@ -109,17 +109,15 @@ object PqIndex {
     * search scans.
     */
   def encode(emb: DataFrame, idCol: String, vecCol: String, book: Codebook): DataFrame = {
-    val m = book.size
-    val subDim = book.head.head.size
-    val codes = array((0 until m).map(j =>
-      nearestCid(sub(col(vecCol), j, subDim), book(j))): _*)
+    val codes = allCodes(emb.sparkSession, col(vecCol), book)
     // |reconstruction|² = Σ_j |centroid_{j,code_j}|² (norms per cell
     // are a model-side literal; the lookup is m element_ats)
     val cellNormSq = typedLit(book.map(_.map(c => c.map(x => x * x).sum)))
     val normSq = aggregate(
-      zip_with(cellNormSq, codes, (norms, c) => element_at(norms, c + 1)),
+      zip_with(cellNormSq, col("codes"), (norms, c) => element_at(norms, c + 1)),
       lit(0.0), (acc, x) => acc + x)
-    emb.select(col(idCol), codes.as("codes"), sqrt(normSq).as("recon_norm"))
+    emb.select(col(idCol), codes.as("codes"))
+      .select(col(idCol), col("codes"), sqrt(normSq).as("recon_norm"))
   }
 
   /** Top-`topK` approximate-cosine neighbours per query over the
