@@ -103,11 +103,7 @@ object PrefixFilterJoin {
       .groupBy("tk")
       .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
       .filter(size(ds) >= 2)
-      .select(explode(flatten(transform(
-        sequence(lit(1), size(ds) - 1),
-        i => transform(
-          sequence(i + 1, size(ds)),
-          j => struct(element_at(ds, i).as("a"), element_at(ds, j).as("b")))))).as("p"))
+      .select(explode(graft.functions.OrderedPairs(prefix.sparkSession, ds)).as("p"))
       .select(col("p.a").as("a_id"), col("p.b").as("b_id"))
       .distinct()
 

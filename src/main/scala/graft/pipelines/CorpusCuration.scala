@@ -87,12 +87,8 @@ object CorpusCuration {
     val pairs = sh.groupBy("s")
       .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
       .filter(size(ds).between(2, cfg.maxPostingLen))
-      .select(explode(flatten(transform(
-        sequence(lit(1), size(ds) - 1),
-        i => transform(
-          sequence(i + 1, size(ds)),
-          j => struct(element_at(ds, i).as("da"), element_at(ds, j).as("db")))))).as("p"))
-      .groupBy(col("p.da").as("da"), col("p.db").as("db"))
+      .select(explode(graft.functions.OrderedPairs(sh.sparkSession, ds)).as("p"))
+      .groupBy(col("p.a").as("da"), col("p.b").as("db"))
       .agg(count(lit(1)).as("common"))
     val near = pairs
       .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")

@@ -334,11 +334,7 @@ object Round4Queries {
       val half = sh.groupBy("sh")
         .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
         .filter(size(ds).between(2, 100000))
-        .select(explode(flatten(transform(
-          sequence(lit(1), size(ds) - 1),
-          i => transform(
-            sequence(i + 1, size(ds)),
-            j => struct(element_at(ds, i).as("a"), element_at(ds, j).as("b")))))).as("p"))
+        .select(explode(graft.functions.OrderedPairs(s, ds)).as("p"))
         .groupBy(col("p.a").as("a_id"), col("p.b").as("b_id"))
         .agg(count(lit(1)).as("shared"))
       val pairs = half.unionAll(half.select(

@@ -103,8 +103,9 @@ object TextQueries {
   private[queries] def jaccardPairsFrom(sh: DataFrame): DataFrame = {
       val sizes = sh.groupBy("doc_id").agg(countDistinct(col("s")).as("n"))
       // Postings-list pair expansion: group each shingle's (sorted,
-      // deduped) doc list and emit its pairs with array HOFs — one
-      // shuffle less than the self-join form and no hash build.
+      // deduped) doc list and emit its pairs with the codegen'd
+      // OrderedPairs expression — one shuffle less than the
+      // self-join form, no hash build, no interpreted per-pair HOFs.
       // Shingles shared by >1000 docs are non-discriminative
       // boilerplate; the cap bounds the quadratic expansion at scale
       // (never fires on this corpus: max posting list is ~25, so the
@@ -113,13 +114,8 @@ object TextQueries {
       val pairs = sh.groupBy("s")
         .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
         .filter(size(ds).between(2, 1000))
-        .select(explode(flatten(transform(
-          sequence(lit(1), size(ds) - 1),
-          i => transform(
-            sequence(i + 1, size(ds)),
-            j => struct(element_at(ds, i).as("doc_a"),
-              element_at(ds, j).as("doc_b")))))).as("p"))
-        .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+        .select(explode(graft.functions.OrderedPairs(sh.sparkSession, ds)).as("p"))
+        .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(count(lit(1)).as("common"))
       pairs
