@@ -43,7 +43,7 @@ object Round101Queries {
     * gate-harness twin of sizing shuffle partitions to the data,
     * the exact tuning a real deployment applies per stream.
     */
-  private val StreamGateShufflePartitions = 8
+  private val StreamGateShufflePartitions = 4
 
   /** Run a streaming gate body in its own temp dir — with the gate
     * shuffle fan-out above — and delete the dir EAGERLY once the
