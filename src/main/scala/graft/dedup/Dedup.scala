@@ -133,6 +133,91 @@ object Dedup extends Logging {
       .select(col("doc_id").cast(idType), col("cluster_id").cast(idType))
   }
 
+  /** Multi-threshold bond-percolation census over a weighted
+    * undirected graph `weighted` (u, v, w): for every threshold t,
+    * the component structure of the subgraph keeping edges with
+    * w ≥ t — (threshold, n_nodes, n_components, giant), where
+    * n_nodes counts nodes incident to a kept edge.
+    *
+    * Thresholded edge sets are NESTED (t₂ ≥ t₁ ⇒ E_{t₂} ⊆ E_{t₁}),
+    * so below `localEdgeCap` the whole census is ONE driver pass:
+    * collect the edges once, process thresholds in descending order,
+    * and union each threshold's incremental edges into a single
+    * size-tracking union-find — O(E·α) total instead of |thresholds|
+    * separate collect + solve + aggregate rounds (the previous q456
+    * shape). Above the cap each threshold falls back to the
+    * distributed `clusters` path and an aggregation, which is the
+    * 100 TB shape; both paths produce identical exact-integer rows.
+    */
+  def percolation(
+      weighted: DataFrame,
+      thresholds: Seq[Long],
+      maxIters: Int = 8,
+      localEdgeCap: Long = 1L << 20): DataFrame = {
+    val spark = weighted.sparkSession
+    import spark.implicits._
+    val thrDesc = thresholds.distinct.sorted.reverse
+    val minThr = thrDesc.last
+    val kept = weighted
+      .filter(col("w") >= minThr)
+      .select(col("u").cast("long"), col("v").cast("long"),
+        col("w").cast("long"))
+      .localCheckpoint()
+    if (kept.count() <= localEdgeCap) {
+      // bounded-collect: O(localEdgeCap) — gated on the count above,
+      // same small-side principle as localClusters
+      val es = kept.as[(Long, Long, Long)].collect()
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      val size = scala.collection.mutable.Map.empty[Long, Long]
+      var nNodes = 0L
+      var nComponents = 0L
+      var giant = 0L
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      def touch(x: Long): Unit =
+        if (!parent.contains(x)) {
+          parent(x) = x; size(x) = 1L
+          nNodes += 1L; nComponents += 1L
+          if (giant < 1L) giant = 1L
+        }
+      val byThr = es.groupBy { case (_, _, w) =>
+        thrDesc.find(w >= _).get // w ≥ minThr, so some threshold matches
+      }
+      val rows = thrDesc.map { thr =>
+        byThr.getOrElse(thr, Array.empty[(Long, Long, Long)]).foreach {
+          case (a, b, _) =>
+            touch(a); touch(b)
+            val (ra, rb) = (find(a), find(b))
+            if (ra != rb) {
+              val (lo, hi) = (math.min(ra, rb), math.max(ra, rb))
+              parent(hi) = lo
+              size(lo) = size(lo) + size(hi)
+              nComponents -= 1L
+              if (size(lo) > giant) giant = size(lo)
+            }
+        }
+        (thr, nNodes, nComponents, giant)
+      }
+      rows.toDF("threshold", "n_nodes", "n_components", "giant")
+    } else {
+      thrDesc.map { thr =>
+        clusters(kept.filter(col("w") >= thr)
+            .select(col("u").as("doc_a"), col("v").as("doc_b")),
+          maxIters, localEdgeCap)
+          .groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+          .agg(count(lit(1)).as("n_components"), sum("sz").as("n_nodes"),
+            max("sz").as("giant"))
+          .select(lit(thr).as("threshold"), col("n_nodes"),
+            col("n_components"), col("giant"))
+      }.reduce(_ unionAll _)
+    }
+  }
+
   /** Remove near-duplicates: given the corpus and its near-dup pairs,
     * keep the lowest-id document of every cluster (plus all unpaired
     * docs untouched).

@@ -84,24 +84,20 @@ object Round87Queries {
   private val q456 = QueryDef(
     "q456_percolation",
     (s, dir) => {
-      val pw = copurchase(s, dir).localCheckpoint()
-      val rows = Seq(1L, 2L, 3L).map { thr =>
-        val pairs = pw.filter(col("w") >= thr)
-          .select(col("u").as("doc_a"), col("v").as("doc_b"))
-        // co-purchase graphs stay modest (≤ a few M edges even at
-        // sf1), so route all three thresholds through the exact
-        // driver union-find — measured ~4x faster than the
-        // label-propagation path the default cap falls back to
-        Dedup.clusters(pairs, maxIters = 20, localEdgeCap = 1L << 23)
-          .groupBy("cluster_id").agg(count(lit(1)).as("sz"))
-          .agg(count(lit(1)).as("n_components"),
-            sum("sz").as("n_nodes"), max("sz").as("giant"))
-          .select(lit(thr).as("threshold"), col("n_nodes"),
-            col("n_components"), col("giant"),
-            (col("giant").cast("double") / col("n_nodes").cast("double"))
-              .as("giant_share"))
-      }
-      rows.reduce(_ unionAll _).orderBy("threshold")
+      // one-pass incremental census: the three thresholded edge sets
+      // are nested, so Dedup.percolation collects the weighted edges
+      // ONCE and grows a single size-tracking union-find from thr=3
+      // down to thr=1 — replacing three independent collect + solve +
+      // aggregate rounds (co-purchase graphs stay ≤ a few M edges
+      // even at sf1, well under the cap; past it the same call falls
+      // back to per-threshold distributed label propagation)
+      Dedup.percolation(copurchase(s, dir), Seq(1L, 2L, 3L),
+          maxIters = 20, localEdgeCap = 1L << 23)
+        .select(col("threshold"), col("n_nodes"), col("n_components"),
+          col("giant"),
+          (col("giant").cast("double") / col("n_nodes").cast("double"))
+            .as("giant_share"))
+        .orderBy("threshold")
     },
     Some {
       def perThreshold(thr: Int): String = {

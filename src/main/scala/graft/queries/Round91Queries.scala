@@ -21,8 +21,6 @@ object Round91Queries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  private val Q = 1048576L
-
   private def dec38(c: Column): Column = c.cast(DecimalType(38, 0))
 
   private def cents: Column =
@@ -149,21 +147,22 @@ object Round91Queries {
     (s, dir) => {
       // pool = SamplePools.DbscanPool-sized id-prefix sample; the
       // iteration below is O(pool²) and NEVER sees the full corpus.
-      // (A zip_with-fold pair-join variant was measured and rejected:
-      // the per-dimension explode + grouped sum stays fully codegen'd
-      // and beats the interpreted HOF lambdas at this shape.)
-      val vd = t(s, dir, "embeddings")
+      // Pairwise distances: broadcast pair join + the codegen'd
+      // QuantizedL2 loop (one fused loop per candidate pair). This
+      // replaced a per-dimension posexplode → 64-key shuffle join →
+      // pool²·dims-row hash aggregate; bit-identical LONG distances
+      // on the same ⌊x·2²⁰⌋ lattice as the oracle. (A zip_with-fold
+      // HOF variant was also measured and rejected earlier — the
+      // interpreted lambdas lose to both codegen forms.)
+      val vecs = t(s, dir, "embeddings")
         .filter(col("vec_id") < SamplePools.DbscanPool)
-        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
-        .select(col("vec_id"), col("d"),
-          floor(col("x").cast("double") * lit(Q.toDouble))
-            .cast(LongType).as("q"))
+        .select(col("vec_id"), col("embedding"))
         .localCheckpoint()
-      val d2 = vd.as("a").join(vd.as("b"), Seq("d"))
-        .filter(col("a.vec_id") < col("b.vec_id"))
-        .groupBy(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
-        .agg(sum((col("a.q") - col("b.q")) * (col("a.q") - col("b.q")))
-          .as("d2"))
+      val d2 = vecs.as("a")
+        .join(broadcast(vecs.as("b")), col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+          graft.functions.QuantizedL2(s, col("a.embedding"),
+            col("b.embedding")).as("d2"))
         .localCheckpoint()
       val eps = d2.agg(
         expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY d2)")
@@ -181,33 +180,43 @@ object Round91Queries {
         .join(core.select(col("v").as("va")), Seq("va"))
         .join(core.select(col("v").as("vb")), Seq("vb"))
         .select(col("va").as("doc_a"), col("vb").as("doc_b"))
+        .localCheckpoint()
       val compRow = Dedup.clusters(coreEdges, localEdgeCap = 1L << 23)
         .groupBy("cluster_id").agg(count(lit(1)).as("sz"))
         .agg(count(lit(1)).as("n_clusters"),
           coalesce(max("sz"), lit(0L)).as("giant"))
         // bounded-collect: one fully-aggregated summary row
         .collect()(0)
-      val coresInEdges = coreEdges
-        .select(col("doc_a").as("v"))
-        .unionAll(coreEdges.select(col("doc_b").as("v")))
-        .distinct().count()
-      val nAll = vd.select("vec_id").distinct().count()
-      val nCore = core.count()
-      // a core point with no core NEIGHBOR is still its own DBSCAN
-      // cluster — union-find only sees edge endpoints, so add the
-      // isolated cores back (the oracle mirrors this)
-      val isolated = nCore - coresInEdges
-      val nClusters = compRow.getLong(0) + isolated
-      val giant =
-        if (compRow.getLong(1) == 0L && isolated > 0L) 1L
-        else compRow.getLong(1)
-      val border = nbr
+      val borderSet = nbr
         .select(col("va").as("v"), col("vb").as("o"))
         .unionAll(nbr.select(col("vb").as("v"), col("va").as("o")))
         .join(core.select(col("v").as("o")), Seq("o"))
         .select("v").distinct()
         .join(core, Seq("v"), "left_anti")
-        .count()
+      // the four census counts run as ONE action (cross-joined
+      // single-row aggregates over the checkpointed frames) instead
+      // of four sequential jobs — same exact longs, a quarter of the
+      // scheduler round-trips
+      val census = vecs.agg(countDistinct("vec_id").as("n_points"))
+        .crossJoin(core.agg(count(lit(1)).as("n_core")))
+        .crossJoin(borderSet.agg(count(lit(1)).as("n_border")))
+        .crossJoin(coreEdges
+          .select(col("doc_a").as("v"))
+          .unionAll(coreEdges.select(col("doc_b").as("v")))
+          .distinct().agg(count(lit(1)).as("n_core_in_edges")))
+        // bounded-collect: one fully-aggregated summary row
+        .collect()(0)
+      val nAll = census.getLong(0)
+      val nCore = census.getLong(1)
+      val border = census.getLong(2)
+      // a core point with no core NEIGHBOR is still its own DBSCAN
+      // cluster — union-find only sees edge endpoints, so add the
+      // isolated cores back (the oracle mirrors this)
+      val isolated = nCore - census.getLong(3)
+      val nClusters = compRow.getLong(0) + isolated
+      val giant =
+        if (compRow.getLong(1) == 0L && isolated > 0L) 1L
+        else compRow.getLong(1)
       import s.implicits._
       Seq((nAll, nCore, border, nAll - nCore - border, nClusters, giant))
         .toDF("n_points", "n_core", "n_border", "n_noise",

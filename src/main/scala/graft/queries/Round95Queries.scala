@@ -50,23 +50,29 @@ object Round95Queries {
   private val q492 = QueryDef(
     "q492_link_prediction",
     (s, dir) => {
-      def graphOf(pred: Column): DataFrame = {
-        val op = t(s, dir, "lineitem")
-          .join(t(s, dir, "orders").select(col("o_orderkey"),
-            to_date(col("o_orderdate")).as("od")),
-            col("l_orderkey") === col("o_orderkey"))
-          .filter(pred)
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-          .distinct()
-        op.as("a").join(op.as("b"), Seq("o"))
-          .filter(col("a.p") < col("b.p"))
-          .groupBy(col("a.p").as("u"), col("b.p").as("v"))
-          .agg(count(lit(1)).as("w"))
-          .filter(col("w") >= 2).select("u", "v")
-      }
+      // ONE pass builds both period graphs: the train/test split is a
+      // function of the order (od < cut), so tagging each (order,
+      // part) row with its period and grouping the self-join by
+      // (period, u, v) yields both edge sets from a single
+      // lineitem∙orders scan + one co-occurrence shuffle — the
+      // previous two-graphOf() form paid that pipeline twice.
       val cut = lit("1999-01-01").cast(DateType)
-      val train = graphOf(col("od") < cut).localCheckpoint()
-      val test = graphOf(col("od") >= cut)
+      val op = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders").select(col("o_orderkey"),
+          to_date(col("o_orderdate")).as("od")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"),
+          (col("od") < cut).as("is_train"))
+        .distinct()
+      val edges = op.as("a").join(op.as("b"), Seq("o"))
+        .filter(col("a.p") < col("b.p"))
+        .groupBy(col("a.is_train").as("is_train"),
+          col("a.p").as("u"), col("b.p").as("v"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2).select("is_train", "u", "v")
+        .localCheckpoint()
+      val train = edges.filter(col("is_train")).select("u", "v")
+      val test = edges.filter(!col("is_train")).select("u", "v")
         .join(train, Seq("u", "v"), "left_anti")
         .localCheckpoint()
       val sym = train.unionAll(train.select(col("v").as("u"),
@@ -77,9 +83,11 @@ object Round95Queries {
         .groupBy(col("e1.u").as("u"), col("e2.v").as("v"))
         .agg(count(lit(1)).as("cn"))
         .join(train, Seq("u", "v"), "left_anti")
-      val w = Window.orderBy(col("cn").desc, col("u"), col("v"))
-      val top = cand.withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 100)
+      // (cn DESC, u, v) is a total order over unique (u, v) pairs, so
+      // top-100 via sort+limit ≡ the row_number()-window form — but
+      // plans as a distributed TakeOrderedAndProject instead of a
+      // single-partition global window over every candidate pair.
+      val top = cand.orderBy(col("cn").desc, col("u"), col("v")).limit(100)
       val hits = top.join(test, Seq("u", "v")).agg(count(lit(1)).as("h"))
       test.agg(count(lit(1)).as("n_test_new"))
         .crossJoin(hits)
