@@ -196,19 +196,35 @@ object Round95Queries {
         .unionAll(e.select(col("v").as("n")))
         .groupBy("n").agg(count(lit(1)).as("deg"))
         .localCheckpoint()
-      val rows = Seq(5L, 10L, 20L, 40L).map { k =>
-        val rich = deg.filter(col("deg") > k).select("n")
-        val nk = rich.count()
-        val ek = e.join(rich.select(col("n").as("u")), Seq("u"))
-          .join(rich.select(col("n").as("v")), Seq("v"))
-          .count()
-        (k, nk, ek,
-          if (nk >= 2) 2.0 * ek / (nk.toDouble * (nk - 1).toDouble)
-          else Double.NaN)
-      }
-      import s.implicits._
-      rows.toDF("k", "n_rich", "e_rich", "phi")
+      // the four thresholded subgraphs are nested, and an edge
+      // survives threshold k iff min(deg_u, deg_v) > k — so ONE
+      // degree-annotated pass over the edges plus one pass over the
+      // degree table yields every E_k and N_k as conditional sums
+      // (was: a count + induced-subgraph-join count per threshold,
+      // eight driver actions)
+      val md = e
+        .join(deg.select(col("n").as("u"), col("deg").as("du")), Seq("u"))
+        .join(deg.select(col("n").as("v"), col("deg").as("dv")), Seq("v"))
+        .select(least(col("du"), col("dv")).as("md"))
+      def over(c: Column, k: Long): Column =
+        sum(when(c > k, 1L).otherwise(0L))
+      val ks = Seq(5L, 10L, 20L, 40L)
+      val eAgg = md.agg(over(col("md"), ks.head).as("e5"),
+        over(col("md"), ks(1)).as("e10"), over(col("md"), ks(2)).as("e20"),
+        over(col("md"), ks(3)).as("e40"))
+      val nAgg = deg.agg(over(col("deg"), ks.head).as("n5"),
+        over(col("deg"), ks(1)).as("n10"), over(col("deg"), ks(2)).as("n20"),
+        over(col("deg"), ks(3)).as("n40"))
+      nAgg.crossJoin(eAgg)
+        .select(expr("stack(4, CAST(5 AS BIGINT), n5, e5, " +
+          "CAST(10 AS BIGINT), n10, e10, CAST(20 AS BIGINT), n20, e20, " +
+          "CAST(40 AS BIGINT), n40, e40)")
+          .as(Seq("k", "n_rich", "e_rich")))
         .filter(col("n_rich") >= 2)
+        .withColumn("phi",
+          (lit(2.0) * col("e_rich").cast("double")) /
+            (col("n_rich").cast("double") *
+              (col("n_rich") - 1L).cast("double")))
         .orderBy("k")
     },
     Some(s"""WITH $edges2Sql,

@@ -134,15 +134,18 @@ object Round96Queries {
           expr("unix_micros(ts)").as("us"))
         .withColumn("prev_us", lag(col("us"), 1).over(w))
         .withColumn("gap_us", col("us") - col("prev_us"))
-        .localCheckpoint()
-      val n = gaps.count()
-      import s.implicits._
-      val rows = Seq(600L, 1800L, 3600L).map { g =>
-        val starts = gaps.filter(col("prev_us").isNull ||
-          col("gap_us") > g * 1000000L).count()
-        (g, starts, n)
-      }
-      rows.toDF("gap_seconds", "n_sessions", "n_events")
+      // all three thresholds fold into ONE conditional aggregation
+      // over one pass of the gap stream (was: a checkpoint plus a
+      // separate count job per threshold), then unpivot via stack —
+      // no driver action in the gate at all
+      def starts(g: Long): Column =
+        sum(when(col("prev_us").isNull ||
+          col("gap_us") > g * 1000000L, 1L).otherwise(0L))
+      gaps.agg(count(lit(1)).as("n"), starts(600L).as("s600"),
+          starts(1800L).as("s1800"), starts(3600L).as("s3600"))
+        .select(expr("stack(3, CAST(600 AS BIGINT), s600, " +
+          "CAST(1800 AS BIGINT), s1800, CAST(3600 AS BIGINT), s3600)")
+          .as(Seq("gap_seconds", "n_sessions")), col("n").as("n_events"))
         .withColumn("events_per_session",
           col("n_events").cast("double") / col("n_sessions").cast("double"))
         .orderBy("gap_seconds")
@@ -178,21 +181,30 @@ object Round96Queries {
     "q500_curation_report",
     (s, dir) => {
       val docs = t(s, dir, "documents").localCheckpoint()
-      val nDocs = docs.count()
-      val nLangs = docs.select("lang").distinct().count()
-      val nUniqueTexts = docs.select("text").distinct().count()
-      val tok = docs.select(col("doc_id"),
-        explode(split(col("text"), " ")).as("tk"))
-      val tokStats = tok.groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tok"), max("tk").as("_m"))
-      val totalTok = tok.count()
-      val topShare = tok.groupBy("doc_id", "tk")
-        .agg(count(lit(1)).as("c"))
-        .groupBy("doc_id").agg(max("c").as("top_c"))
-      val quality = tokStats.join(topShare, Seq("doc_id"))
-        .filter(col("n_tok") < 10 ||
-          lit(4L) * col("top_c") >= col("n_tok"))
-        .count()
+      // doc-level inventory and the whole token census in TWO actions
+      // instead of five: one agg over docs, and one explode → per-
+      // (doc, term) counts → per-doc rollup (n_tok = Σc, top_c =
+      // max c) → corpus rollup — the previous shape exploded the
+      // corpus twice and joined the halves back.
+      val byTok = docs.select(col("doc_id"),
+          explode(split(col("text"), " ")).as("tk"))
+        .groupBy("doc_id", "tk").agg(count(lit(1)).as("c"))
+      val perDoc = byTok.groupBy("doc_id")
+        .agg(sum("c").as("n_tok"), max("c").as("top_c"))
+      val head = docs.agg(count(lit(1)).as("n_docs"),
+          countDistinct("lang").as("n_langs"),
+          countDistinct("text").as("n_uniq"))
+        .crossJoin(perDoc.agg(sum("n_tok").as("n_tokens"),
+          sum(when(col("n_tok") < 10 ||
+            lit(4L) * col("top_c") >= col("n_tok"), 1L).otherwise(0L))
+            .as("n_quality_fail")))
+        // bounded-collect: one fully-aggregated summary row
+        .collect()(0)
+      val nDocs = head.getLong(0)
+      val nLangs = head.getLong(1)
+      val nUniqueTexts = head.getLong(2)
+      val totalTok = head.getLong(3)
+      val quality = head.getLong(4)
       val pairs = TextQueries.jaccardPairsFrom(
         TextQueries.shinglePostings(s, dir).persist())
         .select(col("doc_a"), col("doc_b"))
