@@ -38,10 +38,13 @@ object Round72Queries {
         .distinct()
         .localCheckpoint()
       val h1 = e.filter(col("u") % 50 === 0)
+      // EXCEPT h1 ≡ left_anti on (u, v) here (both sides already
+      // distinct), and h1 is probe-bounded → broadcast the anti side
+      // instead of shuffling the full 2-hop set through a set-op
       val h2 = h1.as("x").join(e.as("y"), col("x.v") === col("y.u"))
         .select(col("x.u").as("u"), col("y.v").as("v"))
         .filter(col("u") =!= col("v")).distinct()
-        .except(h1)
+        .join(broadcast(h1), Seq("u", "v"), "left_anti")
       val c1 = h1.groupBy("u").agg(count(lit(1)).as("n1"))
       val c2 = h2.groupBy("u").agg(count(lit(1)).as("n2"))
       c1.join(c2, Seq("u"), "left")
