@@ -38,8 +38,8 @@ object Round91Queries {
   // past that the hint comes off and the join falls back to a
   // shuffle keyed like the cached edge layout — only the O(1) norm
   // scalars are irreducibly driver-bound. Every Σ is
-  // a LEFT fold in neighbor-id order (`aggregate` over
-  // `array_sort(collect_list(struct(key, val)))` ≡ the oracle's
+  // a LEFT fold in neighbor-id order (the codegen'd KeyOrderedFold
+  // over `collect_list(struct(key, val))` ≡ the oracle's
   // `list_reduce(list(x ORDER BY key))`; the 0.0 seed is exact
   // because 0.0 + x == x for the strictly positive terms), so six
   // rounds of float arithmetic stay bit-identical to the SQL oracle
@@ -67,14 +67,16 @@ object Round91Queries {
       val eP = edges.repartition(8, col("p")).persist()
       val eU = edges.repartition(8, col("u")).persist()
       // ordered left fold of `v` in ascending `key` order (key is
-      // unique within each group, so the struct sort is total)
+      // unique within each group, so the struct sort is total);
+      // KeyOrderedFold = one compiled sort+fold loop per group,
+      // bit-identical to the aggregate∘transform∘array_sort HOF
+      // stack it replaced (KeyOrderedFoldSpec pins the parity)
       def foldSum(key: String, v: String): Column =
-        expr(s"aggregate(transform(array_sort(collect_list(" +
-          s"struct($key, $v))), e -> e.$v), 0.0D, (acc, x) -> acc + x)")
+        graft.functions.KeyOrderedFold.sum(
+          s, collect_list(struct(col(key), col(v))))
       def foldSumSq(key: String, v: String): Column =
-        expr(s"sqrt(aggregate(transform(array_sort(collect_list(" +
-          s"struct($key, $v))), e -> e.$v * e.$v), 0.0D, " +
-          "(acc, x) -> acc + x))")
+        sqrt(graft.functions.KeyOrderedFold.sumSq(
+          s, collect_list(struct(col(key), col(v)))))
       var h = eU.select("u").distinct()
         .select(col("u"), lit(1.0).as("h")).localCheckpoint()
       var a: DataFrame = null
@@ -84,16 +86,20 @@ object Round91Queries {
       // half-step all read the materialized O(nodes) frame instead of
       // re-running the corpus-sized join (unmaterialized, the embedded
       // norm broadcast re-evaluates the join 3× per half-step)
+      // lazy checkpoints: the norm aggregation (first consumer) is
+      // the job that materializes each raw frame — an eager
+      // localCheckpoint would pay a 13th-24th scheduling round just
+      // to count rows nobody reads
       for (_ <- 1 to 6) {
         val aRaw = eP.join(broadcast(h), "u").groupBy("p")
           .agg(foldSum("u", "h").as("araw"))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         val aNrm = aRaw.agg(foldSumSq("p", "araw").as("nrm"))
         a = aRaw.crossJoin(broadcast(aNrm))
           .select(col("p"), (col("araw") / col("nrm")).as("a"))
         val hRaw = eU.join(broadcast(a), "p").groupBy("u")
           .agg(foldSum("p", "a").as("hraw"))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         val hNrm = hRaw.agg(foldSumSq("u", "hraw").as("nrm"))
         h = hRaw.crossJoin(broadcast(hNrm))
           .select(col("u"), (col("hraw") / col("nrm")).as("h"))
