@@ -123,10 +123,11 @@ object Round89Queries {
       .filter(col("a.p") =!= col("b.p"))
       .groupBy(col("a.p").as("part"), col("b.p").as("rec"))
       .agg(count(lit(1)).as("w"))
-    val wnd = Window.partitionBy("part")
-      .orderBy(col("w").desc, col("rec"))
-    co.withColumn("rk", row_number().over(wnd))
-      .filter(col("rk") <= 3)
+    // top-3 through bounded heaps (map-side capped to 3 per part per
+    // partition) instead of a full window sort of every co-pair; the
+    // (w desc, rec) ordering is total per part, so ranks ≡ row_number
+    graft.plans.TopKPerKey.perKey(co, Seq("part"),
+        Seq(col("w").desc, col("rec")), 3)
       .select("part", "rec", "rk")
   }
 
