@@ -162,7 +162,16 @@ object Round94Queries {
         TextQueries.shinglePostings(s, dir).persist())
         .select(col("doc_a"), col("doc_b"))
         .localCheckpoint()
+      // only documents that appear in a verified pair are ever read
+      // by the clipped-count joins or the brevity length — build the
+      // gram tables for THAT set (pair-bounded), not the corpus: the
+      // two corpus-sized explode→groupBy gram builds disappear and
+      // every downstream join is candidate-sized
+      val pairDocs = pairs.select(col("doc_a").as("doc_id"))
+        .unionAll(pairs.select(col("doc_b").as("doc_id")))
+        .distinct()
       val docs = t(s, dir, "documents")
+        .join(broadcast(pairDocs), Seq("doc_id"))
       val uni = docs.select(col("doc_id"),
           explode(split(col("text"), " ")).as("g"))
         .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
