@@ -1,9 +1,7 @@
 package graft.dev
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DateType
 
 /** Throwaway measurement harness for plan experiments (not part of
   * the library surface; contents change per investigation).
@@ -18,28 +16,39 @@ object Scratch {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.1"
 
-    def co(): DataFrame = {
-      val trainOrders = graft.Tables.load(spark, dir, "orders")
-        .filter(to_date(col("o_orderdate")) < lit("1999-01-01").cast(DateType))
-        .select(col("o_orderkey"))
-      val op = graft.Tables.load(spark, dir, "lineitem")
-        .join(trainOrders, col("l_orderkey") === col("o_orderkey"))
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+    def viaString(): DataFrame = {
+      val e0 = graft.Tables.load(spark, dir, "lineitem")
+        .join(graft.Tables.load(spark, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
         .distinct()
-      op.as("a").join(op.as("b"), Seq("o"))
-        .filter(col("a.p") =!= col("b.p"))
-        .groupBy(col("a.p").as("part"), col("b.p").as("rec"))
-        .agg(count(lit(1)).as("w"))
+        .persist()
+      val edges = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+      graft.operators.PageRank.ranks(edges, iters = 2)
+        .select(col("node"), col("r").as("rank_fp"))
+        .orderBy(col("rank_fp").desc, col("node"))
+        .limit(20)
     }
 
-    def viaWindow(): DataFrame = {
-      val wnd = Window.partitionBy("part").orderBy(col("w").desc, col("rec"))
-      co().withColumn("rk", row_number().over(wnd))
-        .filter(col("rk") <= 3).select("part", "rec", "rk")
+    def viaLong(): DataFrame = {
+      val e0 = graft.Tables.load(spark, dir, "lineitem")
+        .join(graft.Tables.load(spark, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+        .persist()
+      val edges = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+      graft.operators.PageRank.ranks(edges, iters = 2)
+        .select(
+          when(col("node") % 2 === 0, concat(lit("c"), (col("node") / 2).cast("long")))
+            .otherwise(concat(lit("s"), ((col("node") - 1) / 2).cast("long")))
+            .as("node"),
+          col("r").as("rank_fp"))
+        .orderBy(col("rank_fp").desc, col("node"))
+        .limit(20)
     }
-    def viaHeap(): DataFrame =
-      graft.plans.TopKPerKey.perKey(co(), Seq("part"),
-        Seq(col("w").desc, col("rec")), 3).select("part", "rec", "rk")
 
     def time(label: String, mk: () => DataFrame): Unit = {
       mk().count()
@@ -48,10 +57,14 @@ object Scratch {
       val t2 = System.nanoTime()
       println(f"SCRATCH $label ${math.min(t1 - t0, t2 - t1) / 1e9}%.3f")
     }
-    time("window", () => viaWindow())
-    time("heap", () => viaHeap())
-    time("window2", () => viaWindow())
-    time("heap2", () => viaHeap())
+    // parity check first: same top-20
+    val a = viaString().collect().map(_.toString).toSeq
+    val b = viaLong().collect().map(_.toString).toSeq
+    println("SCRATCH parity " + (a == b))
+    time("string", () => viaString())
+    time("long", () => viaLong())
+    time("string2", () => viaString())
+    time("long2", () => viaLong())
     spark.stop()
   }
 }
