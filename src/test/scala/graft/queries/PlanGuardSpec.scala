@@ -113,6 +113,36 @@ class PlanGuardSpec extends SparkSpec {
       "q52 fell back to a full per-doc window sort")
   }
 
+  test("the rec model builds its top-3 through the bounded-heap operator") {
+    val dir = "/root/testdata/sf0.001"
+    // the shared item-item recs model (q463/q466) must keep its
+    // TopKPerKey top-3, not fall back to a full window sort of every
+    // co-purchase pair. Checked on the builder itself: the gates wrap
+    // it in localCheckpoint, which truncates their visible plans.
+    val plan = Round89Queries.recs(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"),
+      "recs model lost the TopKPerKey bounded-heap top-3")
+    assert(!plan.contains("Window"),
+      "recs model fell back to a full per-part window sort")
+  }
+
+  test("q472 folds through the codegen'd KeyOrderedFold") {
+    // the twelve half-step folds must stay one compiled loop per
+    // group — an interpreted aggregate/array_sort stack reappearing
+    // here is the CPU regression KeyOrderedFold removed. The gate's
+    // half-steps sit behind lazy localCheckpoints (plan truncated),
+    // so this pins the source, like the collect audit does.
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(
+        "src/main/scala/graft/queries/Round91Queries.scala")), "UTF-8")
+    assert(src.contains("KeyOrderedFold.sum") &&
+      src.contains("KeyOrderedFold.sumSq"),
+      "q472 lost the codegen'd ordered folds")
+    assert(!src.contains("array_sort(collect_list"),
+      "q472 fell back to the interpreted array_sort fold stack")
+  }
+
   test("no nested-loop or cartesian joins in shuffle-sensitive queries") {
     val dir = "/root/testdata/sf0.001"
     guarded.foreach { name =>
