@@ -58,6 +58,7 @@ object Scratch {
       println(f"SCRATCH $label ${math.min(t1 - t0, t2 - t1) / 1e9}%.3f")
     }
     // parity check first: same top-20
+    // bounded-collect: both frames are .limit(20) outputs
     val a = viaString().collect().map(_.toString).toSeq
     val b = viaLong().collect().map(_.toString).toSeq
     println("SCRATCH parity " + (a == b))
