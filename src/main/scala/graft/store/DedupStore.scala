@@ -46,8 +46,12 @@ final class DedupStore(
 
   def corpus: Option[DataFrame] = store.read(docsPart)
 
+  // NULL bloom cell = "no keys admitted yet" (an empty corpus after a
+  // fully-duplicate or empty first batch) — flattened to None so every
+  // consumer treats it as filter-absent
   private def bloomBytes: Option[Array[Byte]] =
-    store.read(bloomPart).map(_.head().getAs[Array[Byte]]("bloom"))
+    store.read(bloomPart)
+      .flatMap(df => Option(df.head().getAs[Array[Byte]]("bloom")))
 
   /** Admit one batch; returns the number of documents actually added
     * (0 on a replayed batch id).
@@ -79,16 +83,26 @@ final class DedupStore(
     val added = freshMat.count()
 
     // fold the batch filter into the stored one (OR-merge) — the only
-    // driver-side state is the filter itself
-    val batchBits = BloomDedup.buildFilter(freshMat, Seq(keyCol), expectedItems)
-    val mergedBits = bloomBytes match {
-      case Some(old) =>
+    // driver-side state is the filter itself. A fully-duplicate batch
+    // admits nothing and must leave the filter unchanged:
+    // BloomFilterAggregate over zero rows yields NULL, which would
+    // poison every later merge (found by DedupStorePropertiesSpec).
+    val batchBits =
+      if (added == 0L) None
+      else Some(BloomDedup.buildFilter(freshMat, Seq(keyCol), expectedItems))
+    val mergedBits = (bloomBytes, batchBits) match {
+      case (Some(old), Some(bits)) =>
         val f = BloomFilter.readFrom(old)
-        f.mergeInPlace(BloomFilter.readFrom(batchBits))
+        f.mergeInPlace(BloomFilter.readFrom(bits))
         val out = new ByteArrayOutputStream()
         f.writeTo(out)
         out.toByteArray
-      case None => batchBits
+      case (Some(old), None) => old
+      case (None, Some(bits)) => bits
+      // nothing admitted yet at all: keep the NULL "no filter" cell —
+      // only aggregate-built filters are ever stored, so merges never
+      // see a driver-built filter with an incompatible bit size
+      case (None, None) => null
     }
 
     val newDocs = corpus.fold(freshMat)(_.unionByName(freshMat).localCheckpoint())
