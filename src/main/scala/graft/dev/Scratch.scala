@@ -1,7 +1,9 @@
 package graft.dev
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Throwaway measurement harness for plan experiments (not part of
   * the library surface; contents change per investigation).
@@ -16,38 +18,46 @@ object Scratch {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.1"
 
-    def viaString(): DataFrame = {
-      val e0 = graft.Tables.load(spark, dir, "lineitem")
-        .join(graft.Tables.load(spark, dir, "orders"),
+    def hits(nPart: Int): DataFrame = {
+      val s = spark
+      val edges = graft.Tables.load(s, dir, "lineitem")
+        .join(graft.Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey")),
           col("l_orderkey") === col("o_orderkey"))
-        .select(concat(lit("c"), col("o_custkey")).as("src"),
-          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .select(col("o_custkey").as("u"), col("l_partkey").as("p"))
         .distinct()
-        .persist()
-      val edges = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
-      graft.operators.PageRank.ranks(edges, iters = 2)
-        .select(col("node"), col("r").as("rank_fp"))
-        .orderBy(col("rank_fp").desc, col("node"))
-        .limit(20)
-    }
-
-    def viaLong(): DataFrame = {
-      val e0 = graft.Tables.load(spark, dir, "lineitem")
-        .join(graft.Tables.load(spark, dir, "orders"),
-          col("l_orderkey") === col("o_orderkey"))
-        .select((col("o_custkey") * 2).as("src"),
-          (col("l_suppkey") * 2 + 1).as("dst"))
-        .distinct()
-        .persist()
-      val edges = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
-      graft.operators.PageRank.ranks(edges, iters = 2)
-        .select(
-          when(col("node") % 2 === 0, concat(lit("c"), (col("node") / 2).cast("long")))
-            .otherwise(concat(lit("s"), ((col("node") - 1) / 2).cast("long")))
-            .as("node"),
-          col("r").as("rank_fp"))
-        .orderBy(col("rank_fp").desc, col("node"))
-        .limit(20)
+      val eP = edges.repartition(nPart, col("p")).persist()
+      val eU = edges.repartition(nPart, col("u")).persist()
+      def foldSum(key: String, v: String): Column =
+        graft.functions.KeyOrderedFold.sum(
+          s, collect_list(struct(col(key), col(v))))
+      def foldSumSq(key: String, v: String): Column =
+        sqrt(graft.functions.KeyOrderedFold.sumSq(
+          s, collect_list(struct(col(key), col(v)))))
+      var h = eU.select("u").distinct()
+        .select(col("u"), lit(1.0).as("h")).localCheckpoint()
+      var a: DataFrame = null
+      for (_ <- 1 to 6) {
+        val aRaw = eP.join(broadcast(h), "u").groupBy("p")
+          .agg(foldSum("u", "h").as("araw"))
+          .localCheckpoint(eager = false)
+        val aNrm = aRaw.agg(foldSumSq("p", "araw").as("nrm"))
+        a = aRaw.crossJoin(broadcast(aNrm))
+          .select(col("p"), (col("araw") / col("nrm")).as("a"))
+        val hRaw = eU.join(broadcast(a), "p").groupBy("u")
+          .agg(foldSum("p", "a").as("hraw"))
+          .localCheckpoint(eager = false)
+        val hNrm = hRaw.agg(foldSumSq("u", "hraw").as("nrm"))
+        h = hRaw.crossJoin(broadcast(hNrm))
+          .select(col("u"), (col("hraw") / col("nrm")).as("h"))
+      }
+      eP.unpersist(); eU.unpersist()
+      val top = a.orderBy(col("a").desc, col("p")).limit(10)
+      top.select(
+          row_number().over(Window.orderBy(col("a").desc, col("p")))
+            .cast(LongType).as("rnk"),
+          col("p").cast(LongType).as("part"), col("a").as("authority"))
+        .orderBy("rnk")
     }
 
     def time(label: String, mk: () => DataFrame): Unit = {
@@ -57,15 +67,11 @@ object Scratch {
       val t2 = System.nanoTime()
       println(f"SCRATCH $label ${math.min(t1 - t0, t2 - t1) / 1e9}%.3f")
     }
-    // parity check first: same top-20
-    // bounded-collect: both frames are .limit(20) outputs
-    val a = viaString().collect().map(_.toString).toSeq
-    val b = viaLong().collect().map(_.toString).toSeq
-    println("SCRATCH parity " + (a == b))
-    time("string", () => viaString())
-    time("long", () => viaLong())
-    time("string2", () => viaString())
-    time("long2", () => viaLong())
+    time("p8", () => hits(8))
+    time("p4", () => hits(4))
+    time("p16", () => hits(16))
+    time("p8b", () => hits(8))
+    time("p4b", () => hits(4))
     spark.stop()
   }
 }
