@@ -57,13 +57,56 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
     }
-    val all = SparkEntry.queries.toSeq.sortBy(_._1)
-    val p1 = all.map { case (n, fn) => n -> time(n, fn) }
-    System.gc()
-    val p2 = all.map { case (n, fn) => n -> time(n, fn) }.toMap
-    val results = p1.map { case (n, t) =>
-      n -> math.min(t, p2.getOrElse(n, t))
+
+    // Load canary: fixed CPU-bound work saturating every core, zero
+    // I/O and zero state — its wall time varies ONLY with external
+    // machine load. min-of-two passes strips one-off GC spikes but
+    // NOT sustained contention across both passes (BENCH_r06 showed
+    // 8-14× inflated headline rows from exactly that), so the canary
+    // is timed every ~25 queries through both passes and its max/min
+    // spread is reported in the artifact: a future reader (or gate)
+    // can tell a real regression from a loaded machine without
+    // re-measuring.
+    val canaryTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def canary(): Unit = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 400000000L, 1L, cpus.toInt)
+        .selectExpr("sum(id % 7 + id % 11)").collect()
+      canaryTimes += (System.nanoTime() - t0) / 1e9
     }
+    canary() // codegen warm (discarded)
+    canaryTimes.clear()
+
+    val all = SparkEntry.queries.toSeq.sortBy(_._1)
+    def pass(): Seq[(String, Double)] = {
+      canary()
+      val r = all.zipWithIndex.map { case ((n, fn), i) =>
+        if (i > 0 && i % 25 == 0) canary()
+        n -> time(n, fn)
+      }
+      canary()
+      r
+    }
+    val p1 = pass()
+    System.gc()
+    val p2m = pass().toMap
+    val results = p1.map { case (n, t) =>
+      n -> math.min(t, p2m.getOrElse(n, t))
+    }
+    val cMin = canaryTimes.min
+    val cMax = canaryTimes.max
+    // Two contention signatures, both flagged: (a) SPREAD — load that
+    // comes and goes mid-run makes some canaries slow (normal idle
+    // jitter measures ~1.9× max/min, so the cut is 2.5×); (b) FLOOR —
+    // SUSTAINED whole-run load (the BENCH_r06 case) inflates every
+    // canary equally, so spread stays flat and only the absolute
+    // level shows it. The canary is data-independent fixed work; its
+    // idle-machine min on this box is ~0.12 s (measured r7, sf0.001
+    // and sf0.1 identical by construction) — 2.5× that means the
+    // machine never ran free during the whole bench.
+    val refIdleSec = 0.12
+    val contended =
+      cMax / math.max(cMin, 1e-3) > 2.5 || cMin > 2.5 * refIdleSec
     // The driver records only a bounded (~4 KB) TAIL of stdout, and a
     // per-query map over 300+ queries makes the JSON line ~5.5 KB — the
     // head gets truncated away and json parsing fails (BENCH_r01–r03
@@ -89,15 +132,22 @@ object Bench {
         "\"" + shortName(n) + "\":" + f"$v%.3f"))
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    // dev-only: full per-query timings to a side file (never stdout —
-    // the driver's tail capture must stay under ~1 KB)
-    sys.env.get("SPARK_GRAFT_BENCH_DUMP").foreach { p =>
-      val full = results.sortBy(-_._2)
-        .map { case (n, t) => "\"" + n + "\":" + f"$t%.3f" }
-        .mkString("{", ",", "}")
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), full)
+    // Full per-query BOTH-pass timings to a side file (never stdout —
+    // the driver's tail capture must stay under ~1 KB): with p1 AND
+    // p2 recorded, a contaminated pass is visible per query instead
+    // of silently folded into the min.
+    val dumpPath = sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_DUMP", "/tmp/graft_bench_dump.json")
+    locally {
+      val p1m = p1.toMap
+      val full = results.sortBy(-_._2).map { case (n, t) =>
+        val (a, b) = (p1m.getOrElse(n, t), p2m.getOrElse(n, t))
+        "\"" + n + "\":" + f"""{"min":$t%.3f,"p1":$a%.3f,"p2":$b%.3f}"""
+      }.mkString("{\"canary\":" +
+          canaryTimes.map(c => f"$c%.3f").mkString("[", ",", "]") + ",", ",", "}")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(dumpPath), full)
     }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"contended":$contended,"canary":{"min":$cMin%.3f,"max":$cMax%.3f,"n":${canaryTimes.size}},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

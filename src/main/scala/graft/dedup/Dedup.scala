@@ -210,8 +210,12 @@ object Dedup extends Logging {
             .select(col("u").as("doc_a"), col("v").as("doc_b")),
           maxIters, localEdgeCap)
           .groupBy("cluster_id").agg(count(lit(1)).as("sz"))
-          .agg(count(lit(1)).as("n_components"), sum("sz").as("n_nodes"),
-            max("sz").as("giant"))
+          // coalesce: a threshold that keeps zero edges yields an empty
+          // grouped frame, so sum/max return NULL — the driver fast
+          // path returns exact 0s, and both paths must agree
+          .agg(count(lit(1)).as("n_components"),
+            coalesce(sum("sz"), lit(0L)).as("n_nodes"),
+            coalesce(max("sz"), lit(0L)).as("giant"))
           .select(lit(thr).as("threshold"), col("n_nodes"),
             col("n_components"), col("giant"))
       }.reduce(_ unionAll _)

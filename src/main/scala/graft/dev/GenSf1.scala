@@ -1,0 +1,119 @@
+package graft.dev
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool: generate the sf1 rung for the scaling-slope ladder.
+  *
+  * The driver ships sf0.001/0.01/0.1 only (TESTDATA.md, read-only).
+  * Two graph gates' read-slopes (q379 19.5×, q492 16.1× for 10× data
+  * at the sf0.01→0.1 step) are argued to converge to linear because
+  * the synthetic generator holds per-part order fan-in CONSTANT
+  * (~30 orders/part at every rung, measured) — the distinct
+  * co-purchase degree only densifies while the part space is small
+  * enough for collisions (200 parts at sf0.001) and converges once
+  * #parts ≫ degree. Proving that needs one more decade, so this tool
+  * synthesizes the sf1 rung for the tables the ladder families read
+  * (lineitem, orders, documents), matching the measured sf0.001→0.1
+  * distribution invariants:
+  *
+  *  - row counts ×10 per rung: 1.5 M orders, 6 M lineitem, 50 k docs
+  *  - l_orderkey uniform over orders (lines/order ≈ Poisson(4) —
+  *    measured avg 4.07 at all three rungs)
+  *  - l_partkey uniform over 10×#parts (orders/part stays ~30),
+  *    l_suppkey uniform over 10×#suppliers
+  *  - o_orderdate uniform 1995-01-01..2001-08-01 (measured bounds)
+  *  - documents: the SAME 31-word vocabulary (read from the sf0.1
+  *    table — the shingle space is fixed by construction, which the
+  *    slope analysis must inherit honestly), ~66 tokens/doc, 5 langs,
+  *    20 sources
+  *
+  * All columns derive from `hash(id, seed)` — deterministic,
+  * distributed, no driver-side RNG. NOT oracle data: the ladder
+  * compares a query's own byte slopes across rungs, so only the
+  * distribution SHAPE matters, not value-level parity with the
+  * driver's seed-42 stream.
+  *
+  * Usage: `sbt 'runMain graft.dev.GenSf1 [outDir]'` (default /tmp/sf1)
+  */
+object GenSf1 {
+
+  private def u(seed: Int, n: Long): org.apache.spark.sql.Column =
+    pmod(hash(col("id"), lit(seed)).cast("long"), lit(n))
+
+  /** Uniform double in [0, 1) from a per-row hash. */
+  private def ud(seed: Int): org.apache.spark.sql.Column =
+    (pmod(hash(col("id"), lit(seed)).cast("long"), lit(1000000L)) / 1e6)
+
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("/tmp/sf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val nOrders = 1500000L
+    val nParts = 200000L
+    val nSupps = 10000L
+    val nCusts = 150000L
+    val nLines = 6000000L
+    val nDocs = 50000L
+
+    val orders: DataFrame = spark.range(0, nOrders, 1, 32).select(
+      col("id").as("o_orderkey"),
+      u(1, nCusts).as("o_custkey"),
+      element_at(array(lit("F"), lit("O"), lit("P")), (u(2, 3) + 1).cast("int"))
+        .as("o_orderstatus"),
+      round(ud(3) * 400000 + 1000, 2).as("o_totalprice"),
+      // uniform over the measured [1995-01-01, 2001-08-01] span
+      to_timestamp(date_add(lit("1995-01-01").cast("date"),
+        u(4, 2404L).cast("int"))).as("o_orderdate"),
+      element_at(array(lit("1-URGENT"), lit("2-HIGH"), lit("3-MEDIUM"),
+        lit("4-NOT SPECIFIED"), lit("5-LOW")), (u(5, 5) + 1).cast("int"))
+        .as("o_orderpriority"))
+    orders.write.mode("overwrite").parquet(s"$out/orders.parquet")
+
+    val lineitem: DataFrame = spark.range(0, nLines, 1, 32).select(
+      u(10, nOrders).as("l_orderkey"),
+      u(11, nParts).as("l_partkey"),
+      u(12, nSupps).as("l_suppkey"),
+      (u(13, 7) + 1).cast("int").as("l_linenumber"),
+      (u(14, 50) + 1).cast("double").as("l_quantity"),
+      round(ud(15) * 100000 + 900, 2).as("l_extendedprice"),
+      round(u(16, 11).cast("double") / 100.0, 2).as("l_discount"),
+      round(u(17, 9).cast("double") / 100.0, 2).as("l_tax"),
+      element_at(array(lit("A"), lit("N"), lit("R")), (u(18, 3) + 1).cast("int"))
+        .as("l_returnflag"),
+      element_at(array(lit("F"), lit("O")), (u(19, 2) + 1).cast("int"))
+        .as("l_linestatus"),
+      to_timestamp(date_add(lit("1995-01-02").cast("date"),
+        u(20, 2499L).cast("int"))).as("l_shipdate"))
+    lineitem.write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
+    // vocabulary lifted from the real sf0.1 corpus so the shingle
+    // space (and thus q22/q489's posting structure) is the same
+    // fixed 31-word universe the smaller rungs shingle over
+    // bounded-collect: O(31) distinct vocabulary tokens
+    val vocab = graft.Tables.load(spark, "/root/testdata/sf0.1", "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .distinct().orderBy("tok").collect().map(_.getString(0))
+    val vocabCol = array(vocab.map(lit(_)).toIndexedSeq: _*)
+    val langs = array(lit("en"), lit("nl"), lit("de"), lit("fr"), lit("es"))
+    val documents: DataFrame = spark.range(0, nDocs, 1, 32).select(
+      col("id").as("doc_id"),
+      array_join(transform(
+        sequence(lit(1), (u(30, 111L) + 10).cast("int")),
+        i => element_at(vocabCol,
+          (pmod(hash(col("id"), i, lit(31)).cast("long"), lit(vocab.length)) + 1)
+            .cast("int"))), " ").as("text"),
+      element_at(langs, (u(32, 5) + 1).cast("int")).as("lang"),
+      concat(lit("source_"), u(33, 20)).as("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    documents.write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    println(s"sf1 rung written to $out: orders=$nOrders lineitem=$nLines docs=$nDocs")
+    spark.stop()
+  }
+}

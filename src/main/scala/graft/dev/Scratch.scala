@@ -1,12 +1,15 @@
 package graft.dev
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
 
 /** Throwaway measurement harness for plan experiments (not part of
   * the library surface; contents change per investigation).
+  *
+  * Current experiment (round 7): broadcast vs co-partitioned HITS
+  * ([[graft.operators.Hits]]) on the sf0.1 co-purchase graph —
+  * interleaved in one JVM, warm + min-of-two per variant, per the
+  * A/B protocol (cross-JVM Prof comparisons carry ±30-40% noise).
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
@@ -16,49 +19,20 @@ object Scratch {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.1"
+    val dir = sys.env.getOrElse("SCRATCH_SF_DIR", "/root/testdata/sf0.1")
 
-    def hits(nPart: Int): DataFrame = {
-      val s = spark
-      val edges = graft.Tables.load(s, dir, "lineitem")
-        .join(graft.Tables.load(s, dir, "orders")
+    def edges(): DataFrame =
+      graft.Tables.load(spark, dir, "lineitem")
+        .join(graft.Tables.load(spark, dir, "orders")
           .select(col("o_orderkey"), col("o_custkey")),
           col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("u"), col("l_partkey").as("p"))
         .distinct()
-      val eP = edges.repartition(nPart, col("p")).persist()
-      val eU = edges.repartition(nPart, col("u")).persist()
-      def foldSum(key: String, v: String): Column =
-        graft.functions.KeyOrderedFold.sum(
-          s, collect_list(struct(col(key), col(v))))
-      def foldSumSq(key: String, v: String): Column =
-        sqrt(graft.functions.KeyOrderedFold.sumSq(
-          s, collect_list(struct(col(key), col(v)))))
-      var h = eU.select("u").distinct()
-        .select(col("u"), lit(1.0).as("h")).localCheckpoint()
-      var a: DataFrame = null
-      for (_ <- 1 to 6) {
-        val aRaw = eP.join(broadcast(h), "u").groupBy("p")
-          .agg(foldSum("u", "h").as("araw"))
-          .localCheckpoint(eager = false)
-        val aNrm = aRaw.agg(foldSumSq("p", "araw").as("nrm"))
-        a = aRaw.crossJoin(broadcast(aNrm))
-          .select(col("p"), (col("araw") / col("nrm")).as("a"))
-        val hRaw = eU.join(broadcast(a), "p").groupBy("u")
-          .agg(foldSum("p", "a").as("hraw"))
-          .localCheckpoint(eager = false)
-        val hNrm = hRaw.agg(foldSumSq("u", "hraw").as("nrm"))
-        h = hRaw.crossJoin(broadcast(hNrm))
-          .select(col("u"), (col("hraw") / col("nrm")).as("h"))
-      }
-      eP.unpersist(); eU.unpersist()
-      val top = a.orderBy(col("a").desc, col("p")).limit(10)
-      top.select(
-          row_number().over(Window.orderBy(col("a").desc, col("p")))
-            .cast(LongType).as("rnk"),
-          col("p").cast(LongType).as("part"), col("a").as("authority"))
-        .orderBy("rnk")
-    }
+
+    def top10(copart: Boolean): DataFrame =
+      graft.operators.Hits.authorities(edges(), iters = 6, parts = 8,
+          copartitioned = copart)
+        .orderBy(col("authority").desc, col("p")).limit(10)
 
     def time(label: String, mk: () => DataFrame): Unit = {
       mk().count()
@@ -67,11 +41,11 @@ object Scratch {
       val t2 = System.nanoTime()
       println(f"SCRATCH $label ${math.min(t1 - t0, t2 - t1) / 1e9}%.3f")
     }
-    time("p8", () => hits(8))
-    time("p4", () => hits(4))
-    time("p16", () => hits(16))
-    time("p8b", () => hits(8))
-    time("p4b", () => hits(4))
+    // interleaved so ambient load hits both variants equally
+    time("broadcast_1", () => top10(copart = false))
+    time("copart_1", () => top10(copart = true))
+    time("broadcast_2", () => top10(copart = false))
+    time("copart_2", () => top10(copart = true))
     spark.stop()
   }
 }

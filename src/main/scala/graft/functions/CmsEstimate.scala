@@ -68,8 +68,7 @@ object CmsEstimate {
   private val name = "graft_cms_estimate"
 
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name, exprs => CmsEstimate(exprs.head, exprs(1)), "built-in")
+    Registry.once(spark, name)(exprs => CmsEstimate(exprs.head, exprs(1)))
 
   /** Column handle: estimated count of `item` in `sketch`. */
   def apply(spark: SparkSession, sketch: Column, item: Column): Column = {

@@ -92,8 +92,7 @@ object CosineSimilarity {
     * return a Column-level handle.
     */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name, exprs => CosineSimilarity(exprs.head, exprs(1)), "built-in")
+    Registry.once(spark, name)(exprs => CosineSimilarity(exprs.head, exprs(1)))
 
   def apply(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)

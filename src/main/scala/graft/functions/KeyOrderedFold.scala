@@ -143,10 +143,8 @@ object KeyOrderedFold {
   private val sumSqName = "graft_key_ordered_sumsq"
 
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      sumName, exprs => KeyOrderedFold(exprs.head, squared = false), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      sumSqName, exprs => KeyOrderedFold(exprs.head, squared = true), "built-in")
+    Registry.once(spark, sumName)(exprs => KeyOrderedFold(exprs.head, squared = false))
+    Registry.once(spark, sumSqName)(exprs => KeyOrderedFold(exprs.head, squared = true))
   }
 
   /** Σ v in ascending-key order over `array<struct<bigint, double>>`. */

@@ -76,16 +76,19 @@ case class MinHashSignature(child: Expression, nHashes: Int)
 }
 
 object MinHashSignature {
-  private val name = "graft_minhash_signature"
+  // nHashes is baked into the builder closure, so the registered name
+  // must carry it — a fixed name + once-per-session guard would pin
+  // the FIRST caller's nHashes for every later caller (the
+  // WordShingles/KmvSketch lesson).
+  private def nameFor(nHashes: Int) = s"graft_minhash_signature_$nHashes"
 
   def register(spark: SparkSession, nHashes: Int): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name, exprs => MinHashSignature(exprs.head, nHashes).toAggregateExpression(),
-      "built-in")
+    Registry.once(spark, nameFor(nHashes))(
+      exprs => MinHashSignature(exprs.head, nHashes).toAggregateExpression())
 
   /** Aggregate Column: array of `nHashes` minhash hex strings. */
   def apply(spark: SparkSession, c: Column, nHashes: Int): Column = {
     register(spark, nHashes)
-    call_function(name, c)
+    call_function(nameFor(nHashes), c)
   }
 }

@@ -169,8 +169,7 @@ object NearestCentroids {
     * serves every model).
     */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name, exprs => NearestCentroids(exprs.head, exprs(1)), "built-in")
+    Registry.once(spark, name)(exprs => NearestCentroids(exprs.head, exprs(1)))
 
   /** Column handle: 0-based per-subspace nearest-centroid indices of
     * `vec` against `book` (m × k × subDim).

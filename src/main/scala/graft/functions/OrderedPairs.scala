@@ -47,7 +47,7 @@ case class OrderedPairs(child: Expression) extends UnaryExpression {
   override protected def nullSafeEval(input: Any): Any = {
     val ds = input.asInstanceOf[ArrayData]
     val n = ds.numElements()
-    val out = new Array[Any](n * (n - 1) / 2)
+    val out = new Array[Any](OrderedPairs.pairCount(n))
     var idx = 0
     var i = 0
     while (i < n - 1) {
@@ -73,7 +73,8 @@ case class OrderedPairs(child: Expression) extends UnaryExpression {
       val a = ctx.freshName("a")
       s"""
         int $n = $v.numElements();
-        Object[] $out = new Object[$n * ($n - 1) / 2];
+        Object[] $out = new Object[
+          graft.functions.OrderedPairs.pairCount($n)];
         int $idx = 0;
         for (int $i = 0; $i < $n - 1; $i++) {
           long $a = $v.getLong($i);
@@ -93,10 +94,22 @@ case class OrderedPairs(child: Expression) extends UnaryExpression {
 object OrderedPairs {
   private val name = "graft_ordered_pairs"
 
-  /** Register in the session's function registry (idempotent). */
+  /** Pair count n·(n-1)/2 computed in Long arithmetic — `Int`
+    * arithmetic overflows (negative allocation size) from n ≈ 46 341,
+    * and caller-side posting-list caps are a convention, not a bound.
+    * Fails with an actionable message instead of a JVM array error.
+    */
+  def pairCount(n: Int): Int = {
+    val pairs = n.toLong * (n - 1L) / 2L
+    if (pairs > Int.MaxValue) throw new IllegalArgumentException(
+      s"ordered_pairs: posting list of $n elements expands to $pairs " +
+        "pairs (> Int.MaxValue); cap the posting list before pairing")
+    pairs.toInt
+  }
+
+  /** Register in the session's function registry (once per session). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name, exprs => OrderedPairs(exprs.head), "built-in")
+    Registry.once(spark, name)(exprs => OrderedPairs(exprs.head))
 
   /** Column handle: array<struct<a, b>> of all ordered (i < j) pairs. */
   def apply(spark: SparkSession, ds: Column): Column = {

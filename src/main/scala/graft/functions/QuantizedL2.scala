@@ -98,8 +98,7 @@ object QuantizedL2 {
   private val name = "graft_quantized_l2sq"
 
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name, exprs => QuantizedL2(exprs.head, exprs(1)), "built-in")
+    Registry.once(spark, name)(exprs => QuantizedL2(exprs.head, exprs(1)))
 
   def apply(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)

@@ -11,12 +11,16 @@ import org.apache.spark.sql.types._
   * (schema, partitioning, batch iteration) with the codec boundary
   * isolated behind [[Codec]].
   *
-  * The container has no image/audio libraries, so the codec is a
-  * clearly-marked DETERMINISTIC STUB: it derives pseudo
-  * dimensions/duration and a byte histogram from the payload. The
+  * Image decode/resize are REAL (`javax.imageio`, JRE-native PNG /
+  * BMP / GIF / JPEG readers — raster dimensions, channel statistics,
+  * bilinear rescale). Audio/video and undecodable payloads fall back
+  * to a clearly-marked deterministic stub (the container has no
+  * audio/video codec): pseudo dimensions/duration from the byte
+  * length, so the pipeline stays total and the gate corpus — text
+  * bytes standing in for media — stays SQL-reproducible. The
   * surrounding plumbing — schema contract, mapPartitions batch shape,
-  * feature row — is real and tested; swapping in a JNI/javacv codec
-  * changes only [[Codec.decode]].
+  * feature row — is identical on both paths; swapping the stub branch
+  * for a javacv/ffmpeg codec changes only [[Codec]].
   */
 object MediaFeatures {
 
@@ -50,15 +54,69 @@ object MediaFeatures {
       histogram: Array[Long],   // 16-bucket byte histogram
       mean_byte: Double)
 
-  /** The codec boundary. decode() is a STUB (`???`-equivalent with a
-    * deterministic fake so the pipeline is testable offline): a real
-    * deployment decodes pixels/samples here.
+  /** The codec boundary. Image decode is REAL for the formats whose
+    * readers ship in the JRE (`javax.imageio`: PNG, BMP, GIF, JPEG,
+    * WBMP) — width/height/channel statistics come from the actual
+    * decoded raster. Payloads no registered reader accepts (and the
+    * audio/video types, for which the JRE has no codec) fall back to
+    * the deterministic stub so the pipeline stays total and testable
+    * offline; a production deployment swaps the stub branch for a
+    * javacv/ffmpeg codec without touching the mapPartitions plumbing.
     */
   object Codec {
-    final case class Decoded(width: Int, height: Int, durationMs: Long)
+    final case class Decoded(
+        width: Int,
+        height: Int,
+        durationMs: Long,
+        channels: Int = 0,
+        channelMean: Array[Double] = Array.empty)
 
-    /** STUB — deterministic fake decode. Real impl: image/audio codec. */
-    def decode(mediaType: String, bytes: Array[Byte]): Decoded = {
+    /** Real image decode via the JRE's registered ImageIO readers.
+      * Magic-byte pre-check keeps the common non-image payload on a
+      * zero-allocation path; a payload that matches a magic but fails
+      * to parse (text starting with "BM", truncated PNG) falls back —
+      * ImageIO is deterministic for fixed bytes, so so is this.
+      */
+    private def readImage(
+        bytes: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+      def magic(sig: Int*): Boolean =
+        bytes.length >= sig.length &&
+          sig.indices.forall(i => (bytes(i) & 0xff) == sig(i))
+      val looksDecodable =
+        magic(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a) || // PNG
+        magic(0x42, 0x4d) ||                                     // BMP
+        magic(0xff, 0xd8, 0xff) ||                               // JPEG
+        magic(0x47, 0x49, 0x46, 0x38)                            // GIF8
+      if (!looksDecodable) None
+      else try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes)))
+      catch { case _: Exception => None }
+    }
+
+    private def decodeImage(bytes: Array[Byte]): Option[Decoded] =
+      readImage(bytes).map { im =>
+        val raster = im.getRaster
+        val ch = raster.getNumBands
+        val sums = new Array[Double](ch)
+        var y = 0
+        while (y < im.getHeight) {
+          var x = 0
+          while (x < im.getWidth) {
+            var c = 0
+            while (c < ch) { sums(c) += raster.getSample(x, y, c); c += 1 }
+            x += 1
+          }
+          y += 1
+        }
+        val n = im.getWidth.toDouble * im.getHeight
+        Decoded(im.getWidth, im.getHeight, 0L, ch, sums.map(_ / n))
+      }
+
+    /** Deterministic fallback for payloads the JRE cannot decode —
+      * pseudo dimensions/duration from the byte length. Audio/video
+      * always land here (no JRE codec); images only when undecodable.
+      */
+    private def stubDecode(mediaType: String, bytes: Array[Byte]): Decoded = {
       val n = bytes.length
       mediaType match {
         case "image" => Decoded(width = 1 + (n % 1024), height = 1 + (n / 1024 % 1024), 0L)
@@ -68,9 +126,37 @@ object MediaFeatures {
       }
     }
 
-    /** STUB — resize marker (a real impl returns re-encoded bytes). */
+    def decode(mediaType: String, bytes: Array[Byte]): Decoded =
+      mediaType match {
+        case "image" =>
+          decodeImage(bytes).getOrElse(stubDecode(mediaType, bytes))
+        case _ => stubDecode(mediaType, bytes)
+      }
+
+    /** Resize: REAL for decodable images — bilinear rescale of the
+      * decoded raster, re-encoded as PNG (lossless, JRE-native).
+      * Undecodable payloads keep the deterministic stub truncation so
+      * the gate corpus (text bytes standing in for media) is
+      * SQL-reproducible.
+      */
     def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] =
-      bytes.take(math.max(16, math.min(bytes.length, w * h / 64)))
+      readImage(bytes) match {
+        case Some(im) =>
+          val out = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          try {
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(im, 0, 0, w, h, null)
+          } finally g.dispose()
+          val buf = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", buf)
+          buf.toByteArray
+        case None =>
+          bytes.take(math.max(16, math.min(bytes.length, w * h / 64)))
+      }
 
     /** STUB — frame sampling: every `stride`-th 1KiB block stands in
       * for a decoded frame.

@@ -25,6 +25,16 @@ import org.apache.spark.sql.functions._
   * outdeg−1 units of mass per node per iteration — both standard
   * simplifications; ranks are comparable, not a probability
   * distribution.
+  *
+  * Scale shape: the rank join is declared, not forced — at gate
+  * scale AQE broadcasts the O(nodes) rank vector into the cached
+  * edge layout; at 10⁹-node scale it exceeds the broadcast threshold
+  * and the SAME plan degrades to shuffling the rank vector into the
+  * src-partitioned edge cache (the co-partitioned form — one
+  * O(nodes) exchange per iteration, edge side exchange-free). That
+  * degradation is semantics-free here because every fold is integer
+  * (order-independent); the float analogue, where summation order
+  * must be traded explicitly, is [[Hits]]' `copartitioned` variant.
   */
 object PageRank {
 

@@ -104,6 +104,12 @@ object Round91Queries {
         h = hRaw.crossJoin(broadcast(hNrm))
           .select(col("u"), (col("hraw") / col("nrm")).as("h"))
       }
+      // Materialize the final authority frame (eager checkpoint runs
+      // the whole lazy half-step chain in one job) WHILE the edge
+      // caches are still live — unpersisting first would drop them
+      // before the 12 half-step joins ever read them, re-shuffling
+      // the edges every iteration.
+      a = a.localCheckpoint()
       eP.unpersist(); eU.unpersist()
       val top = a.orderBy(col("a").desc, col("p")).limit(10)
       top.select(

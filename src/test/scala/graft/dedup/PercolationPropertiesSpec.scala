@@ -63,6 +63,23 @@ class PercolationPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("fallback path returns exact zeros for a threshold keeping no edges") {
+    import spark.implicits._
+    // weights are 1–4, so threshold 9 keeps zero edges: the fallback
+    // aggregate runs over an empty grouped frame and must coalesce
+    // sum/max to 0 (not NULL) to match the driver fast path
+    val thresholds = Seq(1L, 9L)
+    samples(Gen.listOfN(20, genEdge), 3, seed = 9300L).foreach { es =>
+      val df = es.distinct.toDF("u", "v", "w")
+      val local = censusOf(Dedup.percolation(df, thresholds))
+      val dist = censusOf(
+        Dedup.percolation(df, thresholds, maxIters = 12, localEdgeCap = 0))
+      assert(local == dist, s"paths diverged for edges=${es.distinct}")
+      assert(dist.exists { case (t, n, c, g) => t == 9L && n == 0L && c == 0L && g == 0L },
+        s"threshold-9 row must be exact zeros, got $dist")
+    }
+  }
+
   test("driver fast path and distributed fallback produce identical rows") {
     import spark.implicits._
     val thresholds = Seq(1L, 3L)

@@ -49,6 +49,54 @@ class QuantizedL2Spec extends SparkSpec {
     out.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("seeded fuzz: random finite vectors bit-match the HOF form") {
+    import spark.implicits._
+    // magnitudes from 1e-8 to 1e2 (the HOF reference's d·d is ANSI
+    // long arithmetic, so the comparison domain stops where Σd² fits
+    // in a long — ~|f| ≤ 1e2 over 64 dims; beyond that the native
+    // wrap semantics are pinned in the NaN/Inf test below), negative
+    // halves, empty and 1-element vectors
+    val rnd = new scala.util.Random(4730)
+    def vec(n: Int): Seq[Float] = Seq.fill(n) {
+      val m = math.pow(10.0, rnd.nextInt(11) - 8)
+      ((rnd.nextDouble() - 0.5) * m).toFloat
+    }
+    val data = (1 to 60).map { _ =>
+      val n = rnd.nextInt(65)
+      (vec(n), vec(n))
+    } ++ Seq((Seq.empty[Float], Seq.empty[Float]), (vec(1), vec(1)))
+    val out = data.toDF("a", "b").select(
+      QuantizedL2(spark, col("a"), col("b")).as("native"),
+      explodeForm.as("hof")).collect()
+    out.foreach(r => assert(r.getLong(0) == r.getLong(1),
+      s"fuzz diverged: ${r.getLong(0)} != ${r.getLong(1)}"))
+  }
+
+  test("NaN and Inf dimensions follow Java float→long cast semantics") {
+    import spark.implicits._
+    // The HOF reference can't arbitrate here (ANSI cast of NaN/Inf
+    // throws), so the native contract is pinned directly: per
+    // dimension qa = (long)⌊a·Q⌋, so NaN → 0, +Inf → Long.MaxValue,
+    // -Inf → Long.MinValue, and d·d wraps in Long arithmetic.
+    def q(f: Float): Long = math.floor(f.toDouble * QuantizedL2.Q).toLong
+    def expected(a: Seq[Float], b: Seq[Float]): Long =
+      a.zip(b).map { case (x, y) => val d = q(x) - q(y); d * d }.sum
+    val cases = Seq(
+      (Seq(Float.NaN, 1f), Seq(Float.NaN, 1f)),                 // NaN≡NaN → 0
+      (Seq(Float.NaN), Seq(2.5f)),                              // NaN vs finite
+      (Seq(Float.PositiveInfinity), Seq(0f)),                   // +Inf wraps
+      (Seq(Float.NegativeInfinity), Seq(Float.PositiveInfinity)),
+      (Seq(1e30f, -1e30f), Seq(-1e30f, 1e30f)))                 // huge finite
+    val out = cases.toDF("a", "b")
+      .select(QuantizedL2(spark, col("a"), col("b"))).collect()
+    cases.zip(out).foreach { case ((a, b), r) =>
+      assert(r.getLong(0) == expected(a, b), s"($a, $b)")
+    }
+    // NaN-vs-NaN is distance 0 on that dimension by the floor-lattice
+    // rule — callers that need NaN poisoning filter upstream
+    assert(out(0).getLong(0) == 0L)
+  }
+
   test("identical vectors → 0; null input → null; negative floors") {
     import spark.implicits._
     val z = Seq((Seq(0.5f, -0.25f), Seq(0.5f, -0.25f))).toDF("a", "b")

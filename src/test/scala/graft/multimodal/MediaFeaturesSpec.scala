@@ -35,4 +35,66 @@ class MediaFeaturesSpec extends SparkSpec {
     assert(Codec.sampleFrames(bytes, 3).length == 4) // blocks 0,3,6,9
     assert(Codec.resize(bytes, 64, 64).length <= bytes.length)
   }
+
+  /** A real w×h image: red ramps left→right (x·255/(w-1)), green 80,
+    * blue 200 — encoded losslessly so decoded channel means are exact.
+    */
+  private def encodedImage(fmt: String, w: Int, h: Int): Array[Byte] = {
+    val im = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      im.setRGB(x, y,
+        new java.awt.Color(x * 255 / math.max(w - 1, 1), 80, 200).getRGB)
+    val buf = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(im, fmt, buf), s"no $fmt writer")
+    buf.toByteArray
+  }
+
+  test("real decode: PNG and BMP fixtures yield exact dimensions and channel means") {
+    // red samples 0,63,127,191,255 → mean 127.2; green/blue constant
+    for (fmt <- Seq("png", "bmp")) {
+      val d = Codec.decode("image", encodedImage(fmt, 5, 4))
+      assert(d.width == 5 && d.height == 4, s"$fmt dims")
+      assert(d.channels == 3, s"$fmt channels")
+      assert(math.abs(d.channelMean(0) - 127.2) < 1e-9, s"$fmt red mean ${d.channelMean(0)}")
+      assert(math.abs(d.channelMean(1) - 80.0) < 1e-9, s"$fmt green mean")
+      assert(math.abs(d.channelMean(2) - 200.0) < 1e-9, s"$fmt blue mean")
+    }
+  }
+
+  test("undecodable payloads keep the deterministic stub, even with a magic prefix") {
+    // starts with the BMP magic "BM" but is not a BMP — the reader
+    // must reject it and the stub values (pseudo dims from length)
+    // must come back, byte-stable (the gate corpus is text)
+    val fake = "BM hello world, this is just text".getBytes("UTF-8")
+    val d = Codec.decode("image", fake)
+    assert(d.width == 1 + (fake.length % 1024))
+    assert(d.height == 1 + (fake.length / 1024 % 1024))
+    assert(d.channels == 0 && d.channelMean.isEmpty)
+    // plain text with no magic: same stub, no reader attempted
+    val txt = "no magic here".getBytes("UTF-8")
+    assert(Codec.decode("image", txt).width == 1 + (txt.length % 1024))
+  }
+
+  test("real resize: decodable image re-encoded at target dimensions") {
+    val resized = Codec.resize(encodedImage("png", 16, 12), 8, 6)
+    // output is a real PNG ...
+    assert((resized(0) & 0xff) == 0x89 && resized(1) == 'P'.toByte)
+    // ... whose decoded raster is exactly the target size
+    val d = Codec.decode("image", resized)
+    assert(d.width == 8 && d.height == 6 && d.channels == 3)
+    // constant channels survive bilinear resampling exactly
+    assert(math.abs(d.channelMean(1) - 80.0) < 1.0)
+    assert(math.abs(d.channelMean(2) - 200.0) < 1.0)
+  }
+
+  test("extractFeatures uses the real decode for image payloads") {
+    val png = encodedImage("png", 7, 3)
+    val rows = Seq(Row(9L, "image", "mem://real.png", png, null, null, null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), mediaSchema)
+    val f = extractFeatures(df).collect().head
+    assert(f.width == 7 && f.height == 3) // raster, not byte-length stub
+    assert(f.byte_len == png.length)
+  }
 }
