@@ -40,5 +40,40 @@ object Round102Queries {
     Some(AnnBaseline.oracleSql(stride = 100L, k = 5, rankName = "bf_rk")),
     covers = Seq("T-ann-pq"))
 
-  val all: Seq[QueryDef] = Seq(q45b, q106b)
+  // ----------------------------------- co-partitioned HITS, ranked
+  // The 100 TB-shape HITS variant ([[graft.operators.Hits]] with
+  // copartitioned = true: score repartition into the edge cache
+  // layout instead of whole-vector broadcast, partial-agg sums,
+  // two-level norm) under the SAME DuckDB recursion as q472 —
+  // projected to (rnk, part) only, because the variant trades
+  // bit-stable summation order for bounded shuffles and matches the
+  // ordered-fold scores to ~1e-9, not to the bit. Ranks are immune:
+  // adjacent top-10 authority separations measure ~1e-4 at gate SF
+  // (vs ~1e-12 accumulation noise), so the float-free projection is
+  // hash-deterministic. HitsVariantsSpec pins the per-node score
+  // agreement; this gate pins the variant end-to-end against SQL.
+  private val q529 = QueryDef(
+    "q529_hits_copartitioned",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.LongType
+      val edges = Tables.load(s, dir, "lineitem")
+        .join(Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("u"), col("l_partkey").as("p"))
+        .distinct()
+      graft.operators.Hits
+        .authorities(edges, iters = 6, parts = 8, copartitioned = true)
+        .orderBy(col("authority").desc, col("p")).limit(10)
+        .select(
+          row_number().over(Window.orderBy(col("authority").desc, col("p")))
+            .cast(LongType).as("rnk"),
+          col("p").cast(LongType).as("part"))
+        .orderBy("rnk")
+    },
+    Some(Round91Queries.hitsOracleSql(withAuthority = false)),
+    covers = Seq("GRAPH-hits-copartitioned"))
+
+  val all: Seq[QueryDef] = Seq(q45b, q106b, q529)
 }

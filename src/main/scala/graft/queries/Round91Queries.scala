@@ -118,9 +118,19 @@ object Round91Queries {
           col("p").cast(LongType).as("part"), col("a").as("authority"))
         .orderBy("rnk")
     },
-    Some {
-      val iters = (1 to 6).map { k =>
-        s"""ar$k AS MATERIALIZED (SELECT e.p,
+    Some(hitsOracleSql(withAuthority = true)),
+    covers = Seq("GRAPH-hits"))
+
+  /** q472's DuckDB HITS recursion (6 unrolled rounds of ordered
+    * list_reduce folds ≡ the gate's KeyOrderedFold semantics).
+    * `withAuthority = false` projects rank and part only — the
+    * float-free projection the co-partitioned gate (q529) hashes,
+    * since that variant matches the ordered-fold scores to ~1e-9
+    * but not to the bit.
+    */
+  private[queries] def hitsOracleSql(withAuthority: Boolean): String = {
+    val iters = (1 to 6).map { k =>
+      s"""ar$k AS MATERIALIZED (SELECT e.p,
           list_reduce(list(h.h ORDER BY e.u), (a, b) -> a + b) AS a
         FROM edges e JOIN h${k - 1} h ON h.u = e.u GROUP BY e.p),
       an$k AS MATERIALIZED (SELECT sqrt(list_reduce(
@@ -134,18 +144,20 @@ object Round91Queries {
           list(h * h ORDER BY u), (x, y) -> x + y)) AS nrm FROM hr$k),
       h$k AS MATERIALIZED (SELECT u,
           h / (SELECT nrm FROM hn$k) AS h FROM hr$k)"""
-      }.mkString(",\n      ")
-      s"""WITH edges AS MATERIALIZED (SELECT DISTINCT o.o_custkey AS u,
+    }.mkString(",\n      ")
+    val proj =
+      if (withAuthority) "CAST(p AS BIGINT) AS part, a AS authority"
+      else "CAST(p AS BIGINT) AS part"
+    s"""WITH edges AS MATERIALIZED (SELECT DISTINCT o.o_custkey AS u,
           l.l_partkey AS p
         FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
       h0 AS (SELECT DISTINCT u, CAST(1.0 AS DOUBLE) AS h FROM edges),
       $iters
       SELECT CAST(row_number() OVER (ORDER BY a DESC, p) AS BIGINT)
           AS rnk,
-        CAST(p AS BIGINT) AS part, a AS authority
+        $proj
       FROM a6 ORDER BY a DESC, p LIMIT 10"""
-    },
-    covers = Seq("GRAPH-hits"))
+  }
 
   // ------------------------------------------------- DBSCAN census
   // DBSCAN structure census on the embedding lattice (vectors with
