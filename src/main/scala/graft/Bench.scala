@@ -70,8 +70,11 @@ object Bench {
     val canaryTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
     def canary(): Unit = {
       val t0 = System.nanoTime()
+      // bounded-collect: O(1) — a single global-agg row (the canary's
+      // range sum); the collect IS the timed action
       spark.range(0L, 400000000L, 1L, cpus.toInt)
-        .selectExpr("sum(id % 7 + id % 11)").collect()
+        .agg(org.apache.spark.sql.functions.expr("sum(id % 7 + id % 11)"))
+        .collect()
       canaryTimes += (System.nanoTime() - t0) / 1e9
     }
     canary() // codegen warm (discarded)

@@ -30,8 +30,8 @@ object Scratch {
         .distinct()
 
     def top10(copart: Boolean): DataFrame =
-      graft.operators.Hits.authorities(edges(), iters = 6, parts = 8,
-          copartitioned = copart)
+      graft.operators.Hits.authorities(edges(), iters = 6,
+          parts = if (copart) 0 else 8, copartitioned = copart)
         .orderBy(col("authority").desc, col("p")).limit(10)
 
     def time(label: String, mk: () => DataFrame): Unit = {

@@ -36,9 +36,13 @@ import org.apache.spark.sql.functions._
   */
 object Hits {
 
-  /** (part, authority) for the top-`k` authorities after `iters`
-    * full HITS rounds with L2 normalization, over a DISTINCT
-    * bipartite edge list with long columns (`u`, `p`).
+  /** (part, authority) after `iters` full HITS rounds with L2
+    * normalization, over a DISTINCT bipartite edge list with long
+    * columns (`u`, `p`). `parts` sizes the edge caches; for the
+    * co-partitioned form pass 0 (the default session shuffle
+    * fan-out) so aggregation outputs land co-located with the edge
+    * caches — a non-matching explicit value still computes correctly
+    * but pays an extra exchange per half-step.
     */
   def authorities(
       edges: DataFrame,
@@ -84,27 +88,35 @@ object Hits {
     out.select(col("p"), col("a").as("authority"))
   }
 
-  /** The scale shape: score repartition instead of broadcast,
+  /** The scale shape: score shuffle instead of broadcast,
     * partial-aggregated sums instead of ordered folds, two-level
     * norm instead of a single-group array.
+    *
+    * Co-location contract: the edge caches are hash-partitioned on
+    * their JOIN key at the SESSION shuffle fan-out, so every
+    * half-step's grouped-sum OUTPUT (hashpartitioning(key,
+    * shuffle.partitions)) lands already co-located with the next
+    * join's edge cache — the aggregation's own exchange IS the
+    * score-vector shuffle, and no explicit repartition node is
+    * needed (an explicit repartition always forces an exchange,
+    * even a redundant one — measured 8.9 s vs the exchange-free
+    * form on the sf0.1 graph). Net cost per half-step: exactly one
+    * O(nodes)-partials exchange; the |E|-sized side never moves
+    * after the two initial cache builds.
     */
   private def copartitionedAuthorities(
       edges: DataFrame, iters: Int, parts: Int): DataFrame = {
-    // orientation by JOIN key here (the broadcast form keys by fold
-    // key): the repartitioned score vector lands co-located with the
-    // edge cache, so the half-step join is exchange-free on the
-    // |E|-sized side; the grouped sum then shuffles only map-side
-    // partials (sum is associative — no collect_list)
-    val eU = edges.repartition(parts, col("u")).persist()
-    val eP = edges.repartition(parts, col("p")).persist()
+    val n = if (parts > 0) parts
+      else edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val eU = edges.repartition(n, col("u")).persist()
+    val eP = edges.repartition(n, col("p")).persist()
+    // distinct() outputs hashpartitioning(u, n) — already co-located
     var h = eU.select("u").distinct()
-      .select(col("u"), lit(1.0).as("h"))
-      .repartition(parts, col("u")).localCheckpoint()
+      .select(col("u"), lit(1.0).as("h")).localCheckpoint()
     var a: DataFrame = null
     for (_ <- 1 to iters) {
       val aRaw = eU.join(h, "u").groupBy("p")
         .agg(sum(col("h")).as("araw"))
-        .repartition(parts, col("p"))
         .localCheckpoint(eager = false)
       // two-level norm: partial Σx² per partition, O(parts) partials
       // folded in the final stage — the plain agg plans exactly that
@@ -113,7 +125,6 @@ object Hits {
         .select(col("p"), (col("araw") / col("nrm")).as("a"))
       val hRaw = eP.join(a, "p").groupBy("u")
         .agg(sum(col("a")).as("hraw"))
-        .repartition(parts, col("u"))
         .localCheckpoint(eager = false)
       val hNrm = hRaw.agg(sqrt(sum(col("hraw") * col("hraw"))).as("nrm"))
       h = hRaw.crossJoin(broadcast(hNrm))

@@ -64,7 +64,7 @@ object Round102Queries {
         .select(col("o_custkey").as("u"), col("l_partkey").as("p"))
         .distinct()
       graft.operators.Hits
-        .authorities(edges, iters = 6, parts = 8, copartitioned = true)
+        .authorities(edges, iters = 6, parts = 0, copartitioned = true)
         .orderBy(col("authority").desc, col("p")).limit(10)
         .select(
           row_number().over(Window.orderBy(col("authority").desc, col("p")))
