@@ -92,6 +92,24 @@ object GenSf1 {
         u(20, 2499L).cast("int"))).as("l_shipdate"))
     lineitem.write.mode("overwrite").parquet(s"$out/lineitem.parquet")
 
+    // part dimension (q493 modularity reads it for brand communities):
+    // 25 brands / 6 types / sizes 1-50 / price 900-999.9, like sf0.1
+    val adjectives = array(lit("large"), lit("hot"), lit("blue"),
+      lit("small"), lit("dim"), lit("bright"), lit("old"), lit("new"))
+    val nouns = array(lit("ring"), lit("bolt"), lit("cap"), lit("tube"),
+      lit("gear"), lit("pin"))
+    val types = array(lit("LARGE"), lit("ECONOMY"), lit("SMALL"),
+      lit("STANDARD"), lit("MEDIUM"), lit("PROMO"))
+    val part: DataFrame = spark.range(0, nParts, 1, 32).select(
+      col("id").as("p_partkey"),
+      concat(element_at(adjectives, (u(40, 8) + 1).cast("int")), lit(" "),
+        element_at(nouns, (u(41, 6) + 1).cast("int"))).as("p_name"),
+      concat(lit("Brand#"), (u(42, 25) + 1)).as("p_brand"),
+      element_at(types, (u(43, 6) + 1).cast("int")).as("p_type"),
+      (u(44, 50) + 1).cast("int").as("p_size"),
+      round(ud(45) * 99.9 + 900, 2).as("p_retailprice"))
+    part.write.mode("overwrite").parquet(s"$out/part.parquet")
+
     // vocabulary lifted from the real sf0.1 corpus so the shingle
     // space (and thus q22/q489's posting structure) is the same
     // fixed 31-word universe the smaller rungs shingle over
