@@ -33,4 +33,11 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     defs.flatMap(d => d.oracle.map(sql => d.name -> sql)).toMap
+
+  /** Oracles that need the live (spark, testdata dir) pair to render —
+    * gates whose SQL inlines data-derived model literals (trained ANN
+    * centroids/codebooks). Verify evaluates these at dump time and
+    * merges them into oracle_sql.json alongside [[oracleSql]]. */
+  def dynamicOracleSql: Map[String, (SparkSession, String) => String] =
+    defs.flatMap(d => d.dynOracle.map(f => d.name -> f)).toMap
 }

@@ -40,8 +40,21 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // Dynamic oracles (ANN gates) render here, AFTER the query dump:
+    // their SQL inlines the trained model from the per-JVM cache
+    // (graft.similarity.TrainedModels), so dump and oracle share one
+    // training run and training's ulp jitter cannot split them.
+    val dynSql = SparkEntry.dynamicOracleSql
       .filter { case (k, _) => selected(k) }
+      .flatMap { case (k, f) =>
+        try Some(k -> f(spark, sfDir))
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] dyn oracle $k failed: ${e.getMessage}")
+          None
+        }
+      }
+    val json = (SparkEntry.oracleSql
+      .filter { case (k, _) => selected(k) } ++ dynSql)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -295,23 +295,26 @@ object ExtraQueries {
 
   // ---------------------------------------------------------------- IVF ANN
   // The trained-index similarity path: deterministic k-means IVF with
-  // nprobe cluster pruning (graft.similarity.IvfIndex). k-means is
-  // not expressible in DuckDB SQL, so the gate is semantic instead of
-  // hashed: the query computes recall@3 against an IN-QUERY
-  // brute-force baseline over the same corpus (the documented exact
-  // twin, q29's shape) and FAILS — not "returns rows" — if mean
-  // recall drops below the pinned floor. IvfIndexSpec additionally
-  // asserts run-to-run determinism.
+  // nprobe cluster pruning (graft.similarity.IvfIndex). k-means has no
+  // SQL twin, but the TRAINED MODEL is a pure function of the data —
+  // so the gate is hash-gated against a dynamic oracle that inlines
+  // the centroids as SQL literals (AnnModelOracle.ivfSql) and
+  // re-derives assignment + probe + search + baseline + recall
+  // independently in DuckDB. The model comes from the per-JVM
+  // TrainedModels cache, shared with the oracle generator, so one
+  // training run feeds both sides (see TrainedModels scaladoc). The
+  // in-query recall floor stays as a semantic catastrophe guard, and
+  // IvfIndexSpec additionally asserts run-to-run determinism.
   private val q45 = QueryDef(
     "q45_ivf_ann",
     (s, dir) => {
-      // persisted: training iterations + assign + search would
+      // persisted: assign + search + brute-force baseline would
       // otherwise each rescan the parquet
       val emb = Tables.load(s, dir, "embeddings")
         .repartition(s.sparkContext.defaultParallelism)
         .persist()
-      val cents = graft.similarity.IvfIndex
-        .trainCentroids(emb, "vec_id", "embedding", k = 16, iters = 3)
+      val cents = graft.similarity.TrainedModels
+        .ivfCentroids(s, dir, k = 16, iters = 3)
       val index = graft.similarity.IvfIndex.assign(emb, cents, "vec_id", "embedding")
       // query pool + brute-force top-3: the AnnBaseline shared path —
       // pool capped at SamplePools.AnnQueryPool (keeps the baseline
@@ -344,7 +347,10 @@ object ExtraQueries {
         .orderBy("q_id", "rk")
     },
     None,
-    covers = Seq("SIM-ivf"))
+    covers = Seq("SIM-ivf"),
+    dynOracle = Some((s, dir) => AnnModelOracle.ivfSql(
+      graft.similarity.TrainedModels.ivf(s, dir, k = 16, iters = 3),
+      stride = 50L, nprobe = 4, topK = 3)))
 
   val all: Seq[QueryDef] = Seq(q37, q38, q39, q40, q41, q42, q43, q44, q45)
 }

@@ -12,12 +12,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *               ops not expressible in SQL (driver falls back to a
   *               rows-only check)
   * @param covers SURVEY.md §2 operator ids exercised by this query
+  * @param dynOracle oracle SQL generated at Verify-dump time from the
+  *               (spark, testdata dir) pair — for gates whose oracle
+  *               must inline data-derived model literals (the ANN
+  *               gates' trained centroids/codebooks, see
+  *               [[AnnModelOracle]]). Mutually exclusive with
+  *               `oracle`; Verify merges these into oracle_sql.json
+  *               after the query dump.
   */
 final case class QueryDef(
     name: String,
     run: (SparkSession, String) => DataFrame,
     oracle: Option[String],
-    covers: Seq[String] = Nil)
+    covers: Seq[String] = Nil,
+    dynOracle: Option[(SparkSession, String) => String] = None)
 
 object QueryDef {
   /** Determinism rules shared by every query (see Scaladoc on each):

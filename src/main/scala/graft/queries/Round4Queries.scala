@@ -366,12 +366,16 @@ object Round4Queries {
   // ------------------------------------------------------ PQ compressed ANN
   // Product-quantization ANN (similarity/PqIndex): train 8×16
   // codebooks, encode the corpus 32× smaller, ADC-generate candidates
-  // from the codes alone, exact-cosine refine to top-5. Approximate
-  // by construction, so the gate is semantic (like q45's IVF): the
-  // query computes recall@5 against an in-query brute-force baseline
-  // and FAILS below the pinned floor instead of passing rows-only.
-  // The floor is deliberately under PqIndexSpec's 0.8 (that spec
-  // trains the book fully; iters=1 here keeps the gate cheap).
+  // from the codes alone, exact-cosine refine to top-5. k-means has
+  // no SQL twin, but the trained CODEBOOK is a pure function of the
+  // data — the gate is hash-gated against a dynamic oracle that
+  // inlines the codebook (+ driver-side cell norms) as SQL literals
+  // (AnnModelOracle.pqSql) and re-derives encode + ADC + refine +
+  // baseline + recall independently in DuckDB, with the model shared
+  // through the per-JVM TrainedModels cache so one training run feeds
+  // both sides. The in-query recall floor stays as a semantic
+  // catastrophe guard; PqIndexSpec pins recall with a fully-trained
+  // book (iters=1 here keeps the gate cheap).
   private val q106 = QueryDef(
     "q106_pq_ann",
     (s, dir) => {
@@ -381,9 +385,8 @@ object Round4Queries {
       // capped at SamplePools.AnnQueryPool (linear-in-corpus
       // baseline); the baseline itself is hash-gated as q106b
       val queries = AnnBaseline.queryPool(emb, stride = 100L)
-      // iters=1 keeps the gate cheap; PqIndexSpec pins recall with a
-      // fully-trained book — this gate checks the pipeline shape
-      val book = PqIndex.train(emb, "vec_id", "embedding", m = 8, k = 16, iters = 1)
+      val book = graft.similarity.TrainedModels
+        .pq(s, dir, m = 8, k = 16, iters = 1)
       val codes = PqIndex.encode(emb, "vec_id", "embedding", book)
       val pq = PqIndex.searchRefined(codes, emb, queries, book,
         "vec_id", "embedding", topK = 5, refine = 40)
@@ -416,7 +419,10 @@ object Round4Queries {
         .orderBy("q_id", "rk")
     },
     None,
-    covers = Seq("T-ann-pq"))
+    covers = Seq("T-ann-pq"),
+    dynOracle = Some((s, dir) => AnnModelOracle.pqSql(
+      graft.similarity.TrainedModels.pq(s, dir, m = 8, k = 16, iters = 1),
+      stride = 100L, refine = 40, topK = 5)))
 
   // ---------------------------------------------------------- full outer join
   // FULL OUTER over two sparse aggregates — both sides contribute
