@@ -79,6 +79,23 @@ object Bench {
     }
     canary() // codegen warm (discarded)
     canaryTimes.clear()
+    // Session floor: min of 5 solo back-to-back canaries BEFORE the
+    // warm pass — the machine's actual canary speed, so the floor
+    // signature travels to other hardware instead of being calibrated
+    // to one box. The absolute fallback is this box's measured idle
+    // min (0.12 s at 32 cpus), scaled by cpu count because the canary
+    // is fixed total work split over SPARK_GRAFT_CPUS: fewer cores ⇒
+    // proportionally longer idle wall time. max(session, absolute)
+    // keeps the flag meaningful when the session START itself is
+    // loaded (a small session floor can only make the flag MORE
+    // sensitive, never lie idle). SPARK_GRAFT_CANARY_REF overrides
+    // both for explicit cross-box calibration.
+    (1 to 5).foreach(_ => canary())
+    val sessionFloor = canaryTimes.min
+    canaryTimes.clear()
+    val refIdleSec = sys.env.get("SPARK_GRAFT_CANARY_REF")
+      .map(_.toDouble)
+      .getOrElse(math.max(sessionFloor, 0.12 * 32.0 / cpus.toInt))
 
     val all = SparkEntry.queries.toSeq.sortBy(_._1)
     def pass(): Seq[(String, Double)] = {
@@ -104,10 +121,9 @@ object Bench {
     // SUSTAINED whole-run load (the BENCH_r06 case) inflates every
     // canary equally, so spread stays flat and only the absolute
     // level shows it. The canary is data-independent fixed work; its
-    // idle-machine min on this box is ~0.12 s (measured r7, sf0.001
-    // and sf0.1 identical by construction) — 2.5× that means the
-    // machine never ran free during the whole bench.
-    val refIdleSec = 0.12
+    // idle-machine reference is the session floor measured above
+    // (absolute-scaled fallback) — 2.5× that means the machine never
+    // ran free during the whole bench.
     val contended =
       cMax / math.max(cMin, 1e-3) > 2.5 || cMin > 2.5 * refIdleSec
     // The driver records only a bounded (~4 KB) TAIL of stdout, and a
@@ -139,18 +155,31 @@ object Bench {
     // the driver's tail capture must stay under ~1 KB): with p1 AND
     // p2 recorded, a contaminated pass is visible per query instead
     // of silently folded into the min.
-    val dumpPath = sys.env.getOrElse(
-      "SPARK_GRAFT_BENCH_DUMP", "/tmp/graft_bench_dump.json")
+    // Default path is per-run (sf stem + pid) inside the repo so (a)
+    // two concurrent bench JVMs never clobber each other's artifact
+    // and (b) the driver's end-of-round snapshot commit archives the
+    // per-query evidence next to BENCH_rN.json instead of losing it
+    // in /tmp; the printed JSON line carries the exact path.
+    val dumpPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DUMP", {
+      val stem = new java.io.File(sfDir).getName
+      val pid = ProcessHandle.current().pid()
+      s"/root/repo/bench_dumps/bench_${stem}_$pid.json"
+    })
     locally {
       val p1m = p1.toMap
-      val full = results.sortBy(-_._2).map { case (n, t) =>
-        val (a, b) = (p1m.getOrElse(n, t), p2m.getOrElse(n, t))
-        "\"" + n + "\":" + f"""{"min":$t%.3f,"p1":$a%.3f,"p2":$b%.3f}"""
-      }.mkString("{\"canary\":" +
-          canaryTimes.map(c => f"$c%.3f").mkString("[", ",", "]") + ",", ",", "}")
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(dumpPath), full)
+      // canary is a normal first element (no hand-glued separator), so
+      // the dump stays valid JSON even with an empty results set
+      val fields =
+        ("\"canary\":" + canaryTimes.map(c => f"$c%.3f").mkString("[", ",", "]")) +:
+        results.sortBy(-_._2).map { case (n, t) =>
+          val (a, b) = (p1m.getOrElse(n, t), p2m.getOrElse(n, t))
+          "\"" + n + "\":" + f"""{"min":$t%.3f,"p1":$a%.3f,"p2":$b%.3f}"""
+        }
+      val p = java.nio.file.Paths.get(dumpPath)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p, fields.mkString("{", ",", "}"))
     }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"contended":$contended,"canary":{"min":$cMin%.3f,"max":$cMax%.3f,"n":${canaryTimes.size}},"queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"contended":$contended,"canary":{"min":$cMin%.3f,"max":$cMax%.3f,"n":${canaryTimes.size},"ref":$refIdleSec%.3f,"session_floor":$sessionFloor%.3f},"dump":"$dumpPath","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -13,14 +13,17 @@ import org.apache.spark.sql.types._
   *
   * Image decode/resize are REAL (`javax.imageio`, JRE-native PNG /
   * BMP / GIF / JPEG readers — raster dimensions, channel statistics,
-  * bilinear rescale). Audio/video and undecodable payloads fall back
-  * to a clearly-marked deterministic stub (the container has no
-  * audio/video codec): pseudo dimensions/duration from the byte
-  * length, so the pipeline stays total and the gate corpus — text
-  * bytes standing in for media — stays SQL-reproducible. The
-  * surrounding plumbing — schema contract, mapPartitions batch shape,
-  * feature row — is identical on both paths; swapping the stub branch
-  * for a javacv/ffmpeg codec changes only [[Codec]].
+  * bilinear rescale). Audio decode is REAL (`javax.sound.sampled`,
+  * JRE-native WAV / AIFF / AU header parsers — sample rate, channels,
+  * frame count → exact duration_ms). Video and undecodable payloads
+  * fall back to a clearly-marked deterministic stub (the JRE has no
+  * video codec — the single remaining honest fallback): pseudo
+  * dimensions/duration from the byte length, so the pipeline stays
+  * total and the gate corpus — text bytes standing in for media —
+  * stays SQL-reproducible. The surrounding plumbing — schema
+  * contract, mapPartitions batch shape, feature row — is identical on
+  * all paths; swapping the stub branch for a javacv/ffmpeg codec
+  * changes only [[Codec]].
   */
 object MediaFeatures {
 
@@ -64,12 +67,19 @@ object MediaFeatures {
     * javacv/ffmpeg codec without touching the mapPartitions plumbing.
     */
   object Codec {
+    // Executor-side one-time init: ImageIO's default useCache=true
+    // writes a disk-cache temp file per decoded payload — per-record
+    // /tmp I/O inside the mapPartitions hot path. Decode sources are
+    // in-memory byte arrays here, so the cache buys nothing.
+    javax.imageio.ImageIO.setUseCache(false)
+
     final case class Decoded(
         width: Int,
         height: Int,
         durationMs: Long,
         channels: Int = 0,
-        channelMean: Array[Double] = Array.empty)
+        channelMean: Array[Double] = Array.empty,
+        sampleRate: Int = 0)
 
     /** Real image decode via the JRE's registered ImageIO readers.
       * Magic-byte pre-check keeps the common non-image payload on a
@@ -112,9 +122,42 @@ object MediaFeatures {
         Decoded(im.getWidth, im.getHeight, 0L, ch, sums.map(_ / n))
       }
 
+    /** Real audio header decode via the JRE's `javax.sound.sampled`
+      * (WAV/AIFF/AIFC/AU/SND parsers ship in the JRE): sample rate,
+      * channels, and frame count → exact duration_ms. Magic-byte
+      * gated like images — `RIFF`/`FORM`/`.snd` — so the common
+      * non-audio payload (the gate corpus's text bytes) never touches
+      * the parser; a payload that matches a magic but fails to parse
+      * (or has unknown frame length) falls back to the stub.
+      */
+    private def decodeAudio(bytes: Array[Byte]): Option[Decoded] = {
+      def magic(sig: Int*): Boolean =
+        bytes.length >= sig.length &&
+          sig.indices.forall(i => (bytes(i) & 0xff) == sig(i))
+      val looksDecodable =
+        magic('R', 'I', 'F', 'F') ||  // WAV
+        magic('F', 'O', 'R', 'M') ||  // AIFF / AIFC
+        magic('.', 's', 'n', 'd')     // AU / SND
+      if (!looksDecodable) None
+      else try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val fmt = in.getFormat
+          val frames = in.getFrameLength
+          if (frames < 0 || fmt.getSampleRate <= 0) None
+          else Some(Decoded(0, 0,
+            durationMs = (frames * 1000.0 / fmt.getSampleRate).toLong,
+            channels = fmt.getChannels,
+            sampleRate = math.round(fmt.getSampleRate)))
+        } finally in.close()
+      } catch { case _: Exception => None }
+    }
+
     /** Deterministic fallback for payloads the JRE cannot decode —
-      * pseudo dimensions/duration from the byte length. Audio/video
-      * always land here (no JRE codec); images only when undecodable.
+      * pseudo dimensions/duration from the byte length. Video always
+      * lands here (no JRE codec — the single remaining honest stub);
+      * images/audio only when undecodable.
       */
     private def stubDecode(mediaType: String, bytes: Array[Byte]): Decoded = {
       val n = bytes.length
@@ -130,6 +173,8 @@ object MediaFeatures {
       mediaType match {
         case "image" =>
           decodeImage(bytes).getOrElse(stubDecode(mediaType, bytes))
+        case "audio" =>
+          decodeAudio(bytes).getOrElse(stubDecode(mediaType, bytes))
         case _ => stubDecode(mediaType, bytes)
       }
 
@@ -152,7 +197,8 @@ object MediaFeatures {
             g.drawImage(im, 0, 0, w, h, null)
           } finally g.dispose()
           val buf = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(out, "png", buf)
+          val wrote = javax.imageio.ImageIO.write(out, "png", buf)
+          require(wrote, "no ImageIO PNG writer registered")
           buf.toByteArray
         case None =>
           bytes.take(math.max(16, math.min(bytes.length, w * h / 64)))

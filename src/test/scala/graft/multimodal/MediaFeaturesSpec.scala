@@ -88,6 +88,63 @@ class MediaFeaturesSpec extends SparkSpec {
     assert(math.abs(d.channelMean(2) - 200.0) < 1.0)
   }
 
+  /** A real encoded audio fixture: `frames` frames of 16-bit mono PCM
+    * at `rate` Hz (a deterministic sawtooth), written through the
+    * JRE's own encoder for the given container type.
+    */
+  private def encodedAudio(
+      tpe: javax.sound.sampled.AudioFileFormat.Type,
+      rate: Float,
+      frames: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val pcm = new Array[Byte](frames * 2)
+    for (i <- 0 until frames) {
+      val v = ((i % 256) - 128).toShort
+      pcm(i * 2) = (v & 0xff).toByte
+      pcm(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val buf = new java.io.ByteArrayOutputStream()
+    assert(javax.sound.sampled.AudioSystem.write(ais, tpe, buf) > 0,
+      s"no $tpe writer")
+    buf.toByteArray
+  }
+
+  test("real audio decode: WAV/AIFF/AU fixtures yield exact rate, channels, duration") {
+    import javax.sound.sampled.AudioFileFormat.Type
+    // 4000 frames at 8000 Hz = exactly 500 ms
+    for (tpe <- Seq(Type.WAVE, Type.AIFF, Type.AU)) {
+      val d = Codec.decode("audio", encodedAudio(tpe, 8000f, 4000))
+      assert(d.sampleRate == 8000, s"$tpe rate ${d.sampleRate}")
+      assert(d.channels == 1, s"$tpe channels")
+      assert(d.durationMs == 500, s"$tpe duration ${d.durationMs}")
+    }
+    // a different rate/length pins the arithmetic, not a constant:
+    // 22050 frames at 44100 Hz = exactly 500 ms; 11025 → 250 ms
+    val d2 = Codec.decode("audio", encodedAudio(Type.WAVE, 44100f, 11025))
+    assert(d2.sampleRate == 44100 && d2.durationMs == 250)
+  }
+
+  test("undecodable audio keeps the deterministic stub, even with a RIFF prefix") {
+    val fake = "RIFF but not really a wav file at all".getBytes("UTF-8")
+    val d = Codec.decode("audio", fake)
+    assert(d.durationMs == fake.length / 16 && d.sampleRate == 0)
+    val txt = "plain text audio payload".getBytes("UTF-8")
+    assert(Codec.decode("audio", txt).durationMs == txt.length / 16)
+  }
+
+  test("extractFeatures uses the real decode for audio payloads") {
+    val wav = encodedAudio(
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, 16000f, 8000)
+    val rows = Seq(Row(10L, "audio", "mem://real.wav", wav, null, null, null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), mediaSchema)
+    val f = extractFeatures(df).collect().head
+    assert(f.duration_ms == 500) // 8000 frames / 16 kHz, not byte-length stub
+    assert(f.byte_len == wav.length)
+  }
+
   test("extractFeatures uses the real decode for image payloads") {
     val png = encodedImage("png", 7, 3)
     val rows = Seq(Row(9L, "image", "mem://real.png", png, null, null, null))
