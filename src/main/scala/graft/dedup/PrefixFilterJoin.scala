@@ -71,8 +71,10 @@ object PrefixFilterJoin {
       idCol: String,
       setExpr: Column,
       thetaNum: Int,
-      thetaDen: Int): DataFrame = {
+      thetaDen: Int,
+      postingCap: Int = 1024): DataFrame = {
     require(thetaNum > 0 && thetaDen > 0 && thetaNum <= thetaDen, "need 0 < θ ≤ 1")
+    require(postingCap >= 2, "postingCap must allow pairs within a chunk")
 
     val tok = docs.select(col(idCol).as("doc_id"), explode(array_distinct(setExpr)).as("tk"))
 
@@ -96,15 +98,46 @@ object PrefixFilterJoin {
 
     // Candidate pairs: docs sharing ≥1 prefix element. Posting-list
     // pair expansion (sorted set → unordered i<j pairs) avoids a
-    // hash self-join build over the index. The length filter
-    // min/max ≥ θ (cross-multiplied) prunes before verification.
-    val ds = col("ds")
-    val candidates = prefix
+    // hash self-join build over the index.
+    //
+    // Heavy-hitter split: a posting longer than `postingCap` is cut
+    // into contiguous CHUNKS of the globally-sorted list. Within-chunk
+    // pairs expand per chunk (each explode row bounded at cap²/2
+    // pairs, far below OrderedPairs' Int overflow guard), cross-chunk
+    // pairs come from a chunk-pair join (chunk i's elements all sort
+    // before chunk j's for i<j, so a<b is free). The split is LOSSLESS
+    // — the union is exactly the i<j pair set of the full posting —
+    // and it converts one s²/2-pair row (a single task's worth of
+    // work, an overflow past s ≈ 65k) into (s/cap)² bounded rows that
+    // spread across partitions. An adversarially hot prefix token
+    // still costs its true quadratic pair count (exactness requires
+    // it), but it can no longer overflow or serialize on one task.
+    // persisted: the posting index feeds three branches (light, heavy
+    // within-chunk, heavy cross-chunk) — recomputing tok+freq+prefix
+    // per branch would triple the dominant upstream cost
+    val posting = prefix
       .groupBy("tk")
       .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
-      .filter(size(ds) >= 2)
-      .select(explode(graft.functions.OrderedPairs(prefix.sparkSession, ds)).as("p"))
+      .filter(size(col("ds")) >= 2)
+      .persist()
+    def expand(df: DataFrame, dsCol: Column): DataFrame = df
+      .select(explode(graft.functions.OrderedPairs(prefix.sparkSession, dsCol)).as("p"))
       .select(col("p.a").as("a_id"), col("p.b").as("b_id"))
+    val light = expand(posting.filter(size(col("ds")) <= postingCap), col("ds"))
+    val chunks = posting.filter(size(col("ds")) > postingCap)
+      .select(col("tk"), posexplode(col("ds")).as(Seq("pos", "doc_id")))
+      .withColumn("chunk", expr(s"pos DIV $postingCap"))
+      .groupBy("tk", "chunk")
+      .agg(sort_array(collect_list(col("doc_id"))).as("cds"))
+    val heavyWithin = expand(chunks, col("cds"))
+    val heavyCross = chunks.select(col("tk"), col("chunk"), col("cds"))
+      .join(chunks.select(col("tk"), col("chunk").as("chunk_b"), col("cds").as("cds_b")), "tk")
+      .filter(col("chunk") < col("chunk_b"))
+      .select(explode(col("cds")).as("a_id"), col("cds_b"))
+      .select(col("a_id"), explode(col("cds_b")).as("b_id"))
+    val candidates = light
+      .unionByName(heavyWithin)
+      .unionByName(heavyCross)
       .distinct()
 
     // Exact verification on the candidate sliver only: fetch both

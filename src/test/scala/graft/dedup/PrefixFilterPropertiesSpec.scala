@@ -54,6 +54,39 @@ class PrefixFilterPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("heavy-hitter split is lossless: pathological hot postings equal brute force and the uncapped path") {
+    import spark.implicits._
+    // 3-word vocabulary → every token is globally hot and lands in
+    // prefixes of ~all docs: posting lists of 30-60 docs. postingCap=4
+    // forces those postings through the chunk split (within-chunk +
+    // cross-chunk branches both non-trivial); at the production cap
+    // (1024) the same postings take the light path. All three results
+    // must be identical — the split changes execution shape only.
+    // (A true OrderedPairs overflow needs ~65k-doc postings; cap=4 on
+    // 60 docs exercises the identical code path that bounds each
+    // expansion row below the guard at any scale.)
+    val genHot: Gen[String] = for {
+      len <- Gen.chooseNum(1, 3)
+      ws <- Gen.listOfN(len, Gen.oneOf("a", "b", "c"))
+    } yield ws.mkString(" ")
+    for ((seed, (num, den)) <- Seq((600L, (1, 2)), (700L, (2, 3)))) {
+      val corpus = samples(genHot, 60, seed).zipWithIndex
+        .map { case (txt, i) => (i.toLong, txt) }.toDF("doc_id", "text")
+      def run(cap: Int) = PrefixFilterJoin
+        .setSelfJoin(corpus, "doc_id", split(col("text"), " "), num, den, cap)
+        .select("a_id", "b_id", "shared")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val capped = run(4)
+      val uncapped = run(1024)
+      val want = brute(corpus, num, den)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(capped.nonEmpty, s"degenerate case at seed=$seed — no pairs to check")
+      assert(capped == want, s"split ≠ brute at θ=$num/$den seed=$seed: " +
+        s"missing=${(want -- capped).take(5)} extra=${(capped -- want).take(5)}")
+      assert(capped == uncapped, s"split ≠ uncapped at θ=$num/$den seed=$seed")
+    }
+  }
+
   test("θ=1 returns exactly the identical-set pairs") {
     import spark.implicits._
     val corpus = Seq(
