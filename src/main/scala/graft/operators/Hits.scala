@@ -48,9 +48,13 @@ object Hits {
       edges: DataFrame,
       iters: Int = 6,
       parts: Int = 8,
-      copartitioned: Boolean = false): DataFrame =
+      copartitioned: Boolean = false): DataFrame = {
+    // iters = 0 would leave the authority frame unbuilt and NPE at
+    // the final checkpoint — fail with the actual contract instead
+    require(iters >= 1, s"HITS needs at least one iteration, got $iters")
     if (copartitioned) copartitionedAuthorities(edges, iters, parts)
     else broadcastAuthorities(edges, iters, parts)
+  }
 
   /** The q472 gate shape (see Round91Queries for the hash-gated
     * original and its in-file commentary).

@@ -44,6 +44,65 @@ class HitsVariantsSpec extends SparkSpec {
     }
   }
 
+  /** Ranking by the gates' total order (authority DESC, p ASC). */
+  private def rankingOf(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+    df.orderBy(col("authority").desc, col("p"))
+      .collect().map(_.getLong(0)).toSeq
+
+  private def assertAgree(edges: org.apache.spark.sql.DataFrame, label: String): Unit = {
+    val bcDf = Hits.authorities(edges, iters = 6, parts = 4)
+    val cpDf = Hits.authorities(edges, iters = 6, parts = 4, copartitioned = true)
+    val bc = scoresOf(bcDf)
+    val cp = scoresOf(cpDf)
+    assert(bc.keySet == cp.keySet && bc.nonEmpty, s"$label: node sets diverged")
+    bc.foreach { case (p, v) =>
+      assert(math.abs(v - cp(p)) <= 1e-9 * math.max(1.0, math.abs(v)),
+        s"$label authority($p): broadcast $v vs copartitioned ${cp(p)}")
+    }
+    assert(rankingOf(bcDf) == rankingOf(cpDf), s"$label: rankings diverged")
+  }
+
+  test("skewed degree: one hub buyer owning ~half the edges (partial-sum reordering stress)") {
+    import spark.implicits._
+    // hub u=0 buys 60 of 120 parts; 39 long-tail buyers get 2-4 parts
+    // each from a fixed-seed draw — the shape where one group's fold
+    // has 60 terms and partial-sum reordering actually bites
+    val hub = (0 until 60).map(p => (0L, p.toLong))
+    val tailGen: Gen[(Long, Long)] = for {
+      u <- Gen.chooseNum(1, 39)
+      p <- Gen.chooseNum(0, 119)
+    } yield (u.toLong, p.toLong)
+    val tail = samples(tailGen, 120, seed = 52900L)
+    assertAgree((hub ++ tail).distinct.toDF("u", "p"), "skewed")
+    // and with the hub on the PART side (one authority with a 40-term
+    // fold every half-step)
+    val hotPart = (0 until 40).map(u => (u.toLong, 0L))
+    assertAgree((hotPart ++ tail).distinct.toDF("u", "p"), "hot-part")
+  }
+
+  test("disconnected components: norm couples them, per-component mass must still agree") {
+    import spark.implicits._
+    // three islands with no shared nodes — the global L2 norm is the
+    // ONLY coupling, so a wrong norm level (per-partition instead of
+    // global) shows up here and nowhere else
+    val compA = for { u <- 0 until 8; p <- 0 until 5 } yield (u.toLong, p.toLong)
+    val compB = Seq((100L, 100L), (100L, 101L), (101L, 100L)) // tiny
+    val compC = for { u <- 200 until 204; p <- 200 until 210 }
+      yield (u.toLong, p.toLong)
+    assertAgree((compA ++ compB ++ compC).toDF("u", "p"), "disconnected")
+  }
+
+  test("iters = 0 fails with the contract, not an NPE") {
+    import spark.implicits._
+    val edges = Seq((1L, 1L)).toDF("u", "p")
+    for (cp <- Seq(false, true)) {
+      val e = intercept[IllegalArgumentException] {
+        Hits.authorities(edges, iters = 0, parts = 2, copartitioned = cp)
+      }
+      assert(e.getMessage.contains("at least one iteration"))
+    }
+  }
+
   test("variants agree on the real co-purchase graph (sf0.001)") {
     val s = spark
     val edges = graft.Tables.load(s, "/root/testdata/sf0.001", "lineitem")
