@@ -25,6 +25,16 @@ object GraphGateSource {
 
   private val cache = new ConcurrentHashMap[(Int, String), DataFrame]()
 
+  /** Generic session-scoped cached frame: evaluates `build` and
+    * eagerly localCheckpoints it once per (SparkContext, key); later
+    * lookups return the checkpointed frame. For model-sized shared
+    * frames only — checkpoint blocks live until the context dies.
+    */
+  def cached(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
+    cache.computeIfAbsent(
+      (System.identityHashCode(s.sparkContext), key),
+      _ => build.localCheckpoint())
+
   /** DISTINCT (u = o_custkey, p = l_partkey) purchase edges for
     * `dir`, built once per (context, dir) and localCheckpointed.
     */

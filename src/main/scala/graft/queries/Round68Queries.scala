@@ -29,7 +29,11 @@ object Round68Queries {
         .select(col("doc_id"),
           (conv(substring(md5(col("text")), 1, 8), 16, 10)
             .cast(LongType) % 2).cast(LongType).as("arm"))
-      val pairs = graft.SparkEntry.queries("q22_ngram_jaccard")(s, dir)
+      // session-cached copy of q22's verified-pairs output (the shared
+      // input of q71/q192/q289/q332/q351/q359 — q22's own gate still
+      // rebuilds, so its bench timing stays honest)
+      val pairs = GraphGateSource.cached(s, "q22-pairs:" + dir)(
+        graft.SparkEntry.queries("q22_ngram_jaccard")(s, dir))
         .select("doc_a", "doc_b")
       val tagged = pairs
         .join(arm.select(col("doc_id").as("doc_a"), col("arm").as("arm_a")),
