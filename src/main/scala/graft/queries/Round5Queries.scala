@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.LongType
@@ -21,16 +21,27 @@ object Round5Queries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  /** Session-cached DISTINCT customer→supplier edge frame (prefixed
-    * string node ids) — q151 PageRank and q152 BFS share it.
+  /** Session-cached DISTINCT customer→supplier edge frame — q151
+    * PageRank and q152 BFS share it. Node ids are parity-tagged
+    * LONGS (customer k → 2k, supplier k → 2k+1), not the oracle's
+    * 'c…'/'s…' strings: every iteration joins and shuffles on the
+    * node key, and long keys hash/compare without per-row string
+    * traffic. PageRank is integer fixed-point (order-independent),
+    * so the encoding is bit-neutral — the gates decode back to the
+    * exact oracle strings at output ([[decodeNode]]).
     */
   private def custSuppEdges(s: SparkSession, dir: String): DataFrame =
     GraphGateSource.cached(s, "cust-supp:" + dir)(
       t(s, dir, "lineitem")
         .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .select(concat(lit("c"), col("o_custkey")).as("src"),
-          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
         .distinct())
+
+  /** Long node id → the oracle's string id ('c<k>' / 's<k>'). */
+  private def decodeNode(node: Column): Column =
+    when(node % 2 === 0, concat(lit("c"), (node / 2).cast(LongType)))
+      .otherwise(concat(lit("s"), ((node - 1) / 2).cast(LongType)))
 
   // ---------------------------------------- distribution window functions
   // ntile / percent_rank / cume_dist — the distribution tail of the
@@ -428,7 +439,7 @@ object Round5Queries {
       val e0 = custSuppEdges(s, dir)
       val edges = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
       graft.operators.PageRank.ranks(edges, iters = 2)
-        .select(col("node"), col("r").as("rank_fp"))
+        .select(decodeNode(col("node")).as("node"), col("r").as("rank_fp"))
         .orderBy(col("rank_fp").desc, col("node"))
         .limit(20)
     },
@@ -474,7 +485,7 @@ object Round5Queries {
       val e0 = custSuppEdges(s, dir)
       val edges = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
       val seeds = t(s, dir, "orders").filter(col("o_custkey") % 100 === 0)
-        .select(concat(lit("c"), col("o_custkey")).as("node"))
+        .select((col("o_custkey") * 2).as("node"))
       graft.operators.Bfs.distances(edges, seeds, maxHops = 2)
         .groupBy("dist").agg(count(lit(1)).as("n_nodes"))
         .orderBy("dist")
