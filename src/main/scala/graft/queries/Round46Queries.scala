@@ -28,7 +28,10 @@ object Round46Queries {
     "q291_lsh_precision_recall",
     (s, dir) => {
       val sh = TextQueries.shinglePostings(s, dir).localCheckpoint()
-      val truth = TextQueries.jaccardPairsFrom(sh)
+      // ground truth is q22's verified-pairs pipeline — read the
+      // session-cached copy (oracle re-derives it independently)
+      val truth = GraphGateSource.cached(s, "q22-pairs:" + dir)(
+          graft.SparkEntry.queries("q22_ngram_jaccard")(s, dir))
         .select(col("doc_a"), col("doc_b"), lit(1L).as("is_truth"))
       val cand = TextQueries.lshCandidatesFrom(s, sh)
         .select(col("doc_a"), col("doc_b"), lit(1L).as("is_cand"))

