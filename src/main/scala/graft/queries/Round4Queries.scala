@@ -325,10 +325,14 @@ object Round4Queries {
       // bounds the quadratic expansion against degenerate boilerplate
       // shingles at scale (far above any list in this corpus, so the
       // oracle's self-join stays equivalent).
-      val sh = t(s, dir, "documents")
-        .select(col("doc_id"),
-          explode(array_distinct(WordShingles(s, col("text"), 3))).as("sh"))
-        .persist()
+      // the session-cached distinct (doc_id, shingle) frame is the
+      // same row set as the per-doc array_distinct explode this
+      // replaced (a (doc, shingle) dup can only arise within one doc)
+      val sh = GraphGateSource.cached(s, "shingle-distinct:" + dir)(
+        t(s, dir, "documents").select(col("doc_id"),
+          explode(graft.functions.WordShingles(s, col("text"), 3))
+            .as("s")).distinct())
+        .withColumnRenamed("s", "sh")
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val ds = col("ds")
       val half = sh.groupBy("sh")
