@@ -64,13 +64,21 @@ object GraphGateSource {
   def copurchaseW(s: SparkSession, dir: String): DataFrame =
     cache.computeIfAbsent(
       (System.identityHashCode(s.sparkContext), "copurchase-w:" + dir), _ => {
-      val op = Tables.load(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
+      val op = orderPartDistinct(s, dir)
       op.as("a").join(op.as("b"), Seq("o"))
         .filter(col("a.p") < col("b.p"))
         .groupBy(col("a.p").as("u"), col("b.p").as("v"))
         .agg(count(lit(1)).as("w"))
         .localCheckpoint()
     })
+
+  /** DISTINCT (o = l_orderkey, p = l_partkey) — the base frame of
+    * [[copurchaseW]], also read directly by the association-rule gate
+    * (q200's item counts and order total).
+    */
+  def orderPartDistinct(s: SparkSession, dir: String): DataFrame =
+    cached(s, "op-distinct:" + dir)(
+      Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct())
 }

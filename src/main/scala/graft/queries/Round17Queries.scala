@@ -112,22 +112,18 @@ object Round17Queries {
   private val q200 = QueryDef(
     "q200_copurchase_rules",
     (s, dir) => {
-      val baskets = t(s, dir, "lineitem")
-        .groupBy(col("l_orderkey").as("ok"))
-        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-        .persist()
-      val nOrders = baskets.select(count(lit(1)).as("n_orders"))
-      val counts = baskets
-        .select(explode(col("ps")).as("pk"))
-        .groupBy("pk").agg(count(lit(1)).as("n_item"))
-      val pairs = baskets
-        .select(explode(expr(
-          """flatten(transform(ps, (x, i) ->
-               transform(slice(ps, i + 2, size(ps)),
-                 y -> struct(x AS part_a, y AS part_b))))""")).as("p"))
-        .select(col("p.part_a"), col("p.part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(count(lit(1)).as("n_ab"))
+      // All three frames derive from the session-cached order-part
+      // base: the pair table IS the shared weighted co-purchase graph
+      // (q200's in-row basket expansion produced the identical
+      // (a < b, count) set), item counts and the order total are one
+      // aggregate each over the cached distinct frame.
+      val op = GraphGateSource.orderPartDistinct(s, dir)
+      val nOrders = op.agg(countDistinct(col("o")).as("n_orders"))
+      val counts = op.groupBy(col("p").as("pk"))
+        .agg(count(lit(1)).as("n_item"))
+      val pairs = GraphGateSource.copurchaseW(s, dir)
+        .select(col("u").as("part_a"), col("v").as("part_b"),
+          col("w").as("n_ab"))
       pairs
         .join(counts.select(col("pk").as("part_a"), col("n_item").as("n_a")), "part_a")
         .join(counts.select(col("pk").as("part_b"), col("n_item").as("n_b")), "part_b")
