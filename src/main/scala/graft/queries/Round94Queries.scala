@@ -39,7 +39,15 @@ object Round94Queries {
   /** Cosine ranking of all candidates per query (vec_id < 100):
     * (qa, vb, label_q, label_b, cos, rnk).
     */
-  private def ranked(s: SparkSession, dir: String): DataFrame = {
+  /** Quantized-integer kNN scoring over the embedding table (queries
+    * = vec_id < 100, exact integer dots, cos from exact integers) —
+    * the shared input of q487/q488/q512, session-cached since every
+    * value is integer-derived and bit-deterministic.
+    */
+  private[queries] def ranked(s: SparkSession, dir: String): DataFrame =
+    GraphGateSource.cached(s, "knn-ranked:" + dir)(rankedBuild(s, dir))
+
+  private def rankedBuild(s: SparkSession, dir: String): DataFrame = {
     val vd = vdOf(s, dir).localCheckpoint()
     val norms = vd.groupBy("vec_id")
       .agg(sum(col("q") * col("q")).as("n2"))
@@ -129,7 +137,7 @@ object Round94Queries {
   private val q488 = QueryDef(
     "q488_retrieval_margin",
     (s, dir) => {
-      val r = ranked(s, dir).localCheckpoint()
+      val r = ranked(s, dir)
       val best = r.groupBy("qa", "lq")
         .agg(max(when(col("lq") === col("lb"), col("cos"))).as("best_same"),
           max(when(col("lq") =!= col("lb"), col("cos"))).as("best_diff"))

@@ -28,32 +28,9 @@ object Round99Queries {
   private val q512 = QueryDef(
     "q512_knn_homophily",
     (s, dir) => {
-      val vd = t(s, dir, "embeddings")
-        .select(col("vec_id"), col("label").cast(LongType).as("label"),
-          posexplode(col("embedding")).as(Seq("d", "x")))
-        .select(col("vec_id"), col("label"), col("d"),
-          floor(col("x").cast("double") * lit(Q.toDouble))
-            .cast(LongType).as("q"))
-        .localCheckpoint()
-      val norms = vd.groupBy("vec_id")
-        .agg(sum(col("q") * col("q")).as("n2"))
-      val qv = vd.filter(col("vec_id") < 100)
-      val scored = qv.as("a").join(vd.as("b"), Seq("d"))
-        .filter(col("a.vec_id") =!= col("b.vec_id"))
-        .groupBy(col("a.vec_id").as("qa"), col("a.label").as("lq"),
-          col("b.vec_id").as("vb"), col("b.label").as("lb"))
-        .agg(sum(col("a.q") * col("b.q")).as("dot"))
-        .join(norms.select(col("vec_id").as("qa"), col("n2").as("na")),
-          Seq("qa"))
-        .join(norms.select(col("vec_id").as("vb"), col("n2").as("nb")),
-          Seq("vb"))
-        .withColumn("cos",
-          col("dot").cast("double") /
-            (sqrt(col("na").cast("double")) *
-              sqrt(col("nb").cast("double"))))
-      val w = Window.partitionBy("qa").orderBy(col("cos").desc, col("vb"))
-      val knn = scored.withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 5)
+      // identical quantization (Q), query set, and ranking to
+      // q487/q488 — consume the session-cached shared frame
+      val knn = Round94Queries.ranked(s, dir).filter(col("rnk") <= 5)
       knn.groupBy("lq")
         .agg(count(lit(1)).as("n_edges"),
           sum(when(col("lq") === col("lb"), 1L).otherwise(0L))
