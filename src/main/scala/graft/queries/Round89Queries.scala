@@ -118,7 +118,10 @@ object Round89Queries {
   private[queries] def recs(s: SparkSession, dir: String): DataFrame =
     GraphGateSource.cached(s, "train-recs:" + dir)(buildRecs(s, dir))
 
-  private def buildRecs(s: SparkSession, dir: String): DataFrame = {
+  /** The uncached builder — PlanGuardSpec pins its TopKPerKey shape
+    * here, since the cached frame's visible plan is a checkpoint scan.
+    */
+  private[queries] def buildRecs(s: SparkSession, dir: String): DataFrame = {
     val trainOrders = t(s, dir, "orders")
       .filter(to_date(col("o_orderdate")) < lit("1999-01-01").cast(DateType))
       .select(col("o_orderkey"))

@@ -115,11 +115,12 @@ class PlanGuardSpec extends SparkSpec {
 
   test("the rec model builds its top-3 through the bounded-heap operator") {
     val dir = "/root/testdata/sf0.001"
-    // the shared item-item recs model (q463/q466) must keep its
+    // the shared item-item recs model (q463/q466/q513) must keep its
     // TopKPerKey top-3, not fall back to a full window sort of every
-    // co-purchase pair. Checked on the builder itself: the gates wrap
-    // it in localCheckpoint, which truncates their visible plans.
-    val plan = Round89Queries.recs(spark, dir)
+    // co-purchase pair. Checked on the UNCACHED builder: the served
+    // frame is a session-scoped localCheckpoint (GraphGateSource),
+    // whose visible plan is a checkpoint scan.
+    val plan = Round89Queries.buildRecs(spark, dir)
       .queryExecution.executedPlan.toString
     assert(plan.contains("TopKPerKey"),
       "recs model lost the TopKPerKey bounded-heap top-3")
