@@ -29,6 +29,11 @@ object GraphGateSource {
     * eagerly localCheckpoints it once per (SparkContext, key); later
     * lookups return the checkpointed frame. For model-sized shared
     * frames only — checkpoint blocks live until the context dies.
+    *
+    * `build` must NOT call another GraphGateSource accessor: that
+    * would nest computeIfAbsent on the one map (a recursive update —
+    * ConcurrentHashMap may throw or corrupt, detection best-effort).
+    * Resolve dependencies before the lookup, as [[copurchaseW]] does.
     */
   def cached(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
     cache.computeIfAbsent(
@@ -61,16 +66,19 @@ object GraphGateSource {
     * consumers' DuckDB oracles re-derive it independently from
     * lineitem, so sharing the Spark-side build cannot mask a defect.
     */
-  def copurchaseW(s: SparkSession, dir: String): DataFrame =
+  def copurchaseW(s: SparkSession, dir: String): DataFrame = {
+    // resolve the base frame BEFORE entering computeIfAbsent: a
+    // nested computeIfAbsent on the same map is a recursive update
+    // (ConcurrentHashMap may throw or corrupt, detection best-effort)
+    val op = orderPartDistinct(s, dir)
     cache.computeIfAbsent(
-      (System.identityHashCode(s.sparkContext), "copurchase-w:" + dir), _ => {
-      val op = orderPartDistinct(s, dir)
+      (System.identityHashCode(s.sparkContext), "copurchase-w:" + dir), _ =>
       op.as("a").join(op.as("b"), Seq("o"))
         .filter(col("a.p") < col("b.p"))
         .groupBy(col("a.p").as("u"), col("b.p").as("v"))
         .agg(count(lit(1)).as("w"))
-        .localCheckpoint()
-    })
+        .localCheckpoint())
+  }
 
   /** DISTINCT (o = l_orderkey, p = l_partkey) — the base frame of
     * [[copurchaseW]], also read directly by the association-rule gate
