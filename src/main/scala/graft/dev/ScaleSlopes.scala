@@ -61,6 +61,10 @@ object ScaleSlopes {
       val fn = graft.SparkEntry.queries(q)
       for (dir <- sfs) {
         fn(spark, dir).count() // warm: Janino + AQE shape, untimed
+        // the timed pass must pay the session-cached shared builds
+        // (edge frames, ANN models) too, or slopes understate work
+        graft.queries.GraphGateSource.invalidate()
+        graft.similarity.TrainedModels.invalidate()
         Thread.sleep(500); listener.reset()
         val t0 = System.nanoTime(); fn(spark, dir).count()
         val sec = (System.nanoTime() - t0) / 1e9

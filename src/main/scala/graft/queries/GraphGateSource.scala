@@ -25,6 +25,13 @@ object GraphGateSource {
 
   private val cache = new ConcurrentHashMap[(Int, String), DataFrame]()
 
+  /** Measurement tools only (dev/ScaleSlopes): drop every cached
+    * frame so a timed pass pays the full build again — otherwise the
+    * ladder's byte slopes silently exclude the shared-build work that
+    * production pays once per job.
+    */
+  private[graft] def invalidate(): Unit = cache.clear()
+
   /** Generic session-scoped cached frame: evaluates `build` and
     * eagerly localCheckpoints it once per (SparkContext, key); later
     * lookups return the checkpointed frame. For model-sized shared

@@ -43,6 +43,11 @@ object TrainedModels {
   private val pqCache =
     new ConcurrentHashMap[(String, Int, Int, Int), PqIndex.Codebook]()
 
+  /** Measurement tools only (dev/ScaleSlopes): drop the cached
+    * models so a timed pass pays training again.
+    */
+  private[graft] def invalidate(): Unit = { ivfCache.clear(); pqCache.clear() }
+
   private def loadEmb(spark: SparkSession, dir: String): DataFrame =
     graft.Tables
       .load(spark, dir, "embeddings")
