@@ -3,15 +3,11 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.Tables
 
 /** Round-46 gate addition (q291): end-to-end evaluation of the LSH
   * candidate generator against exact ground truth.
   */
 object Round46Queries {
-
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    Tables.load(s, dir, name)
 
   // ------------------------------------------------- LSH P/R
   // Does the q23 banding actually find the near-duplicates q22

@@ -17,7 +17,6 @@ object Round99Queries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  private val Q = 1048576L
 
   // ------------------------------------------------- kNN homophily
   // Label homophily of the embedding kNN graph: among each query's 5
