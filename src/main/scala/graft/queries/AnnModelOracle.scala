@@ -32,7 +32,7 @@ object AnnModelOracle {
     * incl. E-notation). -0.0 normalizes to 0.0 — DuckDB drops the
     * sign, and no downstream expression distinguishes them.
     */
-  private def dlit(d: Double): String = {
+  private[queries] def dlit(d: Double): String = {
     require(!d.isNaN && !d.isInfinite, s"non-finite model value $d")
     if (d == 0.0) "0.0" else d.toString
   }
