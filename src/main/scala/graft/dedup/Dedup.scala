@@ -1,7 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.internal.Logging
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Corpus-level near-duplicate removal: pairs → clusters → keep one

@@ -1,8 +1,5 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
-
 import graft.Tables
 
 /** Round-47 gate additions (q292+): SQL-surface pins for the aggregate
@@ -10,9 +7,6 @@ import graft.Tables
   * migrating SQL workloads reaches for on day one.
   */
 object Round47Queries {
-
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    Tables.load(s, dir, name)
 
   // ------------------------------------------------- FILTER clause
   // Standard-SQL conditional aggregation: COUNT/SUM ... FILTER

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DateType, LongType}
+import org.apache.spark.sql.types.DateType
 
 import graft.Tables
 import graft.operators.Bfs

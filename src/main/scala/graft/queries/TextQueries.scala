@@ -382,11 +382,6 @@ object TextQueries {
     * evaluation order in Spark's `aggregate` fold and DuckDB's
     * `list_sum`.
     */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-
   private val q29 = QueryDef(
     "q29_cosine_topk",
     (s, dir) => {
