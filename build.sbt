@@ -9,6 +9,9 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// Keep main sources free of dead imports/privates (round-8 hygiene):
+// warnings only, so an offending line is visible without breaking CI.
+Compile / scalacOptions ++= Seq("-Wunused:imports", "-Wunused:privates")
 Test / fork := true
 run / fork := true
 // Bench/Verify print machine-read JSON lines; route forked-run output
