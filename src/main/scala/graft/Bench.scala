@@ -93,9 +93,19 @@ object Bench {
     (1 to 5).foreach(_ => canary())
     val sessionFloor = canaryTimes.min
     canaryTimes.clear()
-    val refIdleSec = sys.env.get("SPARK_GRAFT_CANARY_REF")
-      .map(_.toDouble)
-      .getOrElse(math.max(sessionFloor, 0.12 * 32.0 / cpus.toInt))
+    // Absolute reference: env override for explicit cross-box
+    // calibration, else this box's measured idle min (0.12 s at 32
+    // cpus) scaled by cpu count (fixed total work split over
+    // SPARK_GRAFT_CPUS).
+    val absRef = sys.env.get("SPARK_GRAFT_CANARY_REF")
+      .map(_.toDouble).getOrElse(0.12 * 32.0 / cpus.toInt)
+    val refIdleSec = math.max(sessionFloor, absRef)
+    // A session floor far ABOVE the absolute reference means the
+    // machine was already loaded when Bench started — adopting it as
+    // refIdleSec would disarm the sustained-load (FLOOR) detector for
+    // exactly the run that needs it, so that condition is itself a
+    // contention signature (checked into `contended` below).
+    val floorInflated = sessionFloor > 2.0 * absRef
 
     val all = SparkEntry.queries.toSeq.sortBy(_._1)
     def pass(): Seq[(String, Double)] = {
@@ -125,7 +135,8 @@ object Bench {
     // (absolute-scaled fallback) — 2.5× that means the machine never
     // ran free during the whole bench.
     val contended =
-      cMax / math.max(cMin, 1e-3) > 2.5 || cMin > 2.5 * refIdleSec
+      cMax / math.max(cMin, 1e-3) > 2.5 || cMin > 2.5 * refIdleSec ||
+        floorInflated
     // The driver records only a bounded (~4 KB) TAIL of stdout, and a
     // per-query map over 300+ queries makes the JSON line ~5.5 KB — the
     // head gets truncated away and json parsing fails (BENCH_r01–r03
@@ -160,10 +171,12 @@ object Bench {
     // and (b) the driver's end-of-round snapshot commit archives the
     // per-query evidence next to BENCH_rN.json instead of losing it
     // in /tmp; the printed JSON line carries the exact path.
+    // relative to the working directory (the forked JVM runs with the
+    // repo as cwd) so the dump lands inside whatever checkout runs it
     val dumpPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DUMP", {
       val stem = new java.io.File(sfDir).getName
       val pid = ProcessHandle.current().pid()
-      s"/root/repo/bench_dumps/bench_${stem}_$pid.json"
+      s"bench_dumps/bench_${stem}_$pid.json"
     })
     locally {
       val p1m = p1.toMap

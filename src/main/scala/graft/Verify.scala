@@ -46,11 +46,18 @@ object Verify {
     // training run and training's ulp jitter cannot split them.
     val dynSql = SparkEntry.dynamicOracleSql
       .filter { case (k, _) => selected(k) }
-      .flatMap { case (k, f) =>
-        try Some(k -> f(spark, sfDir))
+      .map { case (k, f) =>
+        try k -> f(spark, sfDir)
         catch { case e: Throwable =>
           System.err.println(s"[verify] dyn oracle $k failed: ${e.getMessage}")
-          None
+          // Fail LOUD, not silent: omitting the entry would downgrade
+          // the gate to a rows-only driver check that still reads
+          // green. This sentinel is valid DuckDB SQL whose one-column
+          // schema can never match the gate dump, so the driver
+          // reports the gate red and names the render failure.
+          k -> ("SELECT 'graft Verify: dynamic oracle render failed: " +
+            String.valueOf(e.getMessage).replace("'", "''") +
+            "' AS dyn_oracle_render_error")
         }
       }
     val json = (SparkEntry.oracleSql

@@ -112,14 +112,20 @@ object PrefixFilterJoin {
     // spread across partitions. An adversarially hot prefix token
     // still costs its true quadratic pair count (exactness requires
     // it), but it can no longer overflow or serialize on one task.
-    // persisted: the posting index feeds three branches (light, heavy
-    // within-chunk, heavy cross-chunk) — recomputing tok+freq+prefix
-    // per branch would triple the dominant upstream cost
+    // materialized: the posting index feeds three branches (light,
+    // heavy within-chunk, heavy cross-chunk) — recomputing
+    // tok+freq+prefix per branch would triple the dominant upstream
+    // cost. localCheckpoint (eager), not persist(): persist entries
+    // are pinned in the block manager until an explicit unpersist
+    // (impossible here — the returned frame still reads the cache
+    // lazily), whereas checkpoint blocks are released by the
+    // ContextCleaner once the RDD is unreachable, so repeated calls
+    // can't accumulate pinned blocks for the session lifetime.
     val posting = prefix
       .groupBy("tk")
       .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) >= 2)
-      .persist()
+      .localCheckpoint()
     def expand(df: DataFrame, dsCol: Column): DataFrame = df
       .select(explode(graft.functions.OrderedPairs(prefix.sparkSession, dsCol)).as("p"))
       .select(col("p.a").as("a_id"), col("p.b").as("b_id"))

@@ -23,7 +23,23 @@ import graft.Tables
   */
 object GraphGateSource {
 
-  private val cache = new ConcurrentHashMap[(Int, String), DataFrame]()
+  private val cache = new ConcurrentHashMap[(String, String), DataFrame]()
+
+  /** Stable per-context key: applicationId alone can repeat across
+    * JVM restarts and identityHashCode can collide after GC, so the
+    * pair with startTime pins exactly one live context.
+    */
+  private def ctxKey(s: SparkSession): String =
+    s.sparkContext.applicationId + ":" + s.sparkContext.startTime
+
+  /** Drop frames bound to stopped contexts: they are unusable (action
+    * on them throws "SparkContext has been shut down") and would
+    * otherwise be retained for the JVM lifetime. Called on every
+    * accessor — O(entries), entries are a handful per context.
+    */
+  private def sweepStopped(): Unit =
+    cache.entrySet.removeIf(e =>
+      e.getValue.sparkSession.sparkContext.isStopped)
 
   /** Measurement tools only (dev/ScaleSlopes): drop every cached
     * frame so a timed pass pays the full build again — otherwise the
@@ -42,24 +58,22 @@ object GraphGateSource {
     * ConcurrentHashMap may throw or corrupt, detection best-effort).
     * Resolve dependencies before the lookup, as [[copurchaseW]] does.
     */
-  def cached(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    cache.computeIfAbsent(
-      (System.identityHashCode(s.sparkContext), key),
-      _ => build.localCheckpoint())
+  def cached(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    sweepStopped()
+    cache.computeIfAbsent((ctxKey(s), key), _ => build.localCheckpoint())
+  }
 
   /** DISTINCT (u = o_custkey, p = l_partkey) purchase edges for
     * `dir`, built once per (context, dir) and localCheckpointed.
     */
   def custPartEdges(s: SparkSession, dir: String): DataFrame =
-    cache.computeIfAbsent(
-      (System.identityHashCode(s.sparkContext), "cust-part:" + dir), _ =>
+    cached(s, "cust-part:" + dir)(
       Tables.load(s, dir, "lineitem")
         .join(Tables.load(s, dir, "orders")
           .select(col("o_orderkey"), col("o_custkey")),
           col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("u"), col("l_partkey").as("p"))
-        .distinct()
-        .localCheckpoint())
+        .distinct())
 
   /** The WEIGHTED part-part co-purchase graph: unordered pairs
     * (u < v) of distinct parts sharing an order, w = number of such
@@ -78,13 +92,11 @@ object GraphGateSource {
     // nested computeIfAbsent on the same map is a recursive update
     // (ConcurrentHashMap may throw or corrupt, detection best-effort)
     val op = orderPartDistinct(s, dir)
-    cache.computeIfAbsent(
-      (System.identityHashCode(s.sparkContext), "copurchase-w:" + dir), _ =>
+    cached(s, "copurchase-w:" + dir)(
       op.as("a").join(op.as("b"), Seq("o"))
         .filter(col("a.p") < col("b.p"))
         .groupBy(col("a.p").as("u"), col("b.p").as("v"))
-        .agg(count(lit(1)).as("w"))
-        .localCheckpoint())
+        .agg(count(lit(1)).as("w")))
   }
 
   /** DISTINCT (o = l_orderkey, p = l_partkey) — the base frame of
