@@ -60,12 +60,23 @@ object LshIndex {
     * one md5 key per band of bandSize signature slots.
     */
   def bands(docs: DataFrame, nHashes: Int = 8, bandSize: Int = 2): DataFrame = {
-    require(nHashes % bandSize == 0, "nHashes must be a multiple of bandSize")
     val spark = docs.sparkSession
-    val sh = docs.select(col("doc_id"),
-      explode(graft.functions.WordShingles(spark, col("text"), 3)).as("s"))
+    bandsFromPostings(docs.select(col("doc_id"),
+      explode(graft.functions.WordShingles(spark, col("text"), 3)).as("s")),
+      nHashes, bandSize)
+  }
+
+  /** Band rows from prebuilt shingle postings (doc_id, s) — the same
+    * construction for callers that already materialized the postings
+    * (e.g. [[graft.pipelines.CorpusCuration]]'s near-dup stage, whose
+    * shingles also feed the exact verification). Duplicate shingles
+    * are harmless: MinHash minima ignore multiplicity.
+    */
+  def bandsFromPostings(
+      sh: DataFrame, nHashes: Int = 8, bandSize: Int = 2): DataFrame = {
+    require(nHashes % bandSize == 0, "nHashes must be a multiple of bandSize")
     val sig = sh.groupBy("doc_id")
-      .agg(graft.functions.MinHashSignature(spark, col("s"), nHashes).as("sig"))
+      .agg(graft.functions.MinHashSignature(sh.sparkSession, col("s"), nHashes).as("sig"))
       .select(col("doc_id") +:
         (0 until nHashes).map(j => element_at(col("sig"), j + 1).as(s"h$j")): _*)
     val bandCols = (0 until nHashes / bandSize).map { b =>

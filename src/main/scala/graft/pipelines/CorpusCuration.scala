@@ -33,15 +33,46 @@ import graft.functions.{StripAccents, WordShingles}
   * are false for documents that never reached a stage; `kept` is the
   * end-to-end verdict. The whole audit frame is oracle-gated
   * (`q109_curation_pipeline`) against a single SQL re-implementation.
+  *
+  * The near-dup CANDIDATE source is pluggable ([[NearDupCandidates]]):
+  * exact postings (complete candidates, the default) densify
+  * super-linearly on corpora where shingles repeat heavily — the one
+  * family the scale ladder measured ×135 at the sf1 rung — while the
+  * MinHash-LSH variant stays posting-linear (×17 on the same rung) at
+  * the cost of banded recall. Candidates from EITHER source pass the
+  * same exact-Jaccard verification, so the LSH variant can only MISS
+  * pairs, never invent them (precision 1 by construction; pinned in
+  * CurationLshSpec, hash-gated end-to-end as `q530_curation_lsh`).
   */
 object CorpusCuration {
+
+  /** Where stage 4 gets its near-dup candidate pairs. */
+  sealed trait NearDupCandidates
+  object NearDupCandidates {
+    /** Exact trigram posting expansion — complete candidate set
+      * (recall 1). Quadratic in per-shingle document frequency: right
+      * at gate scale and on diverse corpora, super-linear on dense
+      * ones.
+      */
+    case object ExactPostings extends NearDupCandidates
+
+    /** MinHash-LSH banded candidates (the q23 construction via
+      * [[graft.dedup.LshIndex.bandsFromPostings]]) → exact-Jaccard
+      * verification. Posting-linear at any corpus density — the
+      * 100 TB path; recall is the banded collision probability
+      * 1-(1-s^b)^(n/b) at true similarity s.
+      */
+    final case class MinHashLsh(nHashes: Int = 8, bandSize: Int = 2)
+        extends NearDupCandidates
+  }
 
   final case class Config(
       minWords: Int = 10,
       maxTopWordFrac: Double = 0.2,
       maxRepWordFrac: Double = 0.8,
       jaccardThreshold: Double = 0.5,
-      maxPostingLen: Int = 100000)
+      maxPostingLen: Int = 100000,
+      candidates: NearDupCandidates = NearDupCandidates.ExactPostings)
 
   /** Per-document audit: (doc_id, n_words, q_keep, is_exact_dup,
     * is_near_dup, kept), totally ordered by doc_id.
@@ -74,22 +105,45 @@ object CorpusCuration {
           Window.partitionBy(md5(col("ntext"))).orderBy("doc_id")) > 1)
           .as("is_exact_dup"))
 
-    // 4. near dedup among exact survivors: trigram Jaccard pairs via
-    // grouped postings (symmetric counts → expand unordered, the
-    // smaller id is always the blocker)
+    // 4. near dedup among exact survivors: candidate pairs from the
+    // configured source, then the SAME exact-Jaccard verdict (the
+    // smaller id is always the blocker). The shingle postings are
+    // materialized once (localCheckpoint, ContextCleaner-collectable
+    // — a persist here would pin blocks for the session) because they
+    // feed both candidate generation and exact verification.
     val surv = exact.filter(!col("is_exact_dup")).select("doc_id")
     val sh = norm.join(surv, "doc_id")
       .select(col("doc_id"),
         explode(array_distinct(WordShingles(spark, col("ntext"), 3))).as("s"))
-      .persist()
+      .localCheckpoint()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val ds = col("ds")
-    val pairs = sh.groupBy("s")
-      .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
-      .filter(size(ds).between(2, cfg.maxPostingLen))
-      .select(explode(graft.functions.OrderedPairs(sh.sparkSession, ds)).as("p"))
-      .groupBy(col("p.a").as("da"), col("p.b").as("db"))
-      .agg(count(lit(1)).as("common"))
+    val pairs = cfg.candidates match {
+      case NearDupCandidates.ExactPostings =>
+        // complete pairs with their intersection size in one postings
+        // expansion (symmetric counts → expand unordered)
+        val ds = col("ds")
+        sh.groupBy("s")
+          .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+          .filter(size(ds).between(2, cfg.maxPostingLen))
+          .select(explode(graft.functions.OrderedPairs(sh.sparkSession, ds)).as("p"))
+          .groupBy(col("p.a").as("da"), col("p.b").as("db"))
+          .agg(count(lit(1)).as("common"))
+      case NearDupCandidates.MinHashLsh(nHashes, bandSize) =>
+        // banded candidates (docs sharing ≥1 minhash band), then the
+        // exact intersection size recomputed from the postings — LSH
+        // only PRUNES which pairs get verified
+        val bands = graft.dedup.LshIndex.bandsFromPostings(sh, nHashes, bandSize)
+        val cand = bands.as("ba").join(bands.as("bb"),
+            col("ba.bkey") === col("bb.bkey") &&
+              col("ba.doc_id") < col("bb.doc_id"))
+          .select(col("ba.doc_id").as("da"), col("bb.doc_id").as("db"))
+          .distinct()
+        cand
+          .join(sh.select(col("doc_id").as("da"), col("s")), "da")
+          .join(sh.select(col("doc_id").as("db"), col("s")), Seq("db", "s"))
+          .groupBy("da", "db")
+          .agg(count(lit(1)).as("common"))
+    }
     val near = pairs
       .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
       .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
