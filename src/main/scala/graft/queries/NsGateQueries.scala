@@ -396,5 +396,90 @@ object NsGateQueries {
       ORDER BY overlap_minutes DESC, disruption_a, disruption_b LIMIT 50"""),
     covers = Seq("NSQ6", "J2"))
 
-  val all: Seq[QueryDef] = Seq(q31, q32, q33, q34, q35, q36)
+  // --------------------------------------------- Q6 via the optimizer rule
+  // Same query and oracle as q36, but the Spark side writes the NAIVE
+  // overlap theta self-join and lets [[graft.plans.RangeJoinRewrite]]
+  // — installed the way a live session gets it (extraOptimizations,
+  // the runtime form of `spark.sql.extensions=graft.plans.
+  // GraftExtensions`; GraftExtensionsSpec covers the builder-time
+  // injection of the same rule object) — rewrite it into the binned
+  // equi-join. The gate fails loudly if the rewrite did NOT fire (no
+  // bin Generate in the optimized plan, or a nested-loop join
+  // survived physical planning), then hash-matches q36's oracle: the
+  // extension path provably delivers the same pairs as the explicit
+  // [[graft.operators.RangeJoin]] call. Executed eagerly so the rule
+  // and conf are uninstalled before any neighbor gate plans.
+  private val q531 = QueryDef(
+    "q531_overlap_via_extension",
+    (s, dir) => {
+      import graft.plans.RangeJoinRewrite
+      val cutoff = date_sub(lit(clockDate), 7)
+      val d = disruptions(s, dir)
+        .select("disruption_id", "type", "start_time", "end_time")
+        .filter(col("end_time") > cutoff)
+      def side(p: String) = d.select(
+        col("disruption_id").as(s"${p}_disruption_id"),
+        col("type").as(s"${p}_type"),
+        col("start_time").as(s"${p}_start_time"),
+        col("end_time").as(s"${p}_end_time"))
+      s.conf.set(RangeJoinRewrite.binMinutesKey, "120")
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ RangeJoinRewrite
+      try {
+        val joined = side("a").join(side("b"),
+          col("a_disruption_id") < col("b_disruption_id") &&
+            col("a_start_time") < col("b_end_time") &&
+            col("a_end_time") > col("b_start_time"))
+        val overlapMin = floor(
+          (unix_micros(least(col("a_end_time"), col("b_end_time"))) -
+            unix_micros(greatest(col("a_start_time"), col("b_start_time"))))
+            .cast("double") / 60000000d).cast(IntegerType)
+        val q = joined
+          .filter(col("a_start_time") >= cutoff)
+          .select(
+            col("a_disruption_id").as("disruption_a"),
+            col("b_disruption_id").as("disruption_b"),
+            col("a_type").as("type_a"), col("b_type").as("type_b"),
+            col("a_start_time").as("a_start"), col("a_end_time").as("a_end"),
+            col("b_start_time").as("b_start"), col("b_end_time").as("b_end"),
+            overlapMin.as("overlap_minutes"))
+          .orderBy(desc("overlap_minutes"), asc("disruption_a"), asc("disruption_b"))
+          .limit(50)
+        val binGenerates = q.queryExecution.optimizedPlan.collect {
+          case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+        }
+        require(binGenerates.size == 2,
+          s"range-join rewrite did not fire (bin Generates: ${binGenerates.size})")
+        val phys = q.queryExecution.executedPlan.toString
+        require(!phys.contains("BroadcastNestedLoop") &&
+          !phys.contains("CartesianProduct"),
+          "rewritten overlap join still plans a nested-loop join")
+        // bounded-collect: LIMIT 50 rows — executed eagerly so the
+        // optimizer rule can be uninstalled before any neighbor plans
+        val rows = q.collect().toSeq
+        s.createDataFrame(s.sparkContext.parallelize(rows, 1), q.schema)
+          .orderBy(desc("overlap_minutes"), asc("disruption_a"), asc("disruption_b"))
+      } finally {
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations.filterNot(_ == RangeJoinRewrite)
+        s.conf.unset(RangeJoinRewrite.binMinutesKey)
+      }
+    },
+    Some(s"""WITH $disruptionsSql
+      SELECT a.disruption_id AS disruption_a, b.disruption_id AS disruption_b,
+        a.type AS type_a, b.type AS type_b,
+        a.start_time AS a_start, a.end_time AS a_end,
+        b.start_time AS b_start, b.end_time AS b_end,
+        CAST(floor(CAST(epoch_us(least(a.end_time, b.end_time))
+          - epoch_us(greatest(a.start_time, b.start_time)) AS DOUBLE)
+          / CAST(60000000 AS DOUBLE)) AS INTEGER) AS overlap_minutes
+      FROM disruptions a JOIN disruptions b
+        ON a.disruption_id < b.disruption_id
+       AND a.start_time < b.end_time
+       AND a.end_time > b.start_time
+      WHERE a.start_time >= DATE '2024-01-31' - 7
+      ORDER BY overlap_minutes DESC, disruption_a, disruption_b LIMIT 50"""),
+    covers = Seq("NSQ6", "J2", "EXT-rangejoin"))
+
+  val all: Seq[QueryDef] = Seq(q31, q32, q33, q34, q35, q36, q531)
 }
