@@ -15,15 +15,17 @@ import org.apache.spark.sql.types._
   * BMP / GIF / JPEG readers — raster dimensions, channel statistics,
   * bilinear rescale). Audio decode is REAL (`javax.sound.sampled`,
   * JRE-native WAV / AIFF / AU header parsers — sample rate, channels,
-  * frame count → exact duration_ms). Video and undecodable payloads
-  * fall back to a clearly-marked deterministic stub (the JRE has no
-  * video codec — the single remaining honest fallback): pseudo
+  * frame count → exact duration_ms). Video METADATA decode is REAL
+  * (zero-dependency MP4 `mvhd`/`tkhd` and AVI `avih` container-header
+  * parsing — exact duration_ms, width, height; only frame-content
+  * decode still needs an external codec). Undecodable payloads fall
+  * back to a clearly-marked deterministic stub: pseudo
   * dimensions/duration from the byte length, so the pipeline stays
   * total and the gate corpus — text bytes standing in for media —
   * stays SQL-reproducible. The surrounding plumbing — schema
   * contract, mapPartitions batch shape, feature row — is identical on
-  * all paths; swapping the stub branch for a javacv/ffmpeg codec
-  * changes only [[Codec]].
+  * all paths; swapping the frame-decode stubs for a javacv/ffmpeg
+  * codec changes only [[Codec]].
   */
 object MediaFeatures {
 
@@ -154,10 +156,120 @@ object MediaFeatures {
       } catch { case _: Exception => None }
     }
 
-    /** Deterministic fallback for payloads the JRE cannot decode —
-      * pseudo dimensions/duration from the byte length. Video always
-      * lands here (no JRE codec — the single remaining honest stub);
-      * images/audio only when undecodable.
+    /** Real video CONTAINER-HEADER decode — duration and dimensions
+      * without a codec, because both live in fixed-offset integer
+      * fields of the container header: MP4's `mvhd` box carries
+      * (timescale, duration) and each track's `tkhd` carries 16.16
+      * fixed-point width/height; AVI's `avih` chunk carries
+      * µs-per-frame, total frames, width, height. The same
+      * zero-dependency, magic-byte-gated byte parsing as the audio
+      * path (frame DECODING would still need ffmpeg/javacv — that is
+      * what [[resize]]/[[sampleFrames]] stub, not this metadata).
+      * Any structural violation (truncated box, corrupt size) returns
+      * None → deterministic stub.
+      */
+    private def decodeVideo(bytes: Array[Byte]): Option[Decoded] = {
+      def fourcc(off: Long): String =
+        if (off >= 0 && off + 4 <= bytes.length)
+          new String(bytes, off.toInt, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        else ""
+      def u8(off: Long): Int = bytes(off.toInt) & 0xff
+      def ok(off: Long, n: Int): Boolean = off >= 0 && off + n <= bytes.length
+      def be32(off: Long): Long =
+        (u8(off).toLong << 24) | (u8(off + 1).toLong << 16) |
+          (u8(off + 2).toLong << 8) | u8(off + 3).toLong
+      def be64(off: Long): Long = (be32(off) << 32) | be32(off + 4)
+      def le32(off: Long): Long =
+        (u8(off + 3).toLong << 24) | (u8(off + 2).toLong << 16) |
+          (u8(off + 1).toLong << 8) | u8(off).toLong
+
+      // ---- MP4 / ISO-BMFF: [size:be32][type:4cc][payload], size==1 →
+      // 64-bit largesize follows, size==0 → box runs to container end.
+      def mp4Boxes(from: Long, to: Long)(f: (String, Long, Long) => Unit): Unit = {
+        var off = from
+        while (off + 8 <= to) {
+          val sz0 = be32(off)
+          val typ = fourcc(off + 4)
+          val (hdr, sz) =
+            if (sz0 == 1L && off + 16 <= to) (16L, be64(off + 8))
+            else if (sz0 == 0L) (8L, to - off)
+            else (8L, sz0)
+          if (sz < hdr || off + sz > to) return // corrupt — stop walking
+          f(typ, off + hdr, off + sz)
+          off += sz
+        }
+      }
+      def parseMp4(): Option[Decoded] = {
+        var timescale = 0L; var duration = 0L; var w = 0L; var h = 0L
+        mp4Boxes(0, bytes.length) {
+          case ("moov", ms, me) =>
+            mp4Boxes(ms, me) {
+              case ("mvhd", s, e) =>
+                // v0: ver/flags(4) c(4) m(4) timescale(4) duration(4)
+                // v1: ver/flags(4) c(8) m(8) timescale(4) duration(8)
+                if (ok(s, 1) && u8(s) == 1 && e - s >= 32) {
+                  timescale = be32(s + 20); duration = be64(s + 24)
+                } else if (ok(s, 1) && e - s >= 20) {
+                  timescale = be32(s + 12); duration = be32(s + 16)
+                }
+              case ("trak", ts, te) =>
+                mp4Boxes(ts, te) {
+                  case ("tkhd", s, e) =>
+                    // width/height: 16.16 fixed at payload end (after
+                    // ids, duration, layer/volume, 36-byte matrix)
+                    val wOff = if (ok(s, 1) && u8(s) == 1) s + 88 else s + 76
+                    if (wOff + 8 <= e && ok(wOff, 8) && w == 0 && h == 0) {
+                      val cw = be32(wOff) >> 16; val ch = be32(wOff + 4) >> 16
+                      if (cw > 0 && ch > 0) { w = cw; h = ch }
+                    }
+                  case _ => ()
+                }
+              case _ => ()
+            }
+          case _ => ()
+        }
+        if (timescale <= 0) None
+        else Some(Decoded(w.toInt, h.toInt, duration * 1000L / timescale))
+      }
+
+      // ---- AVI / RIFF: [4cc][size:le32][payload, even-padded]; the
+      // `avih` main header lives in LIST/hdrl near the file start.
+      def riffChunks(from: Long, to: Long)(f: (String, Long, Long) => Unit): Unit = {
+        var off = from
+        while (off + 8 <= to) {
+          val typ = fourcc(off)
+          val sz = le32(off + 4)
+          if (off + 8 + sz > to) return // corrupt — stop walking
+          f(typ, off + 8, off + 8 + sz)
+          off += 8 + sz + (sz & 1) // chunks are even-padded
+        }
+      }
+      def parseAvi(): Option[Decoded] = {
+        var out: Option[Decoded] = None
+        def scan(from: Long, to: Long): Unit = riffChunks(from, to) {
+          case ("LIST", s, e) if fourcc(s) == "hdrl" => scan(s + 4, e)
+          case ("avih", s, e) if out.isEmpty && e - s >= 40 =>
+            val usPerFrame = le32(s)
+            val totalFrames = le32(s + 16)
+            out = Some(Decoded(le32(s + 32).toInt, le32(s + 36).toInt,
+              usPerFrame * totalFrames / 1000L))
+          case _ => ()
+        }
+        scan(12, bytes.length)
+        out
+      }
+
+      if (fourcc(4) == "ftyp") parseMp4()
+      else if (fourcc(0) == "RIFF" && fourcc(8) == "AVI ") parseAvi()
+      else None
+    }
+
+    /** Deterministic fallback for payloads no parser accepts — pseudo
+      * dimensions/duration from the byte length. Since the video
+      * container-header parse landed, NO media type always stubs:
+      * images/audio/video fall back only when undecodable (video frame
+      * CONTENT — decode/resize — still needs an external codec; its
+      * metadata does not).
       */
     private def stubDecode(mediaType: String, bytes: Array[Byte]): Decoded = {
       val n = bytes.length
@@ -175,6 +287,8 @@ object MediaFeatures {
           decodeImage(bytes).getOrElse(stubDecode(mediaType, bytes))
         case "audio" =>
           decodeAudio(bytes).getOrElse(stubDecode(mediaType, bytes))
+        case "video" =>
+          decodeVideo(bytes).getOrElse(stubDecode(mediaType, bytes))
         case _ => stubDecode(mediaType, bytes)
       }
 

@@ -145,6 +145,100 @@ class MediaFeaturesSpec extends SparkSpec {
     assert(f.byte_len == wav.length)
   }
 
+  // ---- video container-header fixtures: hand-assembled MP4 / AVI
+  // headers with known integer fields, so expected duration/dims are
+  // exact arithmetic, not constants read back from a library.
+  private def be32(v: Long): Array[Byte] = Array(
+    ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+    ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def be64(v: Long): Array[Byte] = be32(v >>> 32) ++ be32(v & 0xffffffffL)
+  private def le32(v: Long): Array[Byte] = be32(v).reverse
+  private def box(typ: String, payload: Array[Byte]): Array[Byte] =
+    be32(payload.length + 8L) ++ typ.getBytes("US-ASCII") ++ payload
+
+  /** Minimal valid MP4: ftyp + moov(mvhd, trak(tkhd)). */
+  private def mp4Fixture(version: Int): Array[Byte] = {
+    val ftyp = box("ftyp", "isom".getBytes ++ be32(0) ++ "isom".getBytes)
+    val mvhd =
+      if (version == 1) {
+        // v1: ver/flags, c(8), m(8), timescale 90000, duration 450000
+        val p = Array[Byte](1, 0, 0, 0) ++ be64(0) ++ be64(0) ++
+          be32(90000) ++ be64(450000)
+        box("mvhd", p)
+      } else {
+        // v0: ver/flags, c(4), m(4), timescale 600, duration 3000,
+        // zero-padded to the standard 100-byte payload
+        val p = new Array[Byte](100)
+        be32(600).copyToArray(p, 12)
+        be32(3000).copyToArray(p, 16)
+        box("mvhd", p)
+      }
+    val tkhd =
+      if (version == 1) { // width at 88, height at 92, 16.16 fixed
+        val p = new Array[Byte](96)
+        p(0) = 1
+        be32(1920L << 16).copyToArray(p, 88)
+        be32(1080L << 16).copyToArray(p, 92)
+        box("tkhd", p)
+      } else {            // width at 76, height at 80
+        val p = new Array[Byte](84)
+        be32(640L << 16).copyToArray(p, 76)
+        be32(360L << 16).copyToArray(p, 80)
+        box("tkhd", p)
+      }
+    ftyp ++ box("moov", mvhd ++ box("trak", tkhd))
+  }
+
+  /** Minimal valid AVI: RIFF(AVI ) with LIST(hdrl(avih)). */
+  private def aviFixture: Array[Byte] = {
+    val avih = new Array[Byte](56)
+    le32(33333).copyToArray(avih, 0)  // µs per frame
+    le32(300).copyToArray(avih, 16)   // total frames
+    le32(320).copyToArray(avih, 32)   // width
+    le32(240).copyToArray(avih, 36)   // height
+    val hdrl = "hdrl".getBytes("US-ASCII") ++
+      "avih".getBytes("US-ASCII") ++ le32(56) ++ avih
+    val list = "LIST".getBytes("US-ASCII") ++ le32(hdrl.length.toLong) ++ hdrl
+    "RIFF".getBytes("US-ASCII") ++ le32(4L + list.length) ++
+      "AVI ".getBytes("US-ASCII") ++ list
+  }
+
+  test("real video metadata: MP4 mvhd/tkhd v0 and v1 yield exact duration and dims") {
+    val d0 = Codec.decode("video", mp4Fixture(0))
+    assert(d0.durationMs == 5000, s"v0 duration ${d0.durationMs}") // 3000/600 s
+    assert(d0.width == 640 && d0.height == 360, s"v0 dims ${d0.width}x${d0.height}")
+    val d1 = Codec.decode("video", mp4Fixture(1))
+    assert(d1.durationMs == 5000, s"v1 duration ${d1.durationMs}") // 450000/90000 s
+    assert(d1.width == 1920 && d1.height == 1080, s"v1 dims ${d1.width}x${d1.height}")
+  }
+
+  test("real video metadata: AVI avih yields exact duration and dims") {
+    val d = Codec.decode("video", aviFixture)
+    assert(d.durationMs == 9999, s"avi duration ${d.durationMs}") // 33333·300/1000 µs→ms
+    assert(d.width == 320 && d.height == 240, s"avi dims ${d.width}x${d.height}")
+  }
+
+  test("undecodable video keeps the deterministic stub, even with a magic prefix") {
+    // claims ftyp but the box size field overruns the payload
+    val fake = be32(99) ++ "ftyp".getBytes("US-ASCII") ++ "xx".getBytes
+    val d = Codec.decode("video", fake)
+    assert(d.durationMs == fake.length / 128 && d.width == 640 && d.height == 360)
+    // plain text: no parser attempted, same stub (the gate corpus path)
+    val txt = "just text standing in for a video".getBytes("UTF-8")
+    val dt = Codec.decode("video", txt)
+    assert(dt.durationMs == txt.length / 128 && dt.width == 640 && dt.height == 360)
+  }
+
+  test("extractFeatures uses the real decode for video payloads") {
+    val mp4 = mp4Fixture(0)
+    val rows = Seq(Row(11L, "video", "mem://real.mp4", mp4, null, null, null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), mediaSchema)
+    val f = extractFeatures(df).collect().head
+    assert(f.duration_ms == 5000 && f.width == 640 && f.height == 360)
+    assert(f.byte_len == mp4.length)
+  }
+
   test("extractFeatures uses the real decode for image payloads") {
     val png = encodedImage("png", 7, 3)
     val rows = Seq(Row(9L, "image", "mem://real.png", png, null, null, null))
