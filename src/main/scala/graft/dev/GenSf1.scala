@@ -34,10 +34,19 @@ import org.apache.spark.sql.functions._
   * distribution SHAPE matters, not value-level parity with the
   * driver's seed-42 stream.
   *
-  * Usage: `sbt 'runMain graft.dev.GenSf1 [outDir] [mult]'` (default
-  * /tmp/sf1, mult 1). `mult` scales every row count uniformly —
-  * `GenSf1 /tmp/sf3 3` writes the sf3 rung (18 M lineitem) the
-  * co-purchase-family slope analysis reads (SCALING.md).
+  * Usage: `sbt 'runMain graft.dev.GenSf1 [outDir] [mult] [skewPct]'`
+  * (default /tmp/sf1, mult 1, skewPct 0). `mult` scales every row
+  * count uniformly — `GenSf1 /tmp/sf3 3` writes the sf3 rung (18 M
+  * lineitem) the co-purchase-family slope analysis reads (SCALING.md).
+  *
+  * `skewPct` > 0 writes a SKEWED rung: that percent of lineitem rows
+  * lands on ONE hot part (l_partkey 0) and one hot customer
+  * (o_custkey 0 owns the same share of orders) — the adversarial key
+  * distribution the uniform driver data never exercises, so the
+  * ladder can MEASURE (not assume) that shuffles on l_partkey /
+  * o_custkey survive a dominant key (`GenSf1 /tmp/sf1skew 1 20`;
+  * SCALING.md §Round 9 skew table). The remaining mass stays uniform,
+  * so non-skewed invariants (lines/order, date spans, vocab) carry.
   */
 object GenSf1 {
 
@@ -51,6 +60,12 @@ object GenSf1 {
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/sf1")
     val mult = if (args.length > 1) args(1).toLong else 1L
+    val skewPct = if (args.length > 2) args(2).toInt else 0
+    require(skewPct >= 0 && skewPct < 100, s"skewPct must be in [0,100): $skewPct")
+    // hot-key injector: route `pct`% of rows to key 0, rest uniform
+    def skewed(c: org.apache.spark.sql.Column, seed: Int): org.apache.spark.sql.Column =
+      if (skewPct == 0) c
+      else when(u(seed, 100) < skewPct, lit(0L)).otherwise(c)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -67,7 +82,7 @@ object GenSf1 {
 
     val orders: DataFrame = spark.range(0, nOrders, 1, 32).select(
       col("id").as("o_orderkey"),
-      u(1, nCusts).as("o_custkey"),
+      skewed(u(1, nCusts), 90).as("o_custkey"),
       element_at(array(lit("F"), lit("O"), lit("P")), (u(2, 3) + 1).cast("int"))
         .as("o_orderstatus"),
       round(ud(3) * 400000 + 1000, 2).as("o_totalprice"),
@@ -81,7 +96,7 @@ object GenSf1 {
 
     val lineitem: DataFrame = spark.range(0, nLines, 1, 32).select(
       u(10, nOrders).as("l_orderkey"),
-      u(11, nParts).as("l_partkey"),
+      skewed(u(11, nParts), 91).as("l_partkey"),
       u(12, nSupps).as("l_suppkey"),
       (u(13, 7) + 1).cast("int").as("l_linenumber"),
       (u(14, 50) + 1).cast("double").as("l_quantity"),
@@ -135,7 +150,8 @@ object GenSf1 {
       .withColumn("n_chars", length(col("text")).cast("long"))
     documents.write.mode("overwrite").parquet(s"$out/documents.parquet")
 
-    println(s"sf1 rung written to $out: orders=$nOrders lineitem=$nLines docs=$nDocs")
+    println(s"rung written to $out: orders=$nOrders lineitem=$nLines " +
+      s"docs=$nDocs skewPct=$skewPct")
     spark.stop()
   }
 }

@@ -27,15 +27,40 @@ import org.apache.spark.sql.SparkSession
 object ScaleSlopes {
   private class MetricsListener extends SparkListener {
     val input = new LongAdder; val shufW = new LongAdder; val shufR = new LongAdder
+    // per-task run times, bucketed by stage — the straggler signature
+    // (one dominant key serializing a stage) is a max/median blowout
+    // WITHIN one stage, invisible in stage-level byte totals
+    private val taskMs =
+      new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.ConcurrentLinkedQueue[Long]]
     override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
       val m = e.taskMetrics
       if (m != null) {
         input.add(m.inputMetrics.bytesRead)
         shufW.add(m.shuffleWriteMetrics.bytesWritten)
         shufR.add(m.shuffleReadMetrics.totalBytesRead)
+        taskMs.computeIfAbsent(e.stageId,
+          _ => new java.util.concurrent.ConcurrentLinkedQueue[Long]())
+          .add(m.executorRunTime)
       }
     }
-    def reset(): Unit = { input.reset(); shufW.reset(); shufR.reset() }
+    /** Worst per-stage (max/median, max ms) over stages with ≥4 tasks
+      * and a non-trivial max (≥200 ms) — tiny stages are all jitter.
+      */
+    def worstStageSkew(): (Double, Long) = {
+      var worst = (1.0, 0L)
+      taskMs.forEach { (_, q) =>
+        val ds = q.toArray(Array.empty[java.lang.Long]).map(_.longValue).sorted
+        if (ds.length >= 4 && ds.last >= 200) {
+          val med = math.max(ds(ds.length / 2), 1L)
+          val ratio = ds.last.toDouble / med
+          if (ratio > worst._1) worst = (ratio, ds.last)
+        }
+      }
+      worst
+    }
+    def reset(): Unit = {
+      input.reset(); shufW.reset(); shufR.reset(); taskMs.clear()
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -53,7 +78,7 @@ object ScaleSlopes {
     spark.sparkContext.addSparkListener(listener)
 
     final case class Row(q: String, sf: String, sec: Double,
-        inB: Long, swB: Long, srB: Long)
+        inB: Long, swB: Long, srB: Long, skew: Double, maxTaskMs: Long)
     val rows = Seq.newBuilder[Row]
     def mb(b: Long): Double = b / 1e6
 
@@ -69,15 +94,17 @@ object ScaleSlopes {
         val t0 = System.nanoTime(); fn(spark, dir).count()
         val sec = (System.nanoTime() - t0) / 1e9
         Thread.sleep(500) // drain the async listener bus
+        val (skew, maxMs) = listener.worstStageSkew()
         rows += Row(q, dir.split('/').last, sec,
-          listener.input.sum, listener.shufW.sum, listener.shufR.sum)
+          listener.input.sum, listener.shufW.sum, listener.shufR.sum,
+          skew, maxMs)
       }
     }
 
     val all = rows.result()
-    println(f"${"query"}%-26s ${"sf"}%-8s ${"sec"}%8s ${"read MB"}%10s ${"shufW MB"}%10s ${"shufR MB"}%10s")
+    println(f"${"query"}%-26s ${"sf"}%-8s ${"sec"}%8s ${"read MB"}%10s ${"shufW MB"}%10s ${"shufR MB"}%10s ${"tskew"}%6s ${"maxT ms"}%8s")
     all.foreach { r =>
-      println(f"${r.q}%-26s ${r.sf}%-8s ${r.sec}%8.3f ${mb(r.inB)}%10.2f ${mb(r.swB)}%10.2f ${mb(r.srB)}%10.2f")
+      println(f"${r.q}%-26s ${r.sf}%-8s ${r.sec}%8.3f ${mb(r.inB)}%10.2f ${mb(r.swB)}%10.2f ${mb(r.srB)}%10.2f ${r.skew}%6.1f ${r.maxTaskMs}%8d")
     }
     // growth ratio over the last rung step (e.g. sf0.01 → sf0.1: data
     // grows ~10×; a linear operator's shuffle should too)
