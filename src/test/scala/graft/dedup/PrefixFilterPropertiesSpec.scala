@@ -87,6 +87,66 @@ class PrefixFilterPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("heavy-hitter split fuzz: zipfian random corpus, cap 64 ≡ cap 2 ≡ uncapped ≡ brute force") {
+    import spark.implicits._
+    // The cap=4 case above is adversarial but tiny (3-token vocab,
+    // 60 docs). This drives the chunk-boundary arithmetic where
+    // off-by-ones actually live: a 400-doc corpus over a 12-token
+    // zipfian vocabulary (weight ∝ 1/rank) makes even rare-ish tokens
+    // appear in ~20%+ of docs, so prefix postings run to hundreds and
+    // cap=64 genuinely chunks them (asserted below, not assumed),
+    // with ragged chunk sizes that vary by seed. cap=2 (the minimum)
+    // maximizes cross-chunk pairs. All runs and the brute-force join
+    // must agree exactly.
+    val vocab = 12
+    val genWord: Gen[String] = Gen.frequency(
+      (1 to vocab).map(r => ((vocab * 10) / r, Gen.const(s"t$r"))): _*)
+    val genZipfDoc: Gen[String] = for {
+      len <- Gen.chooseNum(3, 15)
+      ws <- Gen.listOfN(len, genWord)
+    } yield ws.mkString(" ")
+
+    // engagement probe: the max prefix-posting length under the same
+    // rare-first prefix rule (used only to prove cap=64 actually
+    // split something; correctness is pinned against brute force)
+    def maxPrefixPosting(corpus: org.apache.spark.sql.DataFrame, num: Int, den: Int): Long = {
+      val tok = corpus.select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("tk"))
+      val freq = tok.groupBy("tk").agg(count(lit(1)).as("df"))
+      val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val byRarity = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("df"), col("tk"))
+      tok.join(freq, "tk")
+        .withColumn("pos", row_number().over(byRarity))
+        .join(sizes, "doc_id")
+        .filter(col("pos") <= col("n") - expr(
+          s"(n * $num + $den - 1) DIV $den") + 1)
+        .groupBy("tk").agg(count(lit(1)).as("plen"))
+        .agg(max("plen")).head.getLong(0)
+    }
+
+    for ((seed, (num, den)) <- Seq((800L, (1, 2)), (900L, (3, 4)))) {
+      val corpus = samples(genZipfDoc, 400, seed).zipWithIndex
+        .map { case (txt, i) => (i.toLong, txt) }.toDF("doc_id", "text")
+      assert(maxPrefixPosting(corpus, num, den) > 64,
+        s"fuzz corpus too sparse at θ=$num/$den seed=$seed — cap 64 never engaged")
+      def run(cap: Int) = PrefixFilterJoin
+        .setSelfJoin(corpus, "doc_id", split(col("text"), " "), num, den, cap)
+        .select("a_id", "b_id", "shared")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val cap64 = run(64)
+      val cap2 = run(2)
+      val uncapped = run(1000000)
+      val want = brute(corpus, num, den)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(cap64.nonEmpty, s"degenerate fuzz case at seed=$seed")
+      assert(cap64 == want, s"cap64 ≠ brute at θ=$num/$den seed=$seed: " +
+        s"missing=${(want -- cap64).take(5)} extra=${(cap64 -- want).take(5)}")
+      assert(cap2 == want, s"cap2 ≠ brute at θ=$num/$den seed=$seed")
+      assert(uncapped == want, s"uncapped ≠ brute at θ=$num/$den seed=$seed")
+    }
+  }
+
   test("θ=1 returns exactly the identical-set pairs") {
     import spark.implicits._
     val corpus = Seq(
