@@ -129,6 +129,29 @@ object GenSf1 {
       round(ud(45) * 99.9 + 900, 2).as("p_retailprice"))
     part.write.mode("overwrite").parquet(s"$out/part.parquet")
 
+    // customer/supplier dimensions (the TPC-H join gates read them;
+    // added for the skew rung, where the hot o_custkey needs a real
+    // dimension row to join) — distribution shapes match sf0.1
+    val segments = array(lit("AUTOMOBILE"), lit("BUILDING"),
+      lit("FURNITURE"), lit("HOUSEHOLD"), lit("MACHINERY"))
+    val customer: DataFrame = spark.range(0, nCusts, 1, 32).select(
+      col("id").as("c_custkey"),
+      concat(lit("Customer#"), col("id")).as("c_name"),
+      u(60, 25).cast("int").as("c_nationkey"),
+      round(ud(61) * 10999.99 - 999.99, 2).as("c_acctbal"),
+      element_at(segments, (u(62, 5) + 1).cast("int")).as("c_mktsegment"))
+    customer.write.mode("overwrite").parquet(s"$out/customer.parquet")
+    val supplier: DataFrame = spark.range(0, nSupps, 1, 32).select(
+      col("id").as("s_suppkey"),
+      concat(lit("Supplier#"), col("id")).as("s_name"),
+      u(70, 25).cast("int").as("s_nationkey"),
+      round(ud(71) * 10999.99 - 999.99, 2).as("s_acctbal"))
+    supplier.write.mode("overwrite").parquet(s"$out/supplier.parquet")
+    // nation/region are scale-invariant — copy the driver's
+    for (dim <- Seq("nation", "region"))
+      graft.Tables.load(spark, "/root/testdata/sf0.1", dim)
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/$dim.parquet")
+
     // vocabulary lifted from the real sf0.1 corpus so the shingle
     // space (and thus q22/q489's posting structure) is the same
     // fixed 31-word universe the smaller rungs shingle over
