@@ -38,9 +38,20 @@ object Bench {
       val small = "/root/testdata/sf0.001"
       if (new java.io.File(small).isDirectory) small else sfDir
     }
+    // The timed action is a NOOP-SINK WRITE, not count(): count() lets
+    // Catalyst eliminate cardinality-preserving work — left joins whose
+    // right side is distinct on the join key (q109's whole near-dup
+    // stage vanished from its own timing: 1.5 s counted vs 3.5 s
+    // evaluated at sf0.1), every final total-order sort, and unused
+    // aggregate expressions. The noop sink evaluates every output row
+    // and column with zero I/O, so the timing covers the plan a real
+    // consumer pays. Round-9 re-baseline: totals are NOT comparable to
+    // BENCH_r01–r08 lines, which measured the count()-pruned plans.
+    def evaluate(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      try evaluate(fn(spark, warmDir)) catch { case _: Throwable => () }
     }
 
     // TWO full timed passes at the bench SF, per-query min. The
@@ -54,7 +65,7 @@ object Bench {
     // queries), which r4 showed can drift shared-query timings 2-3×.
     def time(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { evaluate(fn(spark, sfDir)) } catch { case _: Throwable => () }
       (System.nanoTime() - t0) / 1e9
     }
 
@@ -192,7 +203,7 @@ object Bench {
       if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.writeString(p, fields.mkString("{", ",", "}"))
     }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"contended":$contended,"canary":{"min":$cMin%.3f,"max":$cMax%.3f,"n":${canaryTimes.size},"ref":$refIdleSec%.3f,"session_floor":$sessionFloor%.3f},"dump":"$dumpPath","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"action":"noop-write","contended":$contended,"canary":{"min":$cMin%.3f,"max":$cMax%.3f,"n":${canaryTimes.size},"ref":$refIdleSec%.3f,"session_floor":$sessionFloor%.3f},"dump":"$dumpPath","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -19,11 +19,17 @@ object Prof {
     spark.sparkContext.setLogLevel("WARN")
     val dir = sys.env.getOrElse("PROF_DIR", "/root/testdata/sf0.1")
     val doExplain = sys.env.contains("PROF_EXPLAIN")
+    // noop-sink write = full evaluation; count() would let Catalyst
+    // eliminate distinct-keyed left joins, final sorts, and unused
+    // aggregate expressions (the round-9 q109 finding) — Prof must
+    // measure the same plan Bench does
+    def evaluate(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
     for (q <- args) {
       val fn = graft.SparkEntry.queries(q)
-      fn(spark, dir).count() // warm: pay Janino codegen outside timing
-      val t0 = System.nanoTime(); fn(spark, dir).count()
-      val t1 = System.nanoTime(); fn(spark, dir).count()
+      evaluate(fn(spark, dir)) // warm: pay Janino codegen outside timing
+      val t0 = System.nanoTime(); evaluate(fn(spark, dir))
+      val t1 = System.nanoTime(); evaluate(fn(spark, dir))
       val t2 = System.nanoTime()
       println(f"TIME $q ${math.min(t1 - t0, t2 - t1) / 1e9}%.3f")
       if (doExplain) { println(s"===== PLAN $q"); fn(spark, dir).explain("formatted") }

@@ -85,19 +85,28 @@ object ScaleSlopes {
     for (q <- args) {
       val fn = graft.SparkEntry.queries(q)
       for (dir <- sfs) {
-        fn(spark, dir).count() // warm: Janino + AQE shape, untimed
+        // noop-sink write = full evaluation (count() lets Catalyst
+        // eliminate distinct-keyed left joins / final sorts / unused
+        // agg expressions — the round-9 q109 finding)
+        def evaluate(): Unit = fn(spark, dir).write
+          .format("noop").mode("overwrite").save()
+        evaluate() // warm: Janino + AQE shape, untimed
         // the timed pass must pay the session-cached shared builds
         // (edge frames, ANN models) too, or slopes understate work
         graft.queries.GraphGateSource.invalidate()
         graft.similarity.TrainedModels.invalidate()
         Thread.sleep(500); listener.reset()
-        val t0 = System.nanoTime(); fn(spark, dir).count()
+        val t0 = System.nanoTime(); evaluate()
         val sec = (System.nanoTime() - t0) / 1e9
         Thread.sleep(500) // drain the async listener bus
         val (skew, maxMs) = listener.worstStageSkew()
         rows += Row(q, dir.split('/').last, sec,
           listener.input.sum, listener.shufW.sum, listener.shufR.sum,
           skew, maxMs)
+        // progress line per measurement (long rungs would otherwise
+        // run silent for minutes — flushed so a killed run keeps them)
+        println(f"PROGRESS $q ${dir.split('/').last} $sec%.1fs")
+        System.out.flush()
       }
     }
 

@@ -1,15 +1,18 @@
 package graft.dev
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SparkSession
 
 /** Throwaway measurement harness for plan experiments (not part of
   * the library surface; contents change per investigation).
   *
-  * Current experiment (round 7): broadcast vs co-partitioned HITS
-  * ([[graft.operators.Hits]]) on the sf0.1 co-purchase graph —
-  * interleaved in one JVM, warm + min-of-two per variant, per the
-  * A/B protocol (cross-JVM Prof comparisons carry ±30-40% noise).
+  * Current experiment (round 9): does `count()` — the action Bench
+  * and ScaleSlopes use — let Catalyst ELIMINATE cardinality-preserving
+  * left joins (right side distinct on the join key), silently pruning
+  * a gate's real work out of the measurement? Hypothesis raised by
+  * q109/q530 showing byte-identical shuffle totals at sf1 despite
+  * different candidate stages. Prints the optimized count() plan vs
+  * the full-evaluation (noop-sink) plan for both gates, plus timings
+  * under each action.
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
@@ -21,31 +24,32 @@ object Scratch {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = sys.env.getOrElse("SCRATCH_SF_DIR", "/root/testdata/sf0.1")
 
-    def edges(): DataFrame =
-      graft.Tables.load(spark, dir, "lineitem")
-        .join(graft.Tables.load(spark, dir, "orders")
-          .select(col("o_orderkey"), col("o_custkey")),
-          col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("u"), col("l_partkey").as("p"))
-        .distinct()
+    for (gate <- Seq("q109_curation_pipeline", "q530_curation_lsh")) {
+      val fn = graft.SparkEntry.queries(gate)
+      val dfCount = fn(spark, dir).groupBy().count()
+      val countPlan = dfCount.queryExecution.optimizedPlan.toString
+      val dfFull = fn(spark, dir)
+      val fullPlan = dfFull.queryExecution.optimizedPlan.toString
+      def sig(p: String): String = Seq(
+        "minhash" -> p.toLowerCase.contains("minhash"),
+        "orderedpairs" -> p.toLowerCase.contains("orderedpairs"),
+        "joins" -> ("n=" + "Join".r.findAllIn(p).length)).map {
+        case (k, v) => s"$k:$v"
+      }.mkString(" ")
+      println(s"SCRATCH $gate count-plan  ${sig(countPlan)}")
+      println(s"SCRATCH $gate full-plan   ${sig(fullPlan)}")
 
-    def top10(copart: Boolean): DataFrame =
-      graft.operators.Hits.authorities(edges(), iters = 6,
-          parts = if (copart) 0 else 8, copartitioned = copart)
-        .orderBy(col("authority").desc, col("p")).limit(10)
-
-    def time(label: String, mk: () => DataFrame): Unit = {
-      mk().count()
-      val t0 = System.nanoTime(); mk().count()
-      val t1 = System.nanoTime(); mk().count()
-      val t2 = System.nanoTime()
-      println(f"SCRATCH $label ${math.min(t1 - t0, t2 - t1) / 1e9}%.3f")
+      def time(label: String, act: () => Unit): Unit = {
+        act() // warm
+        val t0 = System.nanoTime(); act()
+        val t1 = System.nanoTime(); act()
+        val t2 = System.nanoTime()
+        println(f"SCRATCH $gate $label ${math.min(t1 - t0, t2 - t1) / 1e9}%.3f")
+      }
+      time("count", () => { fn(spark, dir).count(); () })
+      time("noop ", () => fn(spark, dir).write
+        .format("noop").mode("overwrite").save())
     }
-    // interleaved so ambient load hits both variants equally
-    time("broadcast_1", () => top10(copart = false))
-    time("copart_1", () => top10(copart = true))
-    time("broadcast_2", () => top10(copart = false))
-    time("copart_2", () => top10(copart = true))
     spark.stop()
   }
 }

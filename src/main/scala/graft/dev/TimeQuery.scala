@@ -23,9 +23,12 @@ object TimeQuery {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Tables.names.foreach(n => Tables.load(spark, dir, n).count())
+    // noop-sink write = full evaluation; count() would measure the
+    // join/sort-pruned plan (the round-9 q109 finding)
     def time(n: String): Double = {
       val t0 = System.nanoTime()
-      SparkEntry.queries(n)(spark, dir).count()
+      SparkEntry.queries(n)(spark, dir).write
+        .format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
     names.foreach(time) // warm

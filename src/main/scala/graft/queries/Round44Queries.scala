@@ -17,27 +17,51 @@ object Round44Queries {
   // Local clustering coefficient over the co-purchase graph: how
   // interconnected is each part's neighborhood — 2·T_v/(deg·(deg−1)),
   // the node-level companion to q161's global triangle count and
-  // q211's assortativity. Triangles enumerate once in (a<b<c)
-  // orientation (two equi-joins, out-degree bounded like q161) and
-  // explode to their three corners for per-node tallies; degrees and
+  // q211's assortativity. Triangles enumerate EXACTLY once via the
+  // degree-ordered orientation (q161's construction, ported here by
+  // the round-9 skew rung): every undirected edge points from the
+  // lower (deg, id) endpoint to the higher, so wedges form only at a
+  // triangle's minimum-rank corner and a hub never fans out — under
+  // the id orientation this gate generated deg(hub)² ≈ 2·10¹⁰ wedge
+  // candidates on the 20%-hot-key rung (one task, 57 GB of shuffle)
+  // because the hot key 0 is the id-order MINIMUM; degree order caps
+  // out-degree at O(√m) regardless of where the hub sits. Corners
+  // explode to per-node tallies (orientation-invariant); degrees and
   // triangle counts are exact longs, the coefficient ONE division.
   // Top-50 hubs by (degree, node) — a total order.
   private val q288 = QueryDef(
     "q288_clustering_coeff",
     (s, dir) => {
       // the session-scoped shared co-purchase cache IS the
-      // materialize-once frame the four consumers below need (degree
-      // count, both wedge sides, the triangle close) — the projection
-      // reads checkpoint blocks, never re-runs the distinct self-join
+      // materialize-once frame the consumers below need (degree
+      // count, orientation build, the undirected triangle close) —
+      // the projection reads checkpoint blocks, never re-runs the
+      // distinct self-join
       val e = GraphGateSource.copurchaseW(s, dir).select("u", "v")
       val deg = e.select(col("u").as("node"))
         .unionAll(e.select(col("v").as("node")))
         .groupBy("node").agg(count(lit(1)).as("deg"))
-      val wedge = e.as("e1").join(e.as("e2"), col("e1.u") === col("e2.u"))
+      val und = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val orient = und
+        .join(deg.select(col("node").as("uu"), col("deg").as("du")),
+          col("u") === col("uu"))
+        .join(deg.select(col("node").as("vv"), col("deg").as("dv")),
+          col("v") === col("vv"))
+        .filter(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")))
+        .select("u", "v")
+        .localCheckpoint() // wedge build reads it twice
+      // wedge at the minimum-rank corner: two out-neighbors, pair
+      // dedup'd by id; the closing b—c edge may be oriented either
+      // way by ITS endpoints' degrees, so the probe goes against the
+      // id-canonical undirected set with computed equi-keys
+      val wedge = orient.as("e1").join(orient.as("e2"),
+          col("e1.u") === col("e2.u"))
         .filter(col("e1.v") < col("e2.v"))
         .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
       val tri = wedge.join(e,
-        col("b") === col("u") && col("c") === col("v"))
+        least(col("b"), col("c")) === col("u") &&
+          greatest(col("b"), col("c")) === col("v"))
         .select(col("a"), col("b"), col("c"))
       val triPerNode = tri
         .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
