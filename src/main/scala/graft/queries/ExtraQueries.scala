@@ -112,23 +112,30 @@ object ExtraQueries {
     "q40_approx_distinct",
     (s, dir) => {
       val li = Tables.load(s, dir, "lineitem")
+      // the exact percentile() aggregate buffers the whole per-group
+      // value multiset — FOUR scalar calls carried four copies of that
+      // buffer through the aggregation (count() had hidden this from
+      // the bench: the flags were dead columns under a counted plan).
+      // The array form shares ONE buffer per aggregate family; the
+      // returned quantile values are identical, so the gate's hash is
+      // unchanged.
       li.groupBy(col("l_returnflag"))
         .agg(
           countDistinct(col("l_partkey")).as("exact_parts"),
           approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
-          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("p50a"),
-          expr("approx_percentile(l_extendedprice, 0.99, 1000)").as("p99a"),
-          expr("percentile(l_extendedprice, 0.45)").as("p45e"),
-          expr("percentile(l_extendedprice, 0.55)").as("p55e"),
-          expr("percentile(l_extendedprice, 0.985)").as("p985e"),
-          expr("percentile(l_extendedprice, 0.995)").as("p995e"))
+          expr("approx_percentile(l_extendedprice, array(0.5D, 0.99D), 1000)")
+            .as("pa"),
+          expr("percentile(l_extendedprice, array(0.45D, 0.55D, 0.985D, 0.995D))")
+            .as("pe"))
         .select(col("l_returnflag"), col("exact_parts"),
           (col("ap").cast("double") >= col("exact_parts") * 0.9 &&
             col("ap").cast("double") <= col("exact_parts") * 1.1)
             .cast("long").as("hll_within_10pct"),
-          (col("p50a") >= col("p45e") && col("p50a") <= col("p55e"))
+          (element_at(col("pa"), 1) >= element_at(col("pe"), 1) &&
+            element_at(col("pa"), 1) <= element_at(col("pe"), 2))
             .cast("long").as("p50_in_band"),
-          (col("p99a") >= col("p985e") && col("p99a") <= col("p995e"))
+          (element_at(col("pa"), 2) >= element_at(col("pe"), 3) &&
+            element_at(col("pa"), 2) <= element_at(col("pe"), 4))
             .cast("long").as("p99_in_band"))
         .orderBy("l_returnflag")
     },
