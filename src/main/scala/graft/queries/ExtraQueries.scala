@@ -112,30 +112,36 @@ object ExtraQueries {
     "q40_approx_distinct",
     (s, dir) => {
       val li = Tables.load(s, dir, "lineitem")
-      // the exact percentile() aggregate buffers the whole per-group
-      // value multiset — FOUR scalar calls carried four copies of that
-      // buffer through the aggregation (count() had hidden this from
-      // the bench: the flags were dead columns under a counted plan).
-      // The array form shares ONE buffer per aggregate family; the
-      // returned quantile values are identical, so the gate's hash is
-      // unchanged.
+      // exact bands via graft.operators.ExactQuantiles — the built-in
+      // percentile() buffers the whole per-group value multiset in an
+      // ObjectHashAggregate; the rank-select form is one codegen'd
+      // count agg + window over distinct values, bit-identical output
+      // (fuzz-pinned in ExactQuantilesSpec)
+      val bands = graft.operators.ExactQuantiles.cont(
+        li, Seq("l_returnflag"), "l_extendedprice",
+        Seq(("b50lo", 0.45), ("b50hi", 0.55), ("b99lo", 0.985), ("b99hi", 0.995)))
+      // exact distinct on its own frame: countDistinct mixed with the
+      // sketch aggregates plans an Expand that duplicates every fact
+      // row; two-level distinct-then-count keeps map-side combine
+      val exact = li.select("l_returnflag", "l_partkey").distinct()
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("exact_parts"))
       li.groupBy(col("l_returnflag"))
         .agg(
-          countDistinct(col("l_partkey")).as("exact_parts"),
           approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
           expr("approx_percentile(l_extendedprice, array(0.5D, 0.99D), 1000)")
-            .as("pa"),
-          expr("percentile(l_extendedprice, array(0.45D, 0.55D, 0.985D, 0.995D))")
-            .as("pe"))
+            .as("pa"))
+        .join(exact, Seq("l_returnflag"))
+        .join(bands, Seq("l_returnflag"))
         .select(col("l_returnflag"), col("exact_parts"),
           (col("ap").cast("double") >= col("exact_parts") * 0.9 &&
             col("ap").cast("double") <= col("exact_parts") * 1.1)
             .cast("long").as("hll_within_10pct"),
-          (element_at(col("pa"), 1) >= element_at(col("pe"), 1) &&
-            element_at(col("pa"), 1) <= element_at(col("pe"), 2))
+          (element_at(col("pa"), 1) >= col("b50lo") &&
+            element_at(col("pa"), 1) <= col("b50hi"))
             .cast("long").as("p50_in_band"),
-          (element_at(col("pa"), 2) >= element_at(col("pe"), 3) &&
-            element_at(col("pa"), 2) <= element_at(col("pe"), 4))
+          (element_at(col("pa"), 2) >= col("b99lo") &&
+            element_at(col("pa"), 2) <= col("b99hi"))
             .cast("long").as("p99_in_band"))
         .orderBy("l_returnflag")
     },

@@ -29,26 +29,35 @@ object Round13Queries {
   // merges where exact percentiles need a full sort per group.
   private val q190 = QueryDef(
     "q190_approx_percentile",
-    (s, dir) =>
-      t(s, dir, "lineitem")
-        .groupBy("l_returnflag")
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      // exact bands via graft.operators.ExactQuantiles (distinct-value
+      // rank-select, bit-identical to percentile() — fuzz-pinned in
+      // ExactQuantilesSpec) instead of the built-in's per-group value
+      // buffer: one codegen'd count agg + window replaces an
+      // ObjectHashAggregate carrying every price in memory
+      val bands = graft.operators.ExactQuantiles.cont(
+        li, Seq("l_returnflag"), "l_extendedprice",
+        Seq(("b50lo", 0.49), ("b50hi", 0.51), ("b90lo", 0.89),
+          ("b90hi", 0.91), ("b99lo", 0.985), ("b99hi", 0.995)))
+      li.groupBy("l_returnflag")
         .agg(
           approx_percentile(col("l_extendedprice"), array(lit(0.5), lit(0.9), lit(0.99)),
             lit(10000)).as("approx_p"),
-          expr("percentile(l_extendedprice, array(0.49D, 0.51D, 0.89D, " +
-            "0.91D, 0.985D, 0.995D))").as("bands"),
           count(lit(1)).as("n"))
+        .join(bands, Seq("l_returnflag"))
         .select(col("l_returnflag"), col("n"),
-          (element_at(col("approx_p"), 1) >= element_at(col("bands"), 1) &&
-            element_at(col("approx_p"), 1) <= element_at(col("bands"), 2))
+          (element_at(col("approx_p"), 1) >= col("b50lo") &&
+            element_at(col("approx_p"), 1) <= col("b50hi"))
             .cast("long").as("p50_in_band"),
-          (element_at(col("approx_p"), 2) >= element_at(col("bands"), 3) &&
-            element_at(col("approx_p"), 2) <= element_at(col("bands"), 4))
+          (element_at(col("approx_p"), 2) >= col("b90lo") &&
+            element_at(col("approx_p"), 2) <= col("b90hi"))
             .cast("long").as("p90_in_band"),
-          (element_at(col("approx_p"), 3) >= element_at(col("bands"), 5) &&
-            element_at(col("approx_p"), 3) <= element_at(col("bands"), 6))
+          (element_at(col("approx_p"), 3) >= col("b99lo") &&
+            element_at(col("approx_p"), 3) <= col("b99hi"))
             .cast("long").as("p99_in_band"))
-        .orderBy("l_returnflag"),
+        .orderBy("l_returnflag")
+    },
     Some("""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
         CAST(1 AS BIGINT) AS p50_in_band,
         CAST(1 AS BIGINT) AS p90_in_band,

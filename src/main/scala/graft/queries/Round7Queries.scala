@@ -125,16 +125,23 @@ object Round7Queries {
   // ≥ p).
   private val q164 = QueryDef(
     "q164_percentile_disc",
-    (s, dir) =>
-      t(s, dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-          expr("percentile_disc(0.1) WITHIN GROUP (ORDER BY l_quantity)").as("p10"),
-          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)").as("p50"),
-          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity)").as("p90"),
-          expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice)").as("price_p99"),
-          count(lit(1)).as("n"))
-        .orderBy("l_returnflag"),
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      // graft.operators.ExactQuantiles rank-selects over the DISTINCT
+      // value frame (l_quantity has ~50 distinct values — the count
+      // pre-agg collapses 600k rows to 150) instead of the built-in's
+      // four independent per-group value buffers; selection is
+      // bit-identical to percentile_disc (ExactQuantilesSpec)
+      val qty = graft.operators.ExactQuantiles.disc(
+        li, Seq("l_returnflag"), "l_quantity",
+        Seq(("p10", 0.1), ("p50", 0.5), ("p90", 0.9)))
+      val price = graft.operators.ExactQuantiles.disc(
+        li, Seq("l_returnflag"), "l_extendedprice", Seq(("price_p99", 0.99)))
+      qty.join(price, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("p10"), col("p50"), col("p90"),
+          col("price_p99"), qty.col("__group_n").as("n"))
+        .orderBy("l_returnflag")
+    },
     Some("""SELECT l_returnflag,
         quantile_disc(l_quantity, 0.1) AS p10,
         quantile_disc(l_quantity, 0.5) AS p50,
