@@ -1,18 +1,18 @@
 package graft.dev
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Throwaway measurement harness for plan experiments (not part of
   * the library surface; contents change per investigation).
   *
-  * Current experiment (round 9): does `count()` — the action Bench
-  * and ScaleSlopes use — let Catalyst ELIMINATE cardinality-preserving
-  * left joins (right side distinct on the join key), silently pruning
-  * a gate's real work out of the measurement? Hypothesis raised by
-  * q109/q530 showing byte-identical shuffle totals at sf1 despite
-  * different candidate stages. Prints the optimized count() plan vs
-  * the full-evaluation (noop-sink) plan for both gates, plus timings
-  * under each action.
+  * Current experiment (round 9): same-JVM interleaved A/B of the
+  * Expand-elimination rewrites (two-level pre-aggregate replacing
+  * countDistinct-next-to-other-aggs) against the original shapes —
+  * Prof's one-JVM-per-variant numbers drift ±30-40% between JVMs,
+  * so only interleaved timings in ONE JVM decide whether a rewrite
+  * ships.
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
@@ -23,33 +23,124 @@ object Scratch {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = sys.env.getOrElse("SCRATCH_SF_DIR", "/root/testdata/sf0.1")
+    def t(name: String): DataFrame = graft.Tables.load(spark, dir, name)
 
-    for (gate <- Seq("q109_curation_pipeline", "q530_curation_lsh")) {
-      val fn = graft.SparkEntry.queries(gate)
-      val dfCount = fn(spark, dir).groupBy().count()
-      val countPlan = dfCount.queryExecution.optimizedPlan.toString
-      val dfFull = fn(spark, dir)
-      val fullPlan = dfFull.queryExecution.optimizedPlan.toString
-      def sig(p: String): String = Seq(
-        "minhash" -> p.toLowerCase.contains("minhash"),
-        "orderedpairs" -> p.toLowerCase.contains("orderedpairs"),
-        "joins" -> ("n=" + "Join".r.findAllIn(p).length)).map {
-        case (k, v) => s"$k:$v"
-      }.mkString(" ")
-      println(s"SCRATCH $gate count-plan  ${sig(countPlan)}")
-      println(s"SCRATCH $gate full-plan   ${sig(fullPlan)}")
+    def evaluate(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
 
-      def time(label: String, act: () => Unit): Unit = {
-        act() // warm
-        val t0 = System.nanoTime(); act()
-        val t1 = System.nanoTime(); act()
-        val t2 = System.nanoTime()
-        println(f"SCRATCH $gate $label ${math.min(t1 - t0, t2 - t1) / 1e9}%.3f")
-      }
-      time("count", () => { fn(spark, dir).count(); () })
-      time("noop ", () => fn(spark, dir).write
-        .format("noop").mode("overwrite").save())
+    // ---- q358 ORIGINAL shape: countDistinct + sum in one agg (Expand)
+    def q358Old(): DataFrame = {
+      val rev = (col("l_extendedprice").cast(DecimalType(18, 2)) *
+        (lit(1).cast(DecimalType(18, 2)) -
+          col("l_discount").cast(DecimalType(18, 2)))).cast(DecimalType(18, 4))
+      val per = t("lineitem")
+        .join(broadcast(t("part")), col("l_partkey") === col("p_partkey"))
+        .join(t("orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(countDistinct(col("p_brand")).as("n_brands"),
+          sum(rev).cast(DecimalType(38, 4)).as("r"))
+        .withColumn("segment",
+          when(col("n_brands") === 1, "1_loyal")
+            .when(col("n_brands") <= 3, "2_mixed")
+            .otherwise("3_broad"))
+      val tot = per.agg(sum(col("r")).cast(DecimalType(38, 4)).as("t"),
+        count(lit(1)).as("nc"))
+      per.groupBy("segment")
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("r")).cast(DecimalType(38, 4)).as("seg_rev"))
+        .crossJoin(broadcast(tot))
+        .select(col("segment"), col("n_customers"),
+          (col("n_customers").cast("double") / col("nc").cast("double"))
+            .as("customer_share"),
+          (col("seg_rev").cast("double") / col("t").cast("double"))
+            .as("revenue_share"),
+          (col("seg_rev").cast("double") / col("n_customers").cast("double"))
+            .as("rev_per_customer"))
+        .orderBy("segment")
     }
+
+    // ---- q327 ORIGINAL shape: double countDistinct (Expand x3)
+    def q327Old(): DataFrame = {
+      val rev = (col("l_extendedprice").cast(DecimalType(18, 2)) *
+        (lit(1).cast(DecimalType(18, 2)) -
+          col("l_discount").cast(DecimalType(18, 2)))).cast(DecimalType(18, 4))
+      val per = t("lineitem")
+        .join(broadcast(t("supplier")), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("l_orderkey")
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("s_nationkey")).as("n_nations"),
+          sum(rev).as("rev"))
+      val tot = per.agg(count(lit(1)).as("t_orders"), sum(col("rev")).as("t_rev"))
+      per.groupBy("n_supp")
+        .agg(count(lit(1)).as("n_orders"),
+          max(col("n_nations")).as("max_nations"),
+          sum(col("rev")).as("class_rev"))
+        .crossJoin(broadcast(tot))
+        .select(col("n_supp"), col("n_orders"), col("max_nations"),
+          (col("n_orders").cast("double") / col("t_orders").cast("double"))
+            .as("order_share"),
+          (col("class_rev").cast("double") / col("t_rev").cast("double"))
+            .as("revenue_share"))
+        .orderBy("n_supp")
+    }
+
+    // ---- q288 with SHUFFLE_HASH hints on the wedge-closing probe:
+    // the ~40M-row wedge frame is the stream side; hinting the edge
+    // side as the hash build avoids SORTING the wedge stream (SMJ's
+    // dominant cost) while keeping both sides partitioned — no
+    // broadcast, same 100 TB shape.
+    def q288Hashed(): DataFrame = {
+      val e = graft.queries.GraphGateSource.copurchaseW(spark, dir).select("u", "v")
+      val deg = e.select(col("u").as("node"))
+        .unionAll(e.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val und = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val orient = und
+        .join(deg.select(col("node").as("uu"), col("deg").as("du")),
+          col("u") === col("uu"))
+        .join(deg.select(col("node").as("vv"), col("deg").as("dv")),
+          col("v") === col("vv"))
+        .filter(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")))
+        .select("u", "v")
+        .localCheckpoint()
+      val wedge = orient.as("e1").join(orient.as("e2").hint("shuffle_hash"),
+          col("e1.u") === col("e2.u"))
+        .filter(col("e1.v") < col("e2.v"))
+        .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
+      val tri = wedge.join(e.hint("shuffle_hash"),
+        col("b") === col("u") && col("c") === col("v"))
+        .select(col("a"), col("b"), col("c"))
+      val triPerNode = tri
+        .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("tri"))
+      deg.join(triPerNode, Seq("node"), "left")
+        .withColumn("tri", coalesce(col("tri"), lit(0L)))
+        .filter(col("deg") >= 2)
+        .select(col("node"), col("deg"), col("tri"),
+          ((lit(2L) * col("tri")).cast("double") /
+            (col("deg") * (col("deg") - 1L)).cast("double")).as("coeff"))
+        .orderBy(desc("deg"), asc("node"))
+        .limit(50)
+    }
+
+    val variants: Seq[(String, () => DataFrame)] = Seq(
+      "q358_old" -> (() => q358Old()),
+      "q358_new" -> (() => graft.SparkEntry.queries("q358_brand_loyalty")(spark, dir)),
+      "q327_old" -> (() => q327Old()),
+      "q327_new" -> (() => graft.SparkEntry.queries("q327_sourcing_complexity")(spark, dir)),
+      "q288_old" -> (() => graft.SparkEntry.queries("q288_clustering_coeff")(spark, dir)),
+      "q288_hsh" -> (() => q288Hashed()))
+
+    // warm all (codegen + AQE shapes)
+    variants.foreach { case (_, f) => evaluate(f()) }
+    // interleaved passes, min per variant
+    val best = scala.collection.mutable.Map.empty[String, Double]
+    for (_ <- 1 to 3; (name, f) <- variants) {
+      val t0 = System.nanoTime(); evaluate(f()); val dt = (System.nanoTime() - t0) / 1e9
+      best(name) = math.min(best.getOrElse(name, Double.MaxValue), dt)
+    }
+    variants.foreach { case (name, _) => println(f"SCRATCH $name ${best(name)}%.3f") }
     spark.stop()
   }
 }

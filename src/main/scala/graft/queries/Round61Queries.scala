@@ -156,13 +156,22 @@ object Round61Queries {
       val rev = (col("l_extendedprice").cast(DecimalType(18, 2)) *
         (lit(1).cast(DecimalType(18, 2)) -
           col("l_discount").cast(DecimalType(18, 2)))).cast(DecimalType(18, 4))
-      val per = t(s, dir, "lineitem")
+      // two-level aggregate: the direct double-countDistinct plans an
+      // Expand that triples every fact row; pre-aggregating revenue per
+      // (order, supplier) first keeps map-side combine, and nationkey
+      // is FUNCTIONALLY DETERMINED by suppkey so the per-supplier frame
+      // loses nothing — n_supp becomes a plain count and only the
+      // already-shrunk frame pays the one remaining distinct
+      val perSupp = t(s, dir, "lineitem")
         .join(broadcast(t(s, dir, "supplier")),
           col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_orderkey"), col("l_suppkey"), col("s_nationkey"))
+        .agg(sum(rev).as("rev_s"))
+      val per = perSupp
         .groupBy("l_orderkey")
-        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        .agg(count(lit(1)).as("n_supp"),
           countDistinct(col("s_nationkey")).as("n_nations"),
-          sum(rev).as("rev"))
+          sum(col("rev_s")).as("rev"))
       val tot = per.agg(count(lit(1)).as("t_orders"), sum(col("rev")).as("t_rev"))
       per.groupBy("n_supp")
         .agg(count(lit(1)).as("n_orders"),

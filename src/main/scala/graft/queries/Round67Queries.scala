@@ -207,10 +207,16 @@ object Round67Queries {
       val rev = (col("l_extendedprice").cast(DecimalType(18, 2)) *
         (lit(1).cast(DecimalType(18, 2)) -
           col("l_discount").cast(DecimalType(18, 2)))).cast(DecimalType(18, 4))
+      // measured (same-JVM interleaved A/B, round 9): the two-level
+      // (customer, brand) pre-aggregate that beats Expand elsewhere is
+      // SLOWER here — the Expand duplicates only a 3-byte brand column
+      // while the pre-agg pays a second full shuffle — so the direct
+      // countDistinct shape stays
       val per = t(s, dir, "lineitem")
         .join(broadcast(t(s, dir, "part")),
           col("l_partkey") === col("p_partkey"))
-        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_custkey"))
         .agg(countDistinct(col("p_brand")).as("n_brands"),
           sum(rev).cast(DecimalType(38, 4)).as("r"))
