@@ -177,16 +177,23 @@ object Round100Queries {
             col("l_discount").cast(DecimalType(4, 2)))) * 10000)
           .cast(LongType)).as("rev4"))
         .localCheckpoint()
-      val segs = sb.select("segment").distinct()
-      val pairs = segs.as("a").crossJoin(segs.as("b"))
-        .filter(col("a.segment") =!= col("b.segment"))
-        .select(col("a.segment").as("seg_a"), col("b.segment").as("seg_b"))
-      pairs
-        .join(sb.select(col("segment").as("seg_a"), col("l_partkey"),
-          col("rev4")), Seq("seg_a"))
-        .join(sb.select(col("segment").as("seg_b"), col("l_partkey"),
-          lit(true).as("b_has")), Seq("seg_b", "l_partkey"), "left")
-        .filter(col("b_has").isNull)
+      // whitespace pairs from ONE per-part fold instead of the
+      // pairs-join + left-anti probe: each part carries its present
+      // segments (≤ |segments| structs), the absent set is
+      // array_except against the global segment list, and the
+      // (present × absent) expansion happens per row with codegen'd
+      // array functions — no 4×|sb| join, no second shuffle of sb
+      val allSegs = sb.select("segment").distinct()
+        .agg(sort_array(collect_list(col("segment"))).as("all_segs"))
+      sb.groupBy("l_partkey")
+        .agg(collect_list(struct(col("segment"), col("rev4"))).as("pres"))
+        .crossJoin(broadcast(allSegs))
+        .select(
+          explode(col("pres")).as("p"),
+          array_except(col("all_segs"),
+            transform(col("pres"), x => x.getField("segment"))).as("absent"))
+        .select(col("p.segment").as("seg_a"),
+          explode(col("absent")).as("seg_b"), col("p.rev4").as("rev4"))
         .groupBy("seg_a", "seg_b")
         .agg(count(lit(1)).as("n_whitespace_parts"),
           sum("rev4").as("rev_at_stake4"))

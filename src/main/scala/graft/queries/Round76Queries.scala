@@ -223,18 +223,22 @@ object Round76Queries {
     (s, dir) => {
       val cents = (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
         .cast(LongType)
-      def pd(p: Double): Column =
-        expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY cents)")
-          .cast(LongType)
-      val g = t(s, dir, "orders")
+      // all seven octile order statistics share ONE distinct-value
+      // rank-select pass (graft.operators.ExactQuantiles, bit-identical
+      // to percentile_disc) instead of seven per-group value buffers
+      val src = t(s, dir, "orders")
         .join(broadcast(t(s, dir, "customer")),
           col("o_custkey") === col("c_custkey"))
         .select(col("c_mktsegment").as("segment"), cents.as("cents"))
-        .groupBy("segment")
-        .agg(count(lit(1)).as("n_orders"),
-          pd(0.125).as("e1"), pd(0.25).as("q1"), pd(0.375).as("e3"),
-          pd(0.5).as("q2"), pd(0.625).as("e5"), pd(0.75).as("q3"),
-          pd(0.875).as("e7"))
+      val g = graft.operators.ExactQuantiles.disc(
+          src, Seq("segment"), "cents",
+          Seq(("e1d", 0.125), ("q1d", 0.25), ("e3d", 0.375), ("q2d", 0.5),
+            ("e5d", 0.625), ("q3d", 0.75), ("e7d", 0.875)))
+        .select(col("segment"), col("__group_n").as("n_orders"),
+          col("e1d").cast(LongType).as("e1"), col("q1d").cast(LongType).as("q1"),
+          col("e3d").cast(LongType).as("e3"), col("q2d").cast(LongType).as("q2"),
+          col("e5d").cast(LongType).as("e5"), col("q3d").cast(LongType).as("q3"),
+          col("e7d").cast(LongType).as("e7"))
       g.select(col("segment"), col("n_orders"), col("q1"), col("q2"),
           col("q3"),
           when(col("q3") > col("q1"),

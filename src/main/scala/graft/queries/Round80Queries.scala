@@ -34,9 +34,11 @@ object Round80Queries {
         .groupBy(col("o_custkey"),
           year(to_date(col("o_orderdate"))).cast(LongType).as("yr"))
         .agg(sum(cents).as("spend"))
-      val cut = cy.groupBy("yr")
-        .agg(expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY spend)")
-          .cast(LongType).as("p90"))
+      // rank-select form of percentile_disc (graft.operators
+      // .ExactQuantiles, bit-identical) — no per-year value buffer
+      val cut = graft.operators.ExactQuantiles.disc(
+          cy, Seq("yr"), "spend", Seq(("p90d", 0.9)))
+        .select(col("yr"), col("p90d").cast(LongType).as("p90"))
       val top = cy.join(broadcast(cut), Seq("yr"))
         .filter(col("spend") >= col("p90"))
         .select(col("yr"), col("o_custkey"))

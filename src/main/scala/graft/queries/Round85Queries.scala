@@ -211,10 +211,13 @@ object Round85Queries {
               col("l_discount").cast(DecimalType(4, 2)))) * 10000)
             .cast(LongType).as("rev4"))
       val pm = li.groupBy("mk", "l_partkey").agg(sum("rev4").as("rev"))
-      val w = Window.partitionBy("mk")
-        .orderBy(col("rev").desc, col("l_partkey"))
-      val top = pm.withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 20)
+      // the engine's TopKPerKey operator instead of a row_number window:
+      // bounded pre-shuffle heaps cap map output at k rows per (month,
+      // partition) where the window would sort every (month, part) row
+      // after the exchange — rank semantics identical (total order via
+      // the partkey tiebreak)
+      val top = graft.plans.TopKPerKey.perKey(
+          pm, Seq("mk"), Seq(col("rev").desc, col("l_partkey")), 20)
         .select(col("mk"), col("l_partkey"))
       val sizes = top.groupBy("mk").agg(count(lit(1)).as("sz"))
       val nxt = top.select((col("mk") - 1L).as("mk"),
