@@ -11,6 +11,15 @@ import org.apache.spark.sql.SparkSession
   */
 object Prof {
   def main(args: Array[String]): Unit = {
+    // PROF_TMPFS=1: route scratch (temp dirs, checkpoints, shuffle
+    // local dirs) to tmpfs — measures how much of a gate's time is
+    // the measurement box's ext4 /tmp rather than the engine
+    if (sys.env.contains("PROF_TMPFS")) {
+      val base = java.nio.file.Files
+        .createTempDirectory(java.nio.file.Paths.get("/dev/shm"), "graft-prof")
+      System.setProperty("java.io.tmpdir", base.toString)
+      System.setProperty("spark.local.dir", base.toString)
+    }
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.adaptive.enabled", "true")
