@@ -7,12 +7,13 @@ import org.apache.spark.sql.types._
 /** Throwaway measurement harness for plan experiments (not part of
   * the library surface; contents change per investigation).
   *
-  * Current experiment (round 9): same-JVM interleaved A/B of the
-  * Expand-elimination rewrites (two-level pre-aggregate replacing
-  * countDistinct-next-to-other-aggs) against the original shapes —
-  * Prof's one-JVM-per-variant numbers drift ±30-40% between JVMs,
-  * so only interleaved timings in ONE JVM decide whether a rewrite
-  * ships.
+  * Current experiment (round 9): how much of the tier-2 gates'
+  * ~1.5 s floor is the SINGLE-TASK scan? The driver's parquet files
+  * have ONE row group each (pyarrow-checked), so a scan cannot split
+  * and the fused scan→project→partial-agg pipeline runs on one core
+  * while 31 idle. Probes: bare count, plain decimal-revenue agg, and
+  * the same agg behind a repartition(32) that trades one 30 MB
+  * shuffle for 32-way arithmetic parallelism.
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
@@ -28,113 +29,25 @@ object Scratch {
     def evaluate(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    // ---- q358 ORIGINAL shape: countDistinct + sum in one agg (Expand)
-    def q358Old(): DataFrame = {
-      val rev = (col("l_extendedprice").cast(DecimalType(18, 2)) *
-        (lit(1).cast(DecimalType(18, 2)) -
-          col("l_discount").cast(DecimalType(18, 2)))).cast(DecimalType(18, 4))
-      val per = t("lineitem")
-        .join(broadcast(t("part")), col("l_partkey") === col("p_partkey"))
-        .join(t("orders"), col("l_orderkey") === col("o_orderkey"))
-        .groupBy(col("o_custkey"))
-        .agg(countDistinct(col("p_brand")).as("n_brands"),
-          sum(rev).cast(DecimalType(38, 4)).as("r"))
-        .withColumn("segment",
-          when(col("n_brands") === 1, "1_loyal")
-            .when(col("n_brands") <= 3, "2_mixed")
-            .otherwise("3_broad"))
-      val tot = per.agg(sum(col("r")).cast(DecimalType(38, 4)).as("t"),
-        count(lit(1)).as("nc"))
-      per.groupBy("segment")
-        .agg(count(lit(1)).as("n_customers"),
-          sum(col("r")).cast(DecimalType(38, 4)).as("seg_rev"))
-        .crossJoin(broadcast(tot))
-        .select(col("segment"), col("n_customers"),
-          (col("n_customers").cast("double") / col("nc").cast("double"))
-            .as("customer_share"),
-          (col("seg_rev").cast("double") / col("t").cast("double"))
-            .as("revenue_share"),
-          (col("seg_rev").cast("double") / col("n_customers").cast("double"))
-            .as("rev_per_customer"))
-        .orderBy("segment")
-    }
+    val rev = (col("l_extendedprice").cast(DecimalType(18, 2)) *
+      (lit(1).cast(DecimalType(18, 2)) -
+        col("l_discount").cast(DecimalType(18, 2)))).cast(DecimalType(18, 4))
 
-    // ---- q327 ORIGINAL shape: double countDistinct (Expand x3)
-    def q327Old(): DataFrame = {
-      val rev = (col("l_extendedprice").cast(DecimalType(18, 2)) *
-        (lit(1).cast(DecimalType(18, 2)) -
-          col("l_discount").cast(DecimalType(18, 2)))).cast(DecimalType(18, 4))
-      val per = t("lineitem")
-        .join(broadcast(t("supplier")), col("l_suppkey") === col("s_suppkey"))
-        .groupBy("l_orderkey")
-        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-          countDistinct(col("s_nationkey")).as("n_nations"),
-          sum(rev).as("rev"))
-      val tot = per.agg(count(lit(1)).as("t_orders"), sum(col("rev")).as("t_rev"))
-      per.groupBy("n_supp")
-        .agg(count(lit(1)).as("n_orders"),
-          max(col("n_nations")).as("max_nations"),
-          sum(col("rev")).as("class_rev"))
-        .crossJoin(broadcast(tot))
-        .select(col("n_supp"), col("n_orders"), col("max_nations"),
-          (col("n_orders").cast("double") / col("t_orders").cast("double"))
-            .as("order_share"),
-          (col("class_rev").cast("double") / col("t_rev").cast("double"))
-            .as("revenue_share"))
-        .orderBy("n_supp")
-    }
-
-    // ---- q288 with SHUFFLE_HASH hints on the wedge-closing probe:
-    // the ~40M-row wedge frame is the stream side; hinting the edge
-    // side as the hash build avoids SORTING the wedge stream (SMJ's
-    // dominant cost) while keeping both sides partitioned — no
-    // broadcast, same 100 TB shape.
-    def q288Hashed(): DataFrame = {
-      val e = graft.queries.GraphGateSource.copurchaseW(spark, dir).select("u", "v")
-      val deg = e.select(col("u").as("node"))
-        .unionAll(e.select(col("v").as("node")))
-        .groupBy("node").agg(count(lit(1)).as("deg"))
-      val und = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
-      val orient = und
-        .join(deg.select(col("node").as("uu"), col("deg").as("du")),
-          col("u") === col("uu"))
-        .join(deg.select(col("node").as("vv"), col("deg").as("dv")),
-          col("v") === col("vv"))
-        .filter(col("du") < col("dv") ||
-          (col("du") === col("dv") && col("u") < col("v")))
-        .select("u", "v")
-        .localCheckpoint()
-      val wedge = orient.as("e1").join(orient.as("e2").hint("shuffle_hash"),
-          col("e1.u") === col("e2.u"))
-        .filter(col("e1.v") < col("e2.v"))
-        .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
-      val tri = wedge.join(e.hint("shuffle_hash"),
-        col("b") === col("u") && col("c") === col("v"))
-        .select(col("a"), col("b"), col("c"))
-      val triPerNode = tri
-        .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
-        .groupBy("node").agg(count(lit(1)).as("tri"))
-      deg.join(triPerNode, Seq("node"), "left")
-        .withColumn("tri", coalesce(col("tri"), lit(0L)))
-        .filter(col("deg") >= 2)
-        .select(col("node"), col("deg"), col("tri"),
-          ((lit(2L) * col("tri")).cast("double") /
-            (col("deg") * (col("deg") - 1L)).cast("double")).as("coeff"))
-        .orderBy(desc("deg"), asc("node"))
-        .limit(50)
-    }
+    def monthAgg(src: DataFrame): DataFrame = src
+      .groupBy(date_trunc("month", to_date(col("l_shipdate")))
+        .cast("date").as("month"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("n_returned"),
+        sum(rev).as("rev"),
+        sum(when(col("l_returnflag") === "R", rev)
+          .otherwise(lit(0).cast(DecimalType(18, 4)))).as("rev_returned"))
 
     val variants: Seq[(String, () => DataFrame)] = Seq(
-      "q358_old" -> (() => q358Old()),
-      "q358_new" -> (() => graft.SparkEntry.queries("q358_brand_loyalty")(spark, dir)),
-      "q327_old" -> (() => q327Old()),
-      "q327_new" -> (() => graft.SparkEntry.queries("q327_sourcing_complexity")(spark, dir)),
-      "q288_old" -> (() => graft.SparkEntry.queries("q288_clustering_coeff")(spark, dir)),
-      "q288_hsh" -> (() => q288Hashed()))
+      "scan_count " -> (() => t("lineitem").groupBy().count()),
+      "agg_1task  " -> (() => monthAgg(t("lineitem"))),
+      "agg_repart " -> (() => monthAgg(t("lineitem").repartition(32))))
 
-    // warm all (codegen + AQE shapes)
     variants.foreach { case (_, f) => evaluate(f()) }
-    // interleaved passes, min per variant
     val best = scala.collection.mutable.Map.empty[String, Double]
     for (_ <- 1 to 3; (name, f) <- variants) {
       val t0 = System.nanoTime(); evaluate(f()); val dt = (System.nanoTime() - t0) / 1e9
