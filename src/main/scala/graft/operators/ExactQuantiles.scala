@@ -27,6 +27,16 @@ import org.apache.spark.sql.functions._
   * best available distributed shape — partial aggregation everywhere,
   * per-group work bounded by distinct values, no object buffers.
   *
+  * REGIME (measured, same-JVM interleaved A/B at sf0.1 and sf1): the
+  * built-in buffer is itself distinct-compressed (an OpenHashMap of
+  * value→count), so this operator wins where groups are FEW and LARGE
+  * — per-group distinct counts that grow with the data (q40 19.5→6.7 s,
+  * q402 7.7→2.7 s, q190 7.8→6.0 s, q164 5.3→4.3 s at the sf1 rung) —
+  * and LOSES or washes where groups are MANY and SMALL (per-entity
+  * order statistics: q361, q419 keep the built-in), because the fixed
+  * extra shuffle+window never amortizes over tiny buffers. Pick by
+  * group shape, not by default.
+  *
   * Selection semantics replicate Spark's implementations bit-exactly
   * (verified against the decompiled Spark 4.1.2
   * `PercentileBase.getPercentile` / `PercentileDisc.getPercentile`,

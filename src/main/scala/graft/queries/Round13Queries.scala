@@ -33,9 +33,11 @@ object Round13Queries {
       val li = t(s, dir, "lineitem")
       // exact bands via graft.operators.ExactQuantiles (distinct-value
       // rank-select, bit-identical to percentile() — fuzz-pinned in
-      // ExactQuantilesSpec) instead of the built-in's per-group value
-      // buffer: one codegen'd count agg + window replaces an
-      // ObjectHashAggregate carrying every price in memory
+      // ExactQuantilesSpec). Regime note (same-JVM A/B): with FEW
+      // LARGE groups the built-in's per-group value buffer grows with
+      // the data and loses one decade up (sf1: 7.8 s vs 6.0 s) while
+      // costing slightly less at sf0.1 — the shipped shape is the one
+      // that survives the scale-up
       val bands = graft.operators.ExactQuantiles.cont(
         li, Seq("l_returnflag"), "l_extendedprice",
         Seq(("b50lo", 0.49), ("b50hi", 0.51), ("b90lo", 0.89),

@@ -135,24 +135,26 @@ object Round68Queries {
           col("l_discount").cast(DecimalType(18, 2))))
         .cast(DecimalType(18, 4)) * 10000).cast(LongType)
       val cents = expr("n4 DIV (100 * qty)")
-      val unit = t(s, dir, "lineitem")
+      // built-in percentile_disc stays: groups here are MANY and SMALL
+      // (one per (brand, part), a handful of sales each), so the
+      // per-group buffer is tiny and the ExactQuantiles rank-select
+      // rewrite measured a wash at sf0.1 AND sf1 (same-JVM A/B) — the
+      // operator pays only in the few-large-groups regime (q40/q164/
+      // q190/q402)
+      val per = t(s, dir, "lineitem")
         .join(broadcast(t(s, dir, "part")),
           col("l_partkey") === col("p_partkey"))
         .select(col("p_brand").as("brand"), col("l_partkey").as("pk"),
           n4.as("n4"), col("l_quantity").cast(LongType).as("qty"))
         .select(col("brand"), col("pk"), cents.as("c"))
-      // graft.operators.ExactQuantiles: the three order statistics
-      // share ONE distinct-value rank-select pass (bit-identical to
-      // percentile_disc — ExactQuantilesSpec) instead of three
-      // per-group ObjectHashAggregate value buffers
-      val per = graft.operators.ExactQuantiles.disc(
-          unit, Seq("brand", "pk"), "c",
-          Seq(("p10d", 0.1), ("p50d", 0.5), ("p90d", 0.9)))
-        .select(col("brand"), col("pk"),
-          col("__group_n").as("n_sales"),
-          col("p10d").cast(LongType).as("p10"),
-          col("p50d").cast(LongType).as("p50"),
-          col("p90d").cast(LongType).as("p90"))
+        .groupBy("brand", "pk")
+        .agg(count(lit(1)).as("n_sales"),
+          expr("percentile_disc(0.1) WITHIN GROUP (ORDER BY c)")
+            .cast(LongType).as("p10"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY c)")
+            .cast(LongType).as("p50"),
+          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY c)")
+            .cast(LongType).as("p90"))
         .filter(col("n_sales") >= 3 && col("p50") > 0)
         .withColumn("disp",
           (col("p90") - col("p10")).cast("double") / col("p50").cast("double"))

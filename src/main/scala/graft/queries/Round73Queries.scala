@@ -27,10 +27,17 @@ object Round73Queries {
       val rev = (col("l_extendedprice").cast(DecimalType(18, 2)) *
         (lit(1).cast(DecimalType(18, 2)) -
           col("l_discount").cast(DecimalType(18, 2)))).cast(DecimalType(18, 4))
+      // pre-aggregate per (part, supplier) so the distinct-supplier
+      // count is a plain count over the shrunk frame — the direct
+      // countDistinct+sum Expand duplicates every fact row and loses
+      // one decade up (same-JVM A/B, sf1: 2.30 s vs 1.87 s; sf0.1 a
+      // wash) — the shape that survives the scale-up ships
       val per = t(s, dir, "lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(sum(rev).as("r_ps"))
         .groupBy("l_partkey")
-        .agg(countDistinct(col("l_suppkey")).as("n_suppliers"),
-          sum(rev).cast(DecimalType(38, 4)).as("r"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum(col("r_ps")).cast(DecimalType(38, 4)).as("r"))
       val tot = per.agg(sum(col("r")).cast(DecimalType(38, 4)).as("t"),
         count(lit(1)).as("np"))
       per.groupBy("n_suppliers")

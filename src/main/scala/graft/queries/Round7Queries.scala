@@ -131,7 +131,10 @@ object Round7Queries {
       // value frame (l_quantity has ~50 distinct values — the count
       // pre-agg collapses 600k rows to 150) instead of the built-in's
       // four independent per-group value buffers; selection is
-      // bit-identical to percentile_disc (ExactQuantilesSpec)
+      // bit-identical to percentile_disc (ExactQuantilesSpec).
+      // Regime note (same-JVM A/B): few large groups — the built-in
+      // buffer loses one decade up (sf1: 5.3 s vs 4.3 s) while
+      // costing slightly less at sf0.1; the scale shape ships
       val qty = graft.operators.ExactQuantiles.disc(
         li, Seq("l_returnflag"), "l_quantity",
         Seq(("p10", 0.1), ("p50", 0.5), ("p90", 0.9)))

@@ -34,11 +34,13 @@ object Round80Queries {
         .groupBy(col("o_custkey"),
           year(to_date(col("o_orderdate"))).cast(LongType).as("yr"))
         .agg(sum(cents).as("spend"))
-      // rank-select form of percentile_disc (graft.operators
-      // .ExactQuantiles, bit-identical) — no per-year value buffer
-      val cut = graft.operators.ExactQuantiles.disc(
-          cy, Seq("yr"), "spend", Seq(("p90d", 0.9)))
-        .select(col("yr"), col("p90d").cast(LongType).as("p90"))
+      // built-in percentile_disc stays: per-year spend values are
+      // per-customer aggregates (many small-ish groups over an
+      // already-shrunk frame) — the ExactQuantiles rewrite measured
+      // SLOWER here at sf0.1 and sf1 both (same-JVM A/B)
+      val cut = cy.groupBy("yr")
+        .agg(expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY spend)")
+          .cast(LongType).as("p90"))
       val top = cy.join(broadcast(cut), Seq("yr"))
         .filter(col("spend") >= col("p90"))
         .select(col("yr"), col("o_custkey"))
