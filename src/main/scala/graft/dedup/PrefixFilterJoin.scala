@@ -151,6 +151,14 @@ object PrefixFilterJoin {
     // shared/(na+nb-shared) ≥ θ  ⇔  shared·(θ_den+θ_num) ≥ θ_num·(na+nb).
     val toks = tok.groupBy("doc_id").agg(collect_set(col("tk")).as("toks"), count(lit(1)).as("n"))
     val shared = size(array_intersect(col("a_toks"), col("b_toks"))).cast(LongType)
+    // The fetch joins stay DECLARED, not forced: the planner
+    // broadcasts the doc-level toks side while it fits (measured at
+    // the sf1 rung: the broadcast plan avoids re-shuffling the
+    // quadratic candidate stream twice — forcing SHUFFLE_HASH here
+    // cost 3.5× wall, 35→123 s) and degrades to a partitioned join
+    // when toks outgrows the threshold. The q105-class rogue
+    // broadcast (planner picks the misestimated PAIR side) does not
+    // arise here: toks' estimate is genuinely the smaller one.
     candidates
       .join(toks.select(col("doc_id").as("a_id"), col("toks").as("a_toks"), col("n").as("na")), "a_id")
       .join(toks.select(col("doc_id").as("b_id"), col("toks").as("b_toks"), col("n").as("nb")), "b_id")

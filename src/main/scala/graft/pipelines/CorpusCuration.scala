@@ -144,9 +144,16 @@ object CorpusCuration {
           .groupBy("da", "db")
           .agg(count(lit(1)).as("common"))
     }
+    // SHUFFLE_HASH pins the hash build to the O(docs) sizes side: the
+    // candidate pair frame's cardinality is invisible to Catalyst
+    // (explode/band-join output), and a misestimated broadcast of the
+    // PAIR side is a driver collect that grows quadratically on dense
+    // corpora (the q105 sf1 abort, round-9 audit)
     val near = pairs
-      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
-      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .join(sizes.select(col("doc_id").as("da"), col("n").as("na"))
+        .hint("shuffle_hash"), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb"))
+        .hint("shuffle_hash"), "db")
       .filter(col("common").cast("double") /
         (col("na") + col("nb") - col("common")) >= cfg.jaccardThreshold)
       .select(col("db").as("doc_id")).distinct()

@@ -344,7 +344,15 @@ object Round4Queries {
       val pairs = half.unionAll(half.select(
         col("b_id").as("a_id"), col("a_id").as("b_id"), col("shared")))
       val containment = col("shared").cast("double") / col("n")
-      pairs.join(sizes.withColumnRenamed("doc_id", "a_id"), "a_id")
+      // SHUFFLE_HASH on the doc-level sizes side: Catalyst cannot
+      // estimate the OrderedPairs explode (Generate keeps the child's
+      // stats), so it UNDERESTIMATES the pair frame and tries to
+      // BROADCAST it — at the sf1 rung that is a 1 GiB driver collect
+      // (found by the round-9 decade-up audit: spark.driver
+      // .maxResultSize abort). The hash hint pins the build to the
+      // O(docs) side, partitioned — correct at any corpus size
+      pairs.join(sizes.withColumnRenamed("doc_id", "a_id")
+        .hint("shuffle_hash"), "a_id")
         .filter(containment >= 0.5)
         .select(col("a_id"), col("b_id"), col("shared"), containment.as("containment"))
         .orderBy("a_id", "b_id")

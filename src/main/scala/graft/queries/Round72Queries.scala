@@ -89,11 +89,15 @@ object Round72Queries {
           col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .agg(count(lit(1)).as("common"))
+      // SHUFFLE_HASH pins the hash build to the O(docs) sizes side —
+      // the co-shingle pair frame's cardinality is join-output (badly
+      // estimated); a misestimated broadcast of the PAIR side is the
+      // q105 sf1 driver-collect abort class (round-9 audit)
       common
-        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")),
-          Seq("doc_a"))
-        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")),
-          Seq("doc_b"))
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na"))
+          .hint("shuffle_hash"), Seq("doc_a"))
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb"))
+          .hint("shuffle_hash"), Seq("doc_b"))
         .withColumn("bucket",
           expr("(10 * common) DIV (na + nb - common)"))
         .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))

@@ -118,9 +118,16 @@ object TextQueries {
         .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(count(lit(1)).as("common"))
+      // SHUFFLE_HASH pins the hash build to the O(docs) sizes side:
+      // Catalyst cannot estimate the OrderedPairs explode (Generate
+      // keeps its child's stats), UNDERESTIMATES the quadratic pair
+      // frame, and on dense corpora tries to BROADCAST it — a driver
+      // collect that aborted q105's sf1 run (round-9 decade-up audit)
       pairs
-        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na")
+          .hint("shuffle_hash"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb")
+          .hint("shuffle_hash"), "doc_b")
         .withColumn("jaccard",
           col("common").cast("double") / (col("na") + col("nb") - col("common")))
         .filter(col("jaccard") >= 0.4)
