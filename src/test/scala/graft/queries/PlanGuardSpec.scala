@@ -144,6 +144,23 @@ class PlanGuardSpec extends SparkSpec {
       "q472 fell back to the interpreted array_sort fold stack")
   }
 
+  test("pair-expansion gates keep their shuffle_hash pin on the sizes side") {
+    val dir = "/root/testdata/sf0.001"
+    // Catalyst underestimates pair-explode output (Generate keeps its
+    // child's stats) and, unpinned, broadcasts the QUADRATIC pair
+    // frame — the q105 sf1 driver abort found by the round-9
+    // decade-up audit. A static broadcast join cannot be demoted by
+    // AQE, so the pin is the only guard; losing it is silent until a
+    // dense corpus kills the driver.
+    Seq("q105_containment", "q22_ngram_jaccard", "q380_jaccard_histogram")
+      .foreach { name =>
+        val plan = graft.SparkEntry.queries(name)(spark, dir)
+          .queryExecution.executedPlan.toString
+        assert(plan.contains("ShuffledHashJoin"),
+          s"$name: the sizes fetch join lost its shuffle_hash pin")
+      }
+  }
+
   test("no nested-loop or cartesian joins in shuffle-sensitive queries") {
     val dir = "/root/testdata/sf0.001"
     guarded.foreach { name =>
