@@ -6,9 +6,9 @@ import org.apache.spark.sql.functions._
 /** Throwaway measurement harness for plan experiments (not part of
   * the library surface; contents change per investigation).
   *
-  * Current experiment (round 9): price of the q105-class rogue-
-  * broadcast pin on q22's pair pipeline at the sf1 rung — hinted
-  * (registry) vs unhinted sizes joins, same JVM, interleaved.
+  * Current experiment (round 9): does q288's SHUFFLE_HASH lesson
+  * (SMJ was sorting the huge stream side; the win only shows at the
+  * sf1 rung) transfer to q379's 2-hop expansion?
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
@@ -19,44 +19,37 @@ object Scratch {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = sys.env.getOrElse("SCRATCH_SF_DIR", "/root/testdata/sf0.1")
-    def t(name: String): DataFrame = graft.Tables.load(spark, dir, name)
-    def gate(n: String): DataFrame = graft.SparkEntry.queries(n)(spark, dir)
 
     def evaluate(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    // q22's pair pipeline WITHOUT the shuffle_hash pin (pre-audit shape)
-    def q22Unhinted(): DataFrame = {
-      val sh = t("documents")
-        .repartition(spark.sparkContext.defaultParallelism)
-        .select(col("doc_id"),
-          explode(graft.functions.WordShingles(spark, col("text"), 3)).as("s"))
-      val sizes = sh.groupBy("doc_id").agg(countDistinct(col("s")).as("n"))
-      val ds = col("ds")
-      val pairs = sh.groupBy("s")
-        .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
-        .filter(size(ds).between(2, 1000))
-        .select(explode(graft.functions.OrderedPairs(spark, ds)).as("p"))
-        .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(count(lit(1)).as("common"))
-      pairs
-        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
-        .withColumn("jaccard",
-          col("common").cast("double") / (col("na") + col("nb") - col("common")))
-        .filter(col("jaccard") >= 0.4)
-        .select("doc_a", "doc_b", "common", "na", "nb", "jaccard")
-        .orderBy("doc_a", "doc_b")
+    def q379(hinted: Boolean): DataFrame = {
+      val cw = graft.queries.GraphGateSource.copurchaseW(spark, dir)
+      val e = cw.select(col("u"), col("v"))
+        .unionAll(cw.select(col("v").as("u"), col("u").as("v")))
+      val h1 = e.filter(col("u") % 50 === 0)
+      val h1x = if (hinted) h1.as("x").hint("shuffle_hash") else h1.as("x")
+      val h2 = h1x.join(e.as("y"), col("x.v") === col("y.u"))
+        .select(col("x.u").as("u"), col("y.v").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+        .join(broadcast(h1), Seq("u", "v"), "left_anti")
+      val c1 = h1.groupBy("u").agg(count(lit(1)).as("n1"))
+      val c2 = h2.groupBy("u").agg(count(lit(1)).as("n2"))
+      c1.join(c2, Seq("u"), "left")
+        .withColumn("n2", coalesce(col("n2"), lit(0L)))
+        .select(col("u").as("part"), col("n1"), col("n2"),
+          (col("n1").cast("double") +
+            col("n2").cast("double") / lit(2.0d)).as("harmonic"))
+        .orderBy(desc("harmonic"), asc("part")).limit(20)
     }
 
     val variants: Seq[(String, () => DataFrame)] = Seq(
-      "q22_unhinted" -> (() => q22Unhinted()),
-      "q22_hinted  " -> (() => gate("q22_ngram_jaccard")))
+      "q379_unhinted" -> (() => q379(hinted = false)),
+      "q379_hinted  " -> (() => q379(hinted = true)))
 
     variants.foreach { case (_, f) => evaluate(f()) }
     val best = scala.collection.mutable.Map.empty[String, Double]
-    for (_ <- 1 to 2; (name, f) <- variants) {
+    for (_ <- 1 to 3; (name, f) <- variants) {
       val t0 = System.nanoTime(); evaluate(f()); val dt = (System.nanoTime() - t0) / 1e9
       best(name) = math.min(best.getOrElse(name, Double.MaxValue), dt)
     }
