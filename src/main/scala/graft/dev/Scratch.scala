@@ -6,9 +6,11 @@ import org.apache.spark.sql.functions._
 /** Throwaway measurement harness for plan experiments (not part of
   * the library surface; contents change per investigation).
   *
-  * Current experiment (round 9): does q288's SHUFFLE_HASH lesson
-  * (SMJ was sorting the huge stream side; the win only shows at the
-  * sf1 rung) transfer to q379's 2-hop expansion?
+  * Current experiment (round 9): PageRank's per-iteration
+  * localCheckpoints are EAGER — one scheduler job each. HITS uses
+  * lazy checkpoints for its half-step frames. Does lazy save the
+  * fixed job overhead at shallow iteration counts without losing the
+  * lineage truncation?
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
@@ -23,29 +25,71 @@ object Scratch {
     def evaluate(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    def q379(hinted: Boolean): DataFrame = {
-      val cw = graft.queries.GraphGateSource.copurchaseW(spark, dir)
-      val e = cw.select(col("u"), col("v"))
-        .unionAll(cw.select(col("v").as("u"), col("u").as("v")))
-      val h1 = e.filter(col("u") % 50 === 0)
-      val h1x = if (hinted) h1.as("x").hint("shuffle_hash") else h1.as("x")
-      val h2 = h1x.join(e.as("y"), col("x.v") === col("y.u"))
-        .select(col("x.u").as("u"), col("y.v").as("v"))
-        .filter(col("u") =!= col("v")).distinct()
-        .join(broadcast(h1), Seq("u", "v"), "left_anti")
-      val c1 = h1.groupBy("u").agg(count(lit(1)).as("n1"))
-      val c2 = h2.groupBy("u").agg(count(lit(1)).as("n2"))
-      c1.join(c2, Seq("u"), "left")
-        .withColumn("n2", coalesce(col("n2"), lit(0L)))
-        .select(col("u").as("part"), col("n1"), col("n2"),
-          (col("n1").cast("double") +
-            col("n2").cast("double") / lit(2.0d)).as("harmonic"))
-        .orderBy(desc("harmonic"), asc("part")).limit(20)
+    def decode(node: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(node % 2 === 0, concat(lit("c"), (node / 2).cast("long")))
+        .otherwise(concat(lit("s"), ((node - 1) / 2).cast("long")))
+
+    def viaOperator(): DataFrame = {
+      val e0 = graft.queries.GraphGateSource.cached(spark, "cust-supp:" + dir)(
+        graft.Tables.load(spark, dir, "lineitem")
+          .join(graft.Tables.load(spark, dir, "orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+          .distinct())
+      val edges = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+      graft.operators.PageRank.ranks(edges, iters = 2)
+        .select(decode(col("node")).as("node"), col("r").as("rank_fp"))
+        .orderBy(col("rank_fp").desc, col("node"))
+        .limit(20)
+    }
+
+    // lazy-checkpoint variant of PageRank.ranks (iters = 2)
+    def lazyRanks(edges: DataFrame, iters: Int): DataFrame = {
+      val scale = 1000000000000L
+      val e = edges.repartition(col("src")).persist()
+      val nodes = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct().persist()
+      val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+        .localCheckpoint(eager = false)
+      val nRow = nodes.agg(count(lit(1)).as("n"))
+      val teleport = expr(s"(15 * ($scale DIV n)) DIV 100")
+      var r = nodes.crossJoin(broadcast(nRow))
+        .select(col("node"), expr(s"$scale DIV n").as("r"))
+        .localCheckpoint(eager = false)
+      for (_ <- 1 to iters) {
+        val contrib = e
+          .join(r, e("src") === r("node"))
+          .join(deg, "src")
+          .select(col("dst").as("node"), expr("r DIV outdeg").as("c"))
+          .groupBy("node").agg(sum(col("c")).as("contrib"))
+        r = nodes.join(contrib, Seq("node"), "left")
+          .crossJoin(broadcast(nRow))
+          .select(col("node"),
+            (teleport + expr(s"(85 * coalesce(contrib, 0L)) DIV 100")).as("r"))
+          .localCheckpoint(eager = false)
+      }
+      r
+    }
+
+    def viaLazy(): DataFrame = {
+      val e0 = graft.queries.GraphGateSource.cached(spark, "cust-supp:" + dir)(
+        graft.Tables.load(spark, dir, "lineitem")
+          .join(graft.Tables.load(spark, dir, "orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+          .distinct())
+      val edges = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+      lazyRanks(edges, iters = 2)
+        .select(decode(col("node")).as("node"), col("r").as("rank_fp"))
+        .orderBy(col("rank_fp").desc, col("node"))
+        .limit(20)
     }
 
     val variants: Seq[(String, () => DataFrame)] = Seq(
-      "q379_unhinted" -> (() => q379(hinted = false)),
-      "q379_hinted  " -> (() => q379(hinted = true)))
+      "pr_eager" -> (() => viaOperator()),
+      "pr_lazy " -> (() => viaLazy()))
 
     variants.foreach { case (_, f) => evaluate(f()) }
     val best = scala.collection.mutable.Map.empty[String, Double]
