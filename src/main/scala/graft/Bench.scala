@@ -78,17 +78,22 @@ object Bench {
     // spread is reported in the artifact: a future reader (or gate)
     // can tell a real regression from a loaded machine without
     // re-measuring.
-    val canaryTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
-    def canary(): Unit = {
+    // each entry is (position label, seconds): the label records WHERE
+    // in the run the slot fired ("p1:75" = pass 1, after the 75th
+    // query), so a box that loads mid-run between slots is auditable
+    // post-hoc per segment — spread/floor flags alone cannot localize
+    // which tail of the query list absorbed the load.
+    val canaryTimes = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    def canary(at: String): Unit = {
       val t0 = System.nanoTime()
       // bounded-collect: O(1) — a single global-agg row (the canary's
       // range sum); the collect IS the timed action
       spark.range(0L, 400000000L, 1L, cpus.toInt)
         .agg(org.apache.spark.sql.functions.expr("sum(id % 7 + id % 11)"))
         .collect()
-      canaryTimes += (System.nanoTime() - t0) / 1e9
+      canaryTimes += at -> (System.nanoTime() - t0) / 1e9
     }
-    canary() // codegen warm (discarded)
+    canary("warm") // codegen warm (discarded)
     canaryTimes.clear()
     // Session floor: min of 5 solo back-to-back canaries BEFORE the
     // warm pass — the machine's actual canary speed, so the floor
@@ -101,8 +106,8 @@ object Bench {
     // loaded (a small session floor can only make the flag MORE
     // sensitive, never lie idle). SPARK_GRAFT_CANARY_REF overrides
     // both for explicit cross-box calibration.
-    (1 to 5).foreach(_ => canary())
-    val sessionFloor = canaryTimes.min
+    (1 to 5).foreach(i => canary(s"floor:$i"))
+    val sessionFloor = canaryTimes.map(_._2).min
     canaryTimes.clear()
     // Absolute reference: env override for explicit cross-box
     // calibration, else this box's measured idle min (0.12 s at 32
@@ -119,23 +124,23 @@ object Bench {
     val floorInflated = sessionFloor > 2.0 * absRef
 
     val all = SparkEntry.queries.toSeq.sortBy(_._1)
-    def pass(): Seq[(String, Double)] = {
-      canary()
+    def pass(tag: String): Seq[(String, Double)] = {
+      canary(s"$tag:0")
       val r = all.zipWithIndex.map { case ((n, fn), i) =>
-        if (i > 0 && i % 25 == 0) canary()
+        if (i > 0 && i % 25 == 0) canary(s"$tag:$i")
         n -> time(n, fn)
       }
-      canary()
+      canary(s"$tag:end")
       r
     }
-    val p1 = pass()
+    val p1 = pass("p1")
     System.gc()
-    val p2m = pass().toMap
+    val p2m = pass("p2").toMap
     val results = p1.map { case (n, t) =>
       n -> math.min(t, p2m.getOrElse(n, t))
     }
-    val cMin = canaryTimes.min
-    val cMax = canaryTimes.max
+    val cMin = canaryTimes.map(_._2).min
+    val cMax = canaryTimes.map(_._2).max
     // Two contention signatures, both flagged: (a) SPREAD — load that
     // comes and goes mid-run makes some canaries slow (normal idle
     // jitter measures ~1.9× max/min, so the cut is 2.5×); (b) FLOOR —
@@ -194,7 +199,8 @@ object Bench {
       // canary is a normal first element (no hand-glued separator), so
       // the dump stays valid JSON even with an empty results set
       val fields =
-        ("\"canary\":" + canaryTimes.map(c => f"$c%.3f").mkString("[", ",", "]")) +:
+        ("\"canary\":" + canaryTimes.map { case (at, c) =>
+          f"""{"at":"$at","t":$c%.3f}""" }.mkString("[", ",", "]")) +:
         results.sortBy(-_._2).map { case (n, t) =>
           val (a, b) = (p1m.getOrElse(n, t), p2m.getOrElse(n, t))
           "\"" + n + "\":" + f"""{"min":$t%.3f,"p1":$a%.3f,"p2":$b%.3f}"""

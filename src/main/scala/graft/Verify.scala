@@ -46,24 +46,32 @@ object Verify {
     // training run and training's ulp jitter cannot split them.
     val dynSql = SparkEntry.dynamicOracleSql
       .filter { case (k, _) => selected(k) }
-      .map { case (k, f) =>
-        try k -> f(spark, sfDir)
-        catch { case e: Throwable =>
-          System.err.println(s"[verify] dyn oracle $k failed: ${e.getMessage}")
-          // Fail LOUD, not silent: omitting the entry would downgrade
-          // the gate to a rows-only driver check that still reads
-          // green. This sentinel is valid DuckDB SQL whose one-column
-          // schema can never match the gate dump, so the driver
-          // reports the gate red and names the render failure.
-          k -> ("SELECT 'graft Verify: dynamic oracle render failed: " +
-            String.valueOf(e.getMessage).replace("'", "''") +
-            "' AS dyn_oracle_render_error")
-        }
-      }
+      .map { case (k, f) => k -> renderDynOracle(k, f, spark, sfDir) }
     val json = (SparkEntry.oracleSql
       .filter { case (k, _) => selected(k) } ++ dynSql)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }
+
+  /** Render one dynamic oracle, failing LOUD on error: omitting the
+    * entry would downgrade the gate to a rows-only driver check that
+    * still reads green. The sentinel is valid DuckDB SQL whose
+    * one-column schema can never match the gate dump, so the driver
+    * reports the gate red and names the render failure. Extracted so
+    * VerifySentinelSpec can execute the failure path (it never fires
+    * in a healthy round).
+    */
+  def renderDynOracle(
+      name: String,
+      f: (SparkSession, String) => String,
+      spark: SparkSession,
+      sfDir: String): String =
+    try f(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] dyn oracle $name failed: ${e.getMessage}")
+      "SELECT 'graft Verify: dynamic oracle render failed: " +
+        String.valueOf(e.getMessage).replace("'", "''") +
+        "' AS dyn_oracle_render_error"
+    }
 }

@@ -24,8 +24,10 @@ final class LshIndex(
     store: TableStore,
     table: String = "lsh_bands",
     nHashes: Int = 8,
-    bandSize: Int = 2) {
+    bandSize: Int = 2,
+    compactAboveFiles: Int = 256) {
   require(nHashes % bandSize == 0, "nHashes must be a multiple of bandSize")
+  require(compactAboveFiles >= 1, "compactAboveFiles must be positive")
 
   /** (doc_id, bkey) band rows for a batch of (doc_id, text) docs. */
   def bands(docs: DataFrame): DataFrame = LshIndex.bands(docs, nHashes, bandSize)
@@ -41,7 +43,16 @@ final class LshIndex(
     LshIndex.candidatePairs(nb, store.read(table))
   }
 
-  /** Index the batch: append bands for doc ids not yet present. */
+  /** Index the batch: append bands for doc ids not yet present.
+    *
+    * Each append lands one parquet file-set; a long-running admission
+    * pipeline would otherwise accumulate small files forever (per-file
+    * open/footer cost eventually dominating the candidate join's index
+    * scan), so once the table's file count exceeds `compactAboveFiles`
+    * the append triggers [[TableStore.compact]] — a row-preserving
+    * rewrite under the store's atomic temp-then-rename swap, so a
+    * reader never observes a partial index and re-running is a no-op.
+    */
   def add(newDocs: DataFrame): Unit = {
     val nb = bands(newDocs)
     store.read(table) match {
@@ -49,6 +60,7 @@ final class LshIndex(
       case Some(idx) =>
         nb.join(idx.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
           .write.mode(SaveMode.Append).parquet(store.path(table))
+        if (store.fileCount(table) > compactAboveFiles) store.compact(table)
     }
   }
 }

@@ -158,7 +158,10 @@ object PrefixFilterJoin {
     // cost 3.5× wall, 35→123 s) and degrades to a partitioned join
     // when toks outgrows the threshold. The q105-class rogue
     // broadcast (planner picks the misestimated PAIR side) does not
-    // arise here: toks' estimate is genuinely the smaller one.
+    // arise here: toks' estimate is genuinely the smaller one — and
+    // because that claim is estimate-dependent, PlanGuardSpec pins
+    // the shape structurally (no BroadcastExchange may ever build
+    // over the OrderedPairs candidate frame in q141's plan).
     candidates
       .join(toks.select(col("doc_id").as("a_id"), col("toks").as("a_toks"), col("n").as("na")), "a_id")
       .join(toks.select(col("doc_id").as("b_id"), col("toks").as("b_toks"), col("n").as("nb")), "b_id")

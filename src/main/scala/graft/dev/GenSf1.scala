@@ -34,19 +34,30 @@ import org.apache.spark.sql.functions._
   * distribution SHAPE matters, not value-level parity with the
   * driver's seed-42 stream.
   *
-  * Usage: `sbt 'runMain graft.dev.GenSf1 [outDir] [mult] [skewPct]'`
-  * (default /tmp/sf1, mult 1, skewPct 0). `mult` scales every row
-  * count uniformly — `GenSf1 /tmp/sf3 3` writes the sf3 rung (18 M
-  * lineitem) the co-purchase-family slope analysis reads (SCALING.md).
+  * Usage: `sbt 'runMain graft.dev.GenSf1 [outDir] [mult] [skewPct] [skewShape]'`
+  * (default /tmp/sf1, mult 1, skewPct 0, shape `min`). `mult` scales
+  * every row count uniformly — `GenSf1 /tmp/sf3 3` writes the sf3 rung
+  * (18 M lineitem) the co-purchase-family slope analysis reads
+  * (SCALING.md).
   *
   * `skewPct` > 0 writes a SKEWED rung: that percent of lineitem rows
-  * lands on ONE hot part (l_partkey 0) and one hot customer
-  * (o_custkey 0 owns the same share of orders) — the adversarial key
-  * distribution the uniform driver data never exercises, so the
-  * ladder can MEASURE (not assume) that shuffles on l_partkey /
-  * o_custkey survive a dominant key (`GenSf1 /tmp/sf1skew 1 20`;
-  * SCALING.md §Round 9 skew table). The remaining mass stays uniform,
-  * so non-skewed invariants (lines/order, date spans, vocab) carry.
+  * lands on hot part/customer keys — the adversarial key distribution
+  * the uniform driver data never exercises, so the ladder can MEASURE
+  * (not assume) that shuffles on l_partkey / o_custkey survive
+  * dominant keys (SCALING.md §Round 9/10 skew tables). The remaining
+  * mass stays uniform, so non-skewed invariants (lines/order, date
+  * spans, vocab) carry.
+  *
+  * `skewShape` picks WHERE the hot mass sits — the round-9 q288 bug
+  * was orientation-dependent (visible only because the hot key sat at
+  * the id MINIMUM), so one shape cannot certify both branches:
+  *  - `min`  — all hot mass on key 0 (round-9's shape);
+  *  - `max`  — all hot mass on the id-MAXIMUM key, exercising the
+  *    opposite comparison branch of every id-ordered construction;
+  *  - `zipf` — five hot keys spread across the id space (0, n/4, n/2,
+  *    3n/4, n-1) with 1/k zipfian weights summing to skewPct — the
+  *    multi-hub case (`GenSf1 /tmp/sf1zipf 1 40 zipf` ≈ top-5 keys
+  *    holding 40%).
   */
 object GenSf1 {
 
@@ -61,11 +72,29 @@ object GenSf1 {
     val out = args.headOption.getOrElse("/tmp/sf1")
     val mult = if (args.length > 1) args(1).toLong else 1L
     val skewPct = if (args.length > 2) args(2).toInt else 0
+    val skewShape = if (args.length > 3) args(3) else "min"
     require(skewPct >= 0 && skewPct < 100, s"skewPct must be in [0,100): $skewPct")
-    // hot-key injector: route `pct`% of rows to key 0, rest uniform
-    def skewed(c: org.apache.spark.sql.Column, seed: Int): org.apache.spark.sql.Column =
+    require(Set("min", "max", "zipf")(skewShape), s"unknown skewShape: $skewShape")
+    // hot-key injector: route `pct`% of rows to the shape's hot keys
+    // within an n-sized key space, rest uniform
+    def skewed(c: org.apache.spark.sql.Column, seed: Int, n: Long): org.apache.spark.sql.Column =
       if (skewPct == 0) c
-      else when(u(seed, 100) < skewPct, lit(0L)).otherwise(c)
+      else skewShape match {
+        case "min" => when(u(seed, 100) < skewPct, lit(0L)).otherwise(c)
+        case "max" => when(u(seed, 100) < skewPct, lit(n - 1)).otherwise(c)
+        case "zipf" =>
+          // five hot keys spread over the id space, 1/k weights
+          // (H5 = 137/60): cumulative thresholds in basis points so
+          // the routing stays integer-exact and deterministic
+          val hot = Seq(0L, n / 4, n / 2, 3 * n / 4, n - 1)
+          val w = (1 to 5).map(1.0 / _)
+          val cum = w.scanLeft(0.0)(_ + _).tail.map(_ / w.sum) // → 1.0
+          val bp = cum.map(f => math.round(f * skewPct * 100)) // basis points of 100%
+          val r = u(seed, 10000)
+          hot.zip(bp).reverse.foldLeft(c) { case (acc, (k, t)) =>
+            when(r < t, lit(k)).otherwise(acc)
+          }
+      }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -82,7 +111,7 @@ object GenSf1 {
 
     val orders: DataFrame = spark.range(0, nOrders, 1, 32).select(
       col("id").as("o_orderkey"),
-      skewed(u(1, nCusts), 90).as("o_custkey"),
+      skewed(u(1, nCusts), 90, nCusts).as("o_custkey"),
       element_at(array(lit("F"), lit("O"), lit("P")), (u(2, 3) + 1).cast("int"))
         .as("o_orderstatus"),
       round(ud(3) * 400000 + 1000, 2).as("o_totalprice"),
@@ -96,7 +125,7 @@ object GenSf1 {
 
     val lineitem: DataFrame = spark.range(0, nLines, 1, 32).select(
       u(10, nOrders).as("l_orderkey"),
-      skewed(u(11, nParts), 91).as("l_partkey"),
+      skewed(u(11, nParts), 91, nParts).as("l_partkey"),
       u(12, nSupps).as("l_suppkey"),
       (u(13, 7) + 1).cast("int").as("l_linenumber"),
       (u(14, 50) + 1).cast("double").as("l_quantity"),

@@ -49,24 +49,39 @@ import org.apache.spark.sql.functions._
   *    to loKey when floor==ceil or the two keys coincide.
   *
   * Nulls in the value column are ignored (as the built-ins do); a
-  * group whose values are ALL null disappears from the output rather
-  * than yielding a null quantile — callers that need such groups must
-  * re-attach them.
+  * group whose values are ALL null stays in the output with null
+  * quantiles and `__group_n = 0`, exactly like the built-in aggregate
+  * keeps the group — so call sites may re-attach the quantile frame
+  * with a plain inner join without dropping such groups.
+  *
+  * One representational caveat: `groupBy` runs the values through
+  * UnsafeRow's floating-point normalization, so `-0.0` and `0.0`
+  * collapse to one distinct value and a selected zero always comes
+  * back as `+0.0`. The built-in's OpenHashMap buffer keeps the two
+  * bit patterns as separate keys and can return `-0.0`; the values
+  * are numerically equal (and adjacent in sort order, so rank
+  * selection picks the same position), but a bit-exact comparison on
+  * data containing negative zero can see `-0.0` vs `0.0`.
   */
 object ExactQuantiles {
 
   /** Distinct-value cumulative frame: keys :+ (value, __cnt, __cum, __n). */
   private def cumFrame(df: DataFrame, keys: Seq[String], value: String): DataFrame = {
+    // null values flow through the count (NOT pre-filtered) so a group
+    // whose values are all null keeps a row: its conditional sums are
+    // null ⇒ every rank probe misses ⇒ null quantiles, __n = 0 — the
+    // built-in aggregate's behavior for empty input. Null rows sort
+    // first (asc nulls-first) and contribute nothing to either sum.
     val counted = df
-      .filter(col(value).isNotNull)
       .groupBy((keys :+ value).map(col): _*)
       .agg(count(lit(1)).as("__cnt"))
     val byKeys = Window.partitionBy(keys.map(col): _*)
+    val nonNullCnt = when(col(value).isNotNull, col("__cnt"))
     counted
       // running frame over distinct values: RANGE default is fine — the
       // ordering key is unique per group after the distinct count
-      .withColumn("__cum", sum(col("__cnt")).over(byKeys.orderBy(col(value))))
-      .withColumn("__n", sum(col("__cnt")).over(byKeys))
+      .withColumn("__cum", sum(nonNullCnt).over(byKeys.orderBy(col(value))))
+      .withColumn("__n", coalesce(sum(nonNullCnt).over(byKeys), lit(0L)))
   }
 
   /** Value at 1-based rank `k` within the group, as the original type. */

@@ -43,6 +43,10 @@ import graft.functions.{StripAccents, WordShingles}
   * same exact-Jaccard verification, so the LSH variant can only MISS
   * pairs, never invent them (precision 1 by construction; pinned in
   * CurationLshSpec, hash-gated end-to-end as `q530_curation_lsh`).
+  * [[NearDupCandidates.Auto]] removes the need to know the regime up
+  * front: a pre-flight posting-density probe picks the source per
+  * corpus, thresholds from the measured rungs (CurationAutoSpec pins
+  * the switch on both corpus shapes).
   */
 object CorpusCuration {
 
@@ -64,6 +68,55 @@ object CorpusCuration {
       */
     final case class MinHashLsh(nHashes: Int = 8, bandSize: Int = 2)
         extends NearDupCandidates
+
+    /** Measure the corpus, then pick: a pre-flight posting-density
+      * probe (one bounded-collect aggregate over the shingle postings
+      * — the q308_lsh_band_stats aggregate, which the ExactPostings
+      * branch would recompute anyway) counts the candidate pairs the
+      * exact expansion WOULD generate, `Σ_s C(min(df_s, cap), 2)`,
+      * and compares it to the posting count — the LSH variant's own
+      * work scale. Exact postings win while pairs stay
+      * posting-bounded (complete recall for free); past
+      * `pairsPerPostingCutoff` the expansion dominates every
+      * downstream stage and the banded candidates take over. The
+      * cutoff sits between the measured regimes (SCALING.md round
+      * 10): the gate corpus probes ≈3 pairs/posting (exact measured
+      * faster there), the dense sf1 rung ≈480 (exact ×75 shufW per
+      * decade vs LSH ×15.7, 2.1× wall) — so the 100 TB user no longer
+      * has to KNOW the regime; the pipeline measures it.
+      */
+    final case class Auto(
+        nHashes: Int = 8,
+        bandSize: Int = 2,
+        pairsPerPostingCutoff: Double = 16.0) extends NearDupCandidates
+
+    /** The probe behind [[Auto]], exposed for specs: candidate pairs
+      * the exact expansion would emit per posting row, over prebuilt
+      * distinct (doc_id, s) postings.
+      */
+    def probePairsPerPosting(sh: DataFrame, maxPostingLen: Int): Double = {
+      // bounded-collect: O(1) — one global aggregate row
+      val capped = least(col("df"), lit(maxPostingLen.toLong))
+      val r = sh.groupBy("s").agg(count(lit(1)).as("df"))
+        .agg(
+          // 2·pairs: SQL `/` would widen to double; halve driver-side
+          sum(capped * (capped - 1)).as("pairs2"),
+          sum(col("df")).as("postings"))
+        .collect()(0)
+      if (r.isNullAt(1) || r.getLong(1) == 0L) 0.0
+      else r.getLong(0).toDouble / 2.0 / r.getLong(1)
+    }
+
+    /** Resolve [[Auto]] against measured postings; pass-through for
+      * the explicit sources.
+      */
+    def resolve(c: NearDupCandidates, sh: DataFrame,
+                maxPostingLen: Int): NearDupCandidates = c match {
+      case Auto(nh, bs, cutoff) =>
+        if (probePairsPerPosting(sh, maxPostingLen) > cutoff) MinHashLsh(nh, bs)
+        else ExactPostings
+      case explicit => explicit
+    }
   }
 
   final case class Config(
@@ -117,7 +170,9 @@ object CorpusCuration {
         explode(array_distinct(WordShingles(spark, col("ntext"), 3))).as("s"))
       .localCheckpoint()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val pairs = cfg.candidates match {
+    val pairs = NearDupCandidates.resolve(cfg.candidates, sh, cfg.maxPostingLen) match {
+      case _: NearDupCandidates.Auto =>
+        sys.error("unreachable: resolve() returns an explicit source")
       case NearDupCandidates.ExactPostings =>
         // complete pairs with their intersection size in one postings
         // expansion (symmetric counts → expand unordered)

@@ -307,11 +307,18 @@ object Round17Queries {
     (s, dir) => {
       val path = "/tmp/graft_gate_partitioned_orders"
       val ctx = s.sparkContext.applicationId + ":" + s.sparkContext.startTime
-      if (prunedFixture.get != ((ctx, dir))) {
-        t(s, dir, "orders")
-          .withColumn("ym", substring(col("o_orderdate"), 1, 7))
-          .write.mode("overwrite").partitionBy("ym").parquet(path)
-        prunedFixture.set((ctx, dir))
+      // single-flight: the naive check-then-act let two concurrent
+      // executions both pass the guard and race overlapping
+      // mode-overwrite writes to the shared path, corrupting the
+      // fixture for every later read in the context. The write is
+      // rare (once per context×dir), so a coarse lock costs nothing.
+      prunedFixture.synchronized {
+        if (prunedFixture.get != ((ctx, dir))) {
+          t(s, dir, "orders")
+            .withColumn("ym", substring(col("o_orderdate"), 1, 7))
+            .write.mode("overwrite").partitionBy("ym").parquet(path)
+          prunedFixture.set((ctx, dir))
+        }
       }
       s.read.parquet(path)
         .filter(col("ym") === "1995-03")

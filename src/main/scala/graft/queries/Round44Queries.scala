@@ -42,14 +42,11 @@ object Round44Queries {
         .unionAll(e.select(col("v").as("node")))
         .groupBy("node").agg(count(lit(1)).as("deg"))
       val und = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
-      val orient = und
-        .join(deg.select(col("node").as("uu"), col("deg").as("du")),
-          col("u") === col("uu"))
-        .join(deg.select(col("node").as("vv"), col("deg").as("dv")),
-          col("v") === col("vv"))
-        .filter(col("du") < col("dv") ||
-          (col("du") === col("dv") && col("u") < col("v")))
-        .select("u", "v")
+      // the shared degree-ordered orientation (O(√m) out-degree bound,
+      // spec-pinned in DegreeOrientation) over the already-materialized
+      // degree frame the final coefficient join reads anyway
+      val orient = graft.operators.DegreeOrientation
+        .orient(und, deg, "node", "deg")
         .localCheckpoint() // wedge build reads it twice
       // wedge at the minimum-rank corner: two out-neighbors, pair
       // dedup'd by id; the closing b—c edge may be oriented either

@@ -396,13 +396,9 @@ object Round6Queries {
         .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
         .distinct()
       val und = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
-      val deg = und.groupBy("u").agg(count(lit(1)).as("d"))
-      val orient = und
-        .join(deg.select(col("u").as("uu"), col("d").as("du")), col("u") === col("uu"))
-        .join(deg.select(col("u").as("vv"), col("d").as("dv")), col("v") === col("vv"))
-        .filter(col("du") < col("dv") ||
-          (col("du") === col("dv") && col("u") < col("v")))
-        .select("u", "v")
+      // the shared degree-ordered orientation — the O(√m) out-degree
+      // bound lives (and is spec-pinned) in DegreeOrientation
+      val orient = graft.operators.DegreeOrientation.orient(und)
         .persist() // wedge build + closing-edge probe both read it
       val wedges = orient.as("a").join(orient.as("b"), col("a.v") === col("b.u"))
         .select(col("a.u").as("x"), col("a.v").as("y"), col("b.v").as("z"))

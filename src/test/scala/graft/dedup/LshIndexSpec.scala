@@ -56,6 +56,29 @@ class LshIndexSpec extends SparkSpec {
     assert(rows((1L, 2L)) <= 4L)
   }
 
+  test("many-batch ingest compacts past the file threshold; rows and candidates survive") {
+    import spark.implicits._
+    val store = new TableStore(spark, Files.createTempDirectory("lsh_index").toString)
+    // threshold low enough that a handful of single-doc appends
+    // (coalesced to one file each by local parallelism) crosses it
+    val idx = new LshIndex(store, compactAboveFiles = 3)
+    (1L to 8L).foreach { i =>
+      idx.add(Seq((i, base + s" unique tail $i")).toDF("doc_id", "text")
+        .coalesce(1))
+    }
+    assert(store.fileCount("lsh_bands") <= 3 + 1,
+      s"append small files never compacted: ${store.fileCount("lsh_bands")}")
+    // compaction is row-preserving: every doc's 4 bands survive
+    assert(store.read("lsh_bands").get.count() == 8L * 4L)
+    // and the compacted index still answers candidate queries
+    val cands = idx.candidates(Seq((100L, base + " unique tail 3")).toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((3L, 100L)))
+    // re-running compact on the compacted table is a no-op row-wise
+    store.compact("lsh_bands")
+    assert(store.read("lsh_bands").get.count() == 8L * 4L)
+  }
+
   test("add is idempotent: re-adding indexed docs appends no bands") {
     import spark.implicits._
     val (idx, store) = newIndex()

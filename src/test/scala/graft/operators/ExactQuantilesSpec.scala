@@ -139,4 +139,23 @@ class ExactQuantilesSpec extends SparkSpec {
     assert(d.head.getDouble(d.head.fieldIndex("p50")) == 1.0)
     assert(d.head.getLong(d.head.fieldIndex("__group_n")) == 2L)
   }
+
+  test("an all-null group stays in the output with null quantiles, like the built-in") {
+    // round-9 ADVICE: the group used to vanish entirely, so inner-join
+    // call sites silently dropped it where the built-in aggregate
+    // keeps the group with null quantiles and count 0
+    val df = Seq(("a", Some(2.0)), ("b", None), ("b", None))
+      .toDF("k", "v")
+    for (q <- Seq(
+        ExactQuantiles.disc(df, Seq("k"), "v", Seq(("p50", 0.5))),
+        ExactQuantiles.cont(df, Seq("k"), "v", Seq(("p50", 0.5))))) {
+      val rows = q.collect().map(r => r.getString(0) -> r).toMap
+      assert(rows.keySet == Set("a", "b"), "all-null group b must not vanish")
+      assert(!rows("a").isNullAt(rows("a").fieldIndex("p50")))
+      assert(rows("a").getDouble(rows("a").fieldIndex("p50")) == 2.0)
+      assert(rows("b").isNullAt(rows("b").fieldIndex("p50")),
+        "all-null group must yield a NULL quantile")
+      assert(rows("b").getLong(rows("b").fieldIndex("__group_n")) == 0L)
+    }
+  }
 }

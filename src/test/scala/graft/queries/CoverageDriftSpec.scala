@@ -32,6 +32,20 @@ class CoverageDriftSpec extends AnyFunSuite {
       s"registered gates never cited in COVERAGE.md: ${undocumented.mkString(", ")}")
   }
 
+  test("SCALING.md gate citations exist in the live registry") {
+    // SCALING.md is the adjudication record the performance verdicts
+    // lean on (~100 gates cited with measured numbers); a gate rename
+    // must not silently orphan that evidence trail. One-way only:
+    // cited ⇒ registered — most gates legitimately have no scaling
+    // adjudication.
+    val path = Paths.get("SCALING.md")
+    assert(Files.exists(path), s"SCALING.md not found under ${sys.props("user.dir")}")
+    val mentioned = gateToken.findAllIn(Files.readString(path)).toSet
+    val phantom = (mentioned -- graft.SparkEntry.queries.keySet).toSeq.sorted
+    assert(phantom.isEmpty,
+      s"SCALING.md cites gates missing from SparkEntry.queries: ${phantom.mkString(", ")}")
+  }
+
   test("every registered gate has an oracle (static or dynamic), none has both") {
     val oracles = graft.SparkEntry.oracleSql.keySet
     val dyn = graft.SparkEntry.dynamicOracleSql.keySet

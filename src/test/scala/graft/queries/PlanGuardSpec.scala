@@ -144,6 +144,21 @@ class PlanGuardSpec extends SparkSpec {
       "q472 fell back to the interpreted array_sort fold stack")
   }
 
+  /** Subtree lines (excluding the node's own line) of every plan node
+    * whose line contains `marker`, by tree-string indentation.
+    */
+  private def subtrees(plan: String, marker: String): Seq[Seq[String]] = {
+    val lines = plan.linesIterator.toVector
+    def indent(l: String): Int = l.indexWhere(c => !" :+-".contains(c)) match {
+      case -1 => Int.MaxValue
+      case i  => i
+    }
+    lines.indices.filter(lines(_).contains(marker)).map { i =>
+      val d = indent(lines(i))
+      lines.drop(i + 1).takeWhile(indent(_) > d)
+    }
+  }
+
   test("pair-expansion gates keep their shuffle_hash pin on the sizes side") {
     val dir = "/root/testdata/sf0.001"
     // Catalyst underestimates pair-explode output (Generate keeps its
@@ -151,14 +166,50 @@ class PlanGuardSpec extends SparkSpec {
     // frame — the q105 sf1 driver abort found by the round-9
     // decade-up audit. A static broadcast join cannot be demoted by
     // AQE, so the pin is the only guard; losing it is silent until a
-    // dense corpus kills the driver.
-    Seq("q105_containment", "q22_ngram_jaccard", "q380_jaccard_histogram")
-      .foreach { name =>
+    // dense corpus kills the driver. Checked PER SIZES-JOIN KEY — a
+    // bare plan.contains("ShuffledHashJoin") stayed green if one pin
+    // regressed while any other shuffle join survived elsewhere.
+    Seq(
+      "q105_containment" -> Seq("a_id"),
+      "q22_ngram_jaccard" -> Seq("doc_a", "doc_b"),
+      "q380_jaccard_histogram" -> Seq("doc_a", "doc_b"))
+      .foreach { case (name, keys) =>
         val plan = graft.SparkEntry.queries(name)(spark, dir)
           .queryExecution.executedPlan.toString
-        assert(plan.contains("ShuffledHashJoin"),
-          s"$name: the sizes fetch join lost its shuffle_hash pin")
+        keys.foreach { k =>
+          assert(s"ShuffledHashJoin \\[$k#".r.findFirstIn(plan).isDefined,
+            s"$name: the sizes fetch join on $k lost its shuffle_hash pin")
+          assert(s"BroadcastHashJoin \\[$k#".r.findFirstIn(plan).isEmpty,
+            s"$name: the sizes fetch join on $k regressed to a broadcast " +
+              "of the (misestimated) pair frame")
+        }
+        // and the pair frame itself must never be a broadcast build
+        assert(!subtrees(plan, "BroadcastExchange")
+            .exists(_.exists(_.contains("ordered_pairs"))),
+          s"$name: a BroadcastExchange builds over the OrderedPairs pair frame")
       }
+  }
+
+  test("q141's fetch joins never broadcast the quadratic candidate side") {
+    val dir = "/root/testdata/sf0.001"
+    // The fetch joins stay DECLARED (a shuffle_hash hint measured
+    // 3.5× worse at sf1 — the broadcast of the genuinely-small toks
+    // side avoids re-shuffling the candidate stream twice), so this
+    // pins the intended shape structurally instead: if Catalyst's
+    // Generate underestimation ever flips the build side to the
+    // candidates frame, the q105-class driver abort comes back — and
+    // only this assertion would see it before a dense corpus does.
+    val plan = graft.SparkEntry.queries("q141_prefix_filter_join")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!subtrees(plan, "BroadcastExchange")
+        .exists(_.exists(_.contains("ordered_pairs"))),
+      "q141 builds a BroadcastExchange over the OrderedPairs candidate frame")
+    // the two toks fetch joins must still broadcast the doc-level side
+    // (collect_set aggregate in the build subtree): losing that flips
+    // the measured-fast plan to double-shuffling the candidate stream
+    assert(subtrees(plan, "BroadcastExchange")
+        .count(_.exists(_.contains("collect_set"))) >= 2,
+      "q141 lost the broadcast of the doc-level toks fetch side")
   }
 
   test("no nested-loop or cartesian joins in shuffle-sensitive queries") {
