@@ -58,6 +58,15 @@ import org.apache.spark.sql.functions._
   *    3n/4, n-1) with 1/k zipfian weights summing to skewPct — the
   *    multi-hub case (`GenSf1 /tmp/sf1zipf 1 40 zipf` ≈ top-5 keys
   *    holding 40%).
+  *
+  * Optional 5th arg `docMult` decouples the documents table's scale
+  * from the relational tables' (default: `mult`). The fixed-vocab
+  * corpus densifies quadratically (pairs/shingle ∝ df² — measured
+  * ×~100 per doc decade), so a ×10 relational rung pairs with a ×3
+  * document corpus to keep the exact-pair family measurable in one
+  * sitting; the density PROBE (pairs-per-posting,
+  * `CorpusCuration.NearDupCandidates.probePairsPerPosting`) is then
+  * the measured predictor for the undownscaled corpus.
   */
 object GenSf1 {
 
@@ -107,7 +116,8 @@ object GenSf1 {
     val nSupps = 10000L * mult
     val nCusts = 150000L * mult
     val nLines = 6000000L * mult
-    val nDocs = 50000L * mult
+    val docMult = if (args.length > 4) args(4).toLong else mult
+    val nDocs = 50000L * docMult
 
     val orders: DataFrame = spark.range(0, nOrders, 1, 32).select(
       col("id").as("o_orderkey"),

@@ -1,0 +1,116 @@
+package graft.dev
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev harness for the round-10 skew finding: q211's degree-fetch
+  * joins straggle when the hot node sits at the id MAXIMUM.
+  *
+  * The co-purchase edge set is id-canonical (u < v), so a hub at id
+  * max appears ONLY on the v side — the second degree fetch
+  * (`join(deg, "v")`) hashes the hub's entire edge mass to one
+  * reducer (hot-at-max rung: 6.7 → 28.1 s wall, 11.8 s max task; the
+  * hot-at-MIN rung never sees it because there the hub is always u
+  * and the FIRST join absorbs it differently). Variants, adjudicated
+  * same-JVM interleaved at /tmp/sf1 and /tmp/sf1skewmax:
+  *
+  *  A shipped: two shuffled joins on u then v
+  *  B broadcast(deg): degree frame is O(#nodes) — no exchange on the
+  *    edge side at all, skew cannot exist
+  *  C salted: SkewJoin.saltedInnerJoin on the v fetch (the 10⁹-node
+  *    fallback when deg outgrows a broadcast)
+  *
+  * Usage: runMain graft.dev.Q211Ab [dirs...]
+  */
+object Q211Ab {
+  def main(args: Array[String]): Unit = {
+    val dirs = if (args.nonEmpty) args.toSeq else Seq("/tmp/sf1", "/tmp/sf1skewmax")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def evaluate(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    // per-run max task time — the straggler signature ScaleSlopes saw
+    val maxTask = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          maxTask.getAndAccumulate(e.taskMetrics.executorRunTime, math.max)
+    })
+    // ScaleSlopes' protocol: the timed run REBUILDS the session cache
+    // (that is what the gate pays in the bench), so invalidate first
+    def timed(f: => DataFrame): (Double, Long) = {
+      graft.queries.GraphGateSource.invalidate()
+      Thread.sleep(300); maxTask.set(0)
+      val t0 = System.nanoTime(); evaluate(f)
+      val s = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300)
+      (s, maxTask.get)
+    }
+
+    def corr(withDeg: DataFrame): DataFrame = {
+      val sym = withDeg.select(col("du").as("x"), col("dv").as("y"))
+        .unionAll(withDeg.select(col("dv").as("x"), col("du").as("y")))
+      val dec = "decimal(38,0)"
+      sym.agg(
+          count(lit(1)).as("m"), sum(col("x")).as("sx"),
+          sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sx2"))
+        .select(
+          (((col("m").cast(dec) * col("sxy").cast(dec)
+            - col("sx").cast(dec) * col("sx").cast(dec)).cast("double")) /
+            ((col("m").cast(dec) * col("sx2").cast(dec)
+              - col("sx").cast(dec) * col("sx").cast(dec)).cast("double")))
+            .as("assortativity"))
+    }
+
+    for (dir <- dirs) {
+      // resolved INSIDE each variant call: timed() invalidates the
+      // session cache, so a captured frame would read dead blocks
+      def edges = graft.queries.GraphGateSource.copurchaseW(spark, dir).select("u", "v")
+      def deg = {
+        val e = edges
+        e.select(col("u").as("node"))
+          .unionAll(e.select(col("v").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("deg"))
+      }
+
+      def a() = corr(edges
+        .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+        .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+        .select("du", "dv"))
+      def b() = corr(edges
+        .join(broadcast(deg.select(col("node").as("u"), col("deg").as("du"))), "u")
+        .join(broadcast(deg.select(col("node").as("v"), col("deg").as("dv"))), "v")
+        .select("du", "dv"))
+      def c() = corr(
+        graft.operators.SkewJoin.saltedInnerJoin(
+          graft.operators.SkewJoin.saltedInnerJoin(
+            edges,
+            deg.select(col("node").as("u"), col("deg").as("du")), "u", 32),
+          deg.select(col("node").as("v"), col("deg").as("dv")), "v", 32)
+          .select("du", "dv"))
+
+      evaluate(a()); evaluate(b()); evaluate(c()) // warm
+      val as = Seq.newBuilder[(Double, Long)]; val bs = Seq.newBuilder[(Double, Long)]
+      val cs = Seq.newBuilder[(Double, Long)]
+      for (_ <- 1 to 3) { as += timed(a()); bs += timed(b()); cs += timed(c()) }
+      def best(x: Seq[(Double, Long)]): String = {
+        val m = x.minBy(_._1); f"${m._1}%7.2fs(maxT ${m._2}%5d ms)"
+      }
+      println(s"Q211AB $dir shipped=${best(as.result())} " +
+        s"broadcast=${best(bs.result())} salted=${best(cs.result())}")
+      System.out.flush()
+      // sanity: all three agree
+      val va = a().collect()(0).getDouble(0)
+      val vb = b().collect()(0).getDouble(0)
+      val vc = c().collect()(0).getDouble(0)
+      println(f"Q211AB $dir values a=$va%.9f b=$vb%.9f c=$vc%.9f")
+      System.out.flush()
+    }
+    spark.stop()
+  }
+}

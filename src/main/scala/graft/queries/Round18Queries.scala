@@ -345,9 +345,21 @@ object Round18Queries {
       val deg = edges.select(col("u").as("node"))
         .unionAll(edges.select(col("v").as("node")))
         .groupBy("node").agg(count(lit(1)).as("deg"))
+      // BROADCAST the degree fetches: deg is O(#nodes) (a dimension,
+      // not a fact), and the shuffled form re-exchanges the edge frame
+      // twice — measured −30% at sf1 AND the hot-at-max skew rung
+      // (7.8→5.4 s / 5.2→3.7 s, same-JVM min-of-3, round-10 A/B).
+      // Structurally it also removes the only place a hub at the id
+      // MAXIMUM could serialize: the id-canonical edges put such a hub
+      // ONLY on the v side, so the v-join's shuffle partition carries
+      // the hub's whole edge mass — with no exchange there is nothing
+      // to skew. At 10⁹ nodes (deg outgrows a broadcast) fall back to
+      // SkewJoin.saltedInnerJoin on the v fetch — measured WORSE here
+      // (7.7/7.1 s: replication cost without a straggler to pay it off)
+      // so it is the fallback, not the default.
       val withDeg = edges
-        .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
-        .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+        .join(broadcast(deg.select(col("node").as("u"), col("deg").as("du"))), "u")
+        .join(broadcast(deg.select(col("node").as("v"), col("deg").as("dv"))), "v")
         .select("du", "dv")
       val sym = withDeg.select(col("du").as("x"), col("dv").as("y"))
         .unionAll(withDeg.select(col("dv").as("x"), col("du").as("y")))
