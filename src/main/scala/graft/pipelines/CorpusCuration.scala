@@ -80,10 +80,13 @@ object CorpusCuration {
       * `pairsPerPostingCutoff` the expansion dominates every
       * downstream stage and the banded candidates take over. The
       * cutoff sits between the measured regimes (SCALING.md round
-      * 10): the gate corpus probes ≈3 pairs/posting (exact measured
-      * faster there), the dense sf1 rung ≈480 (exact ×75 shufW per
-      * decade vs LSH ×15.7, 2.1× wall) — so the 100 TB user no longer
-      * has to KNOW the regime; the pipeline measures it.
+      * 10): the sf0.1 gate-class corpus probes 4.9 pairs/posting
+      * (exact measured faster there), the dense rungs 52.6 (sf1) and
+      * 158.5 (sf10 docs ×3) — the probe grows LINEARLY in doc count
+      * on a fixed vocabulary (52.6 × 3 ≈ 158), which is exactly the
+      * regime where exact expansion goes quadratic (×75 shufW per
+      * decade vs LSH ×15.7, 2.1× wall at sf1) — so the 100 TB user no
+      * longer has to KNOW the regime; the pipeline measures it.
       */
     final case class Auto(
         nHashes: Int = 8,
