@@ -105,6 +105,7 @@ object Q211Ab {
         s"broadcast=${best(bs.result())} salted=${best(cs.result())}")
       System.out.flush()
       // sanity: all three agree
+      // bounded-collect: O(1) — each variant is one global-agg scalar row
       val va = a().collect()(0).getDouble(0)
       val vb = b().collect()(0).getDouble(0)
       val vc = c().collect()(0).getDouble(0)

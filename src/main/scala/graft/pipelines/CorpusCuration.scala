@@ -98,13 +98,13 @@ object CorpusCuration {
       * distinct (doc_id, s) postings.
       */
     def probePairsPerPosting(sh: DataFrame, maxPostingLen: Int): Double = {
-      // bounded-collect: O(1) — one global aggregate row
       val capped = least(col("df"), lit(maxPostingLen.toLong))
       val r = sh.groupBy("s").agg(count(lit(1)).as("df"))
         .agg(
           // 2·pairs: SQL `/` would widen to double; halve driver-side
           sum(capped * (capped - 1)).as("pairs2"),
           sum(col("df")).as("postings"))
+        // bounded-collect: O(1) — one global aggregate row
         .collect()(0)
       if (r.isNullAt(1) || r.getLong(1) == 0L) 0.0
       else r.getLong(0).toDouble / 2.0 / r.getLong(1)
