@@ -15,9 +15,14 @@ import org.apache.spark.sql.functions._
   * ascending neighbor-id order) including a single-group norm fold.
   * Exchange-free folds, SQL-oracle-hashable to the last bit — but
   * each half-step ships the whole score vector to every executor and
-  * folds O(nodes) doubles in one task's array. Right up to
-  * ~10⁷-node score vectors; the two pieces that break first at
-  * 10⁹ nodes.
+  * folds O(nodes) doubles in one task's array. The crossover is
+  * MEASURED, and it arrives much earlier than the 10⁹-node
+  * back-of-envelope: at ~2·10⁵ authorities (the sf1 rung) this form
+  * wins 20.2 s vs the co-partitioned 60.4 s, but at ~2·10⁶ (sf10,
+  * ×10 edges) it degrades ×22.8 to 461 s — 31 s max tasks, the
+  * single-task ordered norm folds and per-half-step full-vector
+  * broadcasts — while the co-partitioned form stays flat at 64 s
+  * (SCALING.md §Round 10 graph decade).
   *
   * '''Co-partitioned form''' (`copartitioned = true`, the 100 TB
   * shape): the edge cache keyed by the JOIN key instead, the score
@@ -54,6 +59,43 @@ object Hits {
     require(iters >= 1, s"HITS needs at least one iteration, got $iters")
     if (copartitioned) copartitionedAuthorities(edges, iters, parts)
     else broadcastAuthorities(edges, iters, parts)
+  }
+
+  /** [[authorities]] with the form picked PER GRAPH by a pre-flight
+    * node-count probe — the same doctrine as
+    * `CorpusCuration.NearDupCandidates.Auto`: the 100 TB user should
+    * not have to know the regime, the operator measures it. The
+    * broadcast form's breaking costs are both keyed by the score
+    * vector (per-half-step full-vector broadcasts and a single-task
+    * O(nodes) ordered norm fold), so the probe is
+    * max(approx |U|, approx |P|) — an HLL estimate (±2%) is plenty
+    * for a regime boundary set an order of magnitude wide. The
+    * default cutoff 5·10⁵ is the geometric mean of the measured
+    * rungs: ~2·10⁵ nodes where broadcast wins 3× (20.2 vs 60.4 s)
+    * and ~2·10⁶ where it loses 7× (461 vs 64 s) — SCALING.md
+    * §Round 10 graph decade.
+    *
+    * The two forms agree per node to ~1e-9 (HitsVariantsSpec), but
+    * only the broadcast form is BIT-stable under partitioning: a
+    * caller that hash-compares against a SQL oracle must pin
+    * `copartitioned = false` explicitly rather than use Auto.
+    * When the probe picks the co-partitioned form, `parts` is
+    * overridden to 0 (the session shuffle fan-out) per that form's
+    * co-location contract.
+    */
+  def authoritiesAuto(
+      edges: DataFrame,
+      iters: Int = 6,
+      parts: Int = 8,
+      maxBroadcastNodes: Long = 500000L): DataFrame = {
+    val r = edges.agg(
+      approx_count_distinct(col("u")).as("nu"),
+      approx_count_distinct(col("p")).as("np"))
+      // bounded-collect: O(1) — one global aggregate row (two HLLs)
+      .collect()(0)
+    val big = math.max(r.getLong(0), r.getLong(1)) > maxBroadcastNodes
+    authorities(edges, iters, parts = if (big) 0 else parts,
+      copartitioned = big)
   }
 
   /** The q472 gate shape (see Round91Queries for the hash-gated
