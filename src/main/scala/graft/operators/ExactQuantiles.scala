@@ -88,6 +88,62 @@ object ExactQuantiles {
   private def atRank(value: String, k: Column): Column =
     min(when(col("__cum") >= k, col(value)))
 
+  // ------------------------------------------------------------------
+  // Regime auto-selection — the third instance of the engine's Auto
+  // doctrine (NearDupCandidates.Auto, Hits.authoritiesAuto): the
+  // regime is MEASURED per input, not known up front by the caller.
+  // ------------------------------------------------------------------
+
+  /** Average non-null group size from one bounded aggregate: total
+    * non-null values over an HLL estimate (±2%) of the group count —
+    * plenty for a regime boundary three orders of magnitude wide.
+    */
+  def probeAvgGroupSize(df: DataFrame, keys: Seq[String],
+                        value: String): Double = {
+    val r = df.agg(
+      count(col(value)).as("rows"),
+      approx_count_distinct(struct(keys.map(col): _*)).as("groups"))
+      // bounded-collect: O(1) — one global aggregate row
+      .collect()(0)
+    if (r.getLong(1) == 0L) 0.0 else r.getLong(0).toDouble / r.getLong(1)
+  }
+
+  /** [[disc]] / the built-in `percentile_disc`, picked by the probe.
+    * Measured regimes (same-JVM interleaved A/B, SCALING.md rounds
+    * 9-10): at ~30 rows/group (q361/q419's shape) the two forms WASH
+    * at every rung (±9%), at ~2·10⁷ rows/group (q190's shape) the
+    * rank-select wins +30% at sf1 growing to ×15 at sf10 — so any
+    * cutoff between the rungs is safe, and 10⁴ leaves the wash side
+    * three orders of margin. Output schema and values are identical
+    * either way (the rank-select replicates the built-in bit-exactly;
+    * fuzz-pinned in ExactQuantilesSpec).
+    */
+  def autoDisc(df: DataFrame, keys: Seq[String], value: String,
+               ps: Seq[(String, Double)],
+               largeGroupCutoff: Double = 10000.0): DataFrame =
+    if (probeAvgGroupSize(df, keys, value) > largeGroupCutoff)
+      disc(df, keys, value, ps)
+    else {
+      val aggs = ps.map { case (name, p) =>
+        expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY $value)")
+          .cast("double").as(name)
+      } :+ count(col(value)).as("__group_n")
+      df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    }
+
+  /** [[cont]] / the built-in `percentile`, picked by the same probe. */
+  def autoCont(df: DataFrame, keys: Seq[String], value: String,
+               ps: Seq[(String, Double)],
+               largeGroupCutoff: Double = 10000.0): DataFrame =
+    if (probeAvgGroupSize(df, keys, value) > largeGroupCutoff)
+      cont(df, keys, value, ps)
+    else {
+      val aggs = ps.map { case (name, p) =>
+        expr(s"percentile($value, $p)").as(name)
+      } :+ count(col(value)).as("__group_n")
+      df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    }
+
   /** `percentile_disc(p) WITHIN GROUP (ORDER BY value)` per group, one
     * output column per `(name, p)`, plus `__group_n` (non-null count).
     * Output quantiles are DoubleType, as the built-in returns.

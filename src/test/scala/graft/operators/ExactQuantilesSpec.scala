@@ -158,4 +158,36 @@ class ExactQuantilesSpec extends SparkSpec {
       assert(rows("b").getLong(rows("b").fieldIndex("__group_n")) == 0L)
     }
   }
+
+  test("auto routes by the measured group-size regime, identical results") {
+    // many-small shape: 50 groups × 8 rows — far under the cutoff, so
+    // Auto must plan the BUILT-IN aggregate (its expression is named
+    // in the physical plan); forcing the cutoff to 1 row/group must
+    // flip the same frame to the rank-select form (a Window plan with
+    // no percentile aggregate). Values are identical either way (the
+    // rank-select replicates the built-in bit-exactly), so the pin is
+    // structural first, then an exact value comparison.
+    val df = corpus(seed = 991L, nGroups = 50, maxRows = 8, tieRange = 4)
+    val ps = Seq(("p25", 0.25), ("p50", 0.5), ("p90", 0.9))
+    val n = ExactQuantiles.probeAvgGroupSize(df, Seq("k"), "v")
+    assert(n > 0 && n <= 8.0, s"probe out of range: $n")
+    val small = ExactQuantiles.autoDisc(df, Seq("k"), "v", ps)
+    assert(small.queryExecution.executedPlan.toString
+        .contains("percentile_disc"),
+      "many-small groups must take the built-in buffer form")
+    val forced = ExactQuantiles.autoDisc(df, Seq("k"), "v", ps,
+      largeGroupCutoff = 1.0)
+    val fPlan = forced.queryExecution.executedPlan.toString
+    assert(!fPlan.contains("percentile_disc") && fPlan.contains("Window"),
+      "past-cutoff frame must take the rank-select form")
+    val a = small.orderBy("k").collect().map(_.toSeq)
+    val b = forced.orderBy("k").collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq, "the two routes must agree bit-exactly")
+    // and cont routes the same way
+    assert(ExactQuantiles.autoCont(df, Seq("k"), "v", ps)
+      .queryExecution.executedPlan.toString.contains("percentile"))
+    assert(!ExactQuantiles.autoCont(df, Seq("k"), "v", ps,
+        largeGroupCutoff = 1.0)
+      .queryExecution.executedPlan.toString.contains("percentile("))
+  }
 }
