@@ -88,14 +88,21 @@ object Hits {
       iters: Int = 6,
       parts: Int = 8,
       maxBroadcastNodes: Long = 500000L): DataFrame = {
+    val big = probeMaxNodes(edges) > maxBroadcastNodes
+    authorities(edges, iters, parts = if (big) 0 else parts,
+      copartitioned = big)
+  }
+
+  /** The probe behind [[authoritiesAuto]], exposed for specs and
+    * harnesses: the larger of the two sides' HLL node-count estimates.
+    */
+  def probeMaxNodes(edges: DataFrame): Long = {
     val r = edges.agg(
       approx_count_distinct(col("u")).as("nu"),
       approx_count_distinct(col("p")).as("np"))
       // bounded-collect: O(1) — one global aggregate row (two HLLs)
       .collect()(0)
-    val big = math.max(r.getLong(0), r.getLong(1)) > maxBroadcastNodes
-    authorities(edges, iters, parts = if (big) 0 else parts,
-      copartitioned = big)
+    math.max(r.getLong(0), r.getLong(1))
   }
 
   /** The q472 gate shape (see Round91Queries for the hash-gated
