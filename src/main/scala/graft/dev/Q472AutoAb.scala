@@ -38,7 +38,10 @@ object Q472AutoAb {
       val tAuto = (System.nanoTime() - t1) / 1e9
       println(f"Q472AUTO $dir%-12s probeNodes=$nProbe%9d " +
         f"probe=$tProbe%6.2fs auto=$tAuto%8.2fs " +
-        s"form=${if (nProbe > 500000L) "copartitioned" else "broadcast"}")
+        // label derived from the operator's own default so the harness
+        // cannot drift from the route actually taken
+        s"form=${if (nProbe > graft.operators.Hits.DefaultMaxBroadcastNodes)
+          "copartitioned" else "broadcast"}")
       System.out.flush()
     }
     spark.stop()

@@ -29,7 +29,10 @@ object QuantAutoAb {
       val probe = graft.operators.ExactQuantiles
         .probeAvgGroupSize(li, keys, "l_extendedprice")
       val t = (System.nanoTime() - t0) / 1e9
-      val form = if (probe > 10000.0) "rank-select" else "built-in"
+      // threshold taken from the operator's own default so the printed
+      // label cannot drift from the route autoDisc actually takes
+      val form = if (probe > graft.operators.ExactQuantiles.DefaultLargeGroupCutoff)
+        "rank-select" else "built-in"
       println(f"QUANTAUTO $dir $label%-26s probe=$probe%12.1f " +
         f"rows/group probeWall=$t%5.2fs form=$form")
       System.out.flush()

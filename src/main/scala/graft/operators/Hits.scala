@@ -87,11 +87,24 @@ object Hits {
       edges: DataFrame,
       iters: Int = 6,
       parts: Int = 8,
-      maxBroadcastNodes: Long = 500000L): DataFrame = {
+      maxBroadcastNodes: Long = DefaultMaxBroadcastNodes): DataFrame = {
     val big = probeMaxNodes(edges) > maxBroadcastNodes
     authorities(edges, iters, parts = if (big) 0 else parts,
       copartitioned = big)
   }
+
+  /** [[authoritiesAuto]]'s default cutoff — PROVENANCE: measured on a
+    * 32-core/128 GiB single JVM (SCALING.md §Round 10 graph decade),
+    * as the geometric mean of the two rungs where each form wins by
+    * 3-7× (broadcast at ~2·10⁵ nodes, co-partitioned at ~2·10⁶).
+    * Order-of-magnitude margin on BOTH sides, so modest hardware
+    * differences cannot flip a rung onto the wrong form — but the
+    * breaking costs are driver-broadcast and single-task-fold bound,
+    * so a cluster with a different driver/executor memory ratio should
+    * re-probe its own rungs (dev/Q472AutoAb is the harness) rather
+    * than inherit this box's constant blindly.
+    */
+  val DefaultMaxBroadcastNodes: Long = 500000L
 
   /** The probe behind [[authoritiesAuto]], exposed for specs and
     * harnesses: the larger of the two sides' HLL node-count estimates.

@@ -41,8 +41,13 @@ object Round104Queries {
       t(s, dir, "documents"),
       graft.pipelines.CorpusCuration.Config(
         candidates = graft.pipelines.CorpusCuration.NearDupCandidates.Auto())),
-    Round4Queries.all.find(_.name == "q109_curation_pipeline")
-      .flatMap(_.oracle),
+    // fail FAST at object init if the shared oracle ever disappears (a
+    // q109 rename or a switch to dynOracle): a silent None here would
+    // downgrade this gate to the rows-only check and only CoverageDrift
+    // in a full-suite run would notice
+    Some(Round4Queries.all.find(_.name == "q109_curation_pipeline")
+      .flatMap(_.oracle)
+      .getOrElse(sys.error("q532 shares q109_curation_pipeline's oracle, which is missing"))),
     covers = Seq("T-curation-auto"))
 
   val all: Seq[QueryDef] = Seq(q532)

@@ -159,6 +159,40 @@ class ExactQuantilesSpec extends SparkSpec {
     }
   }
 
+  test("negative zero: every entry point returns +0.0, both Auto routes bit-agree") {
+    def bits(d: Double): Long = java.lang.Double.doubleToLongBits(d)
+    // a group whose p50 lands ON a negative zero: sorted [-0.0,-0.0,1.0],
+    // disc rank ceil(3*0.5)=2 → the raw built-in returns the -0.0 bit
+    // pattern (its OpenHashMap buffer keys the two zeros separately)
+    val df = Seq(("z", -0.0), ("z", -0.0), ("z", 1.0)).toDF("k", "v")
+    val raw = df.groupBy("k")
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY v)").as("q"))
+      .collect().head.getDouble(1)
+    assert(bits(raw) == bits(-0.0),
+      "premise drift: Spark's raw percentile_disc no longer returns -0.0 here " +
+        "— revisit the normZero contract comment")
+    val ps = Seq(("p50", 0.5))
+    // rank-select forms: groupBy normalization collapses to +0.0
+    for (q <- Seq(ExactQuantiles.disc(df, Seq("k"), "v", ps),
+                  ExactQuantiles.cont(df, Seq("k"), "v", ps))) {
+      assert(bits(q.collect().head.getDouble(1)) == bits(0.0),
+        "rank-select zero must be +0.0")
+    }
+    // Auto, both routes (cutoff default keeps the built-in at 3 rows/
+    // group; cutoff 1.0 forces rank-select): bit-identical +0.0, so
+    // routing can never flip a hash comparison on negative-zero data
+    for (cut <- Seq(ExactQuantiles.DefaultLargeGroupCutoff, 1.0);
+         q <- Seq(ExactQuantiles.autoDisc(df, Seq("k"), "v", ps, cut),
+                  ExactQuantiles.autoCont(df, Seq("k"), "v", ps, cut))) {
+      assert(bits(q.collect().head.getDouble(1)) == bits(0.0),
+        s"auto route at cutoff=$cut must normalize zeros to +0.0")
+    }
+    // cont's lo==hi collapse path on an all-negative-zero group
+    val zz = Seq(("a", -0.0), ("a", -0.0)).toDF("k", "v")
+    assert(bits(ExactQuantiles.autoCont(zz, Seq("k"), "v", ps)
+      .collect().head.getDouble(1)) == bits(0.0))
+  }
+
   test("auto routes by the measured group-size regime, identical results") {
     // many-small shape: 50 groups × 8 rows — far under the cutoff, so
     // Auto must plan the BUILT-IN aggregate (its expression is named
