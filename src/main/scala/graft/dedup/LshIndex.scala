@@ -52,8 +52,18 @@ final class LshIndex(
     * the append triggers [[TableStore.compact]] — a row-preserving
     * rewrite under the store's atomic temp-then-rename swap, so a
     * reader never observes a partial index and re-running is a no-op.
+    *
+    * SINGLE-WRITER contract: the whole add (dedup anti-join → append →
+    * fileCount/compact check-then-act) is `synchronized` on this
+    * instance, so concurrent adds through ONE index serialize — the
+    * same single-flight discipline as the q205 fixture write; without
+    * it two adds could double-insert a shared doc's bands (both
+    * anti-join against the pre-append index) or interleave an append
+    * with the compaction's swap. Writers going through SEPARATE
+    * LshIndex instances on the same table are still the caller's
+    * responsibility: one admission pipeline per table.
     */
-  def add(newDocs: DataFrame): Unit = {
+  def add(newDocs: DataFrame): Unit = this.synchronized {
     val nb = bands(newDocs)
     store.read(table) match {
       case None => store.write(table, nb)
@@ -96,6 +106,39 @@ object LshIndex {
       md5(concat(lit(s"band$b:") +: parts: _*))
     }
     sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bkey"))
+  }
+
+  /** One-row band-bucket census: how hot the band join's keys are. */
+  final case class BandCensus(
+      pairedBuckets: Long, maxBucket: Long, p99Bucket: Double) {
+    /** Candidate rows the hottest single key must emit — the
+      * single-task exposure a plain band self-join would pay.
+      */
+    def maxBucketPairs: Long = maxBucket * (maxBucket - 1) / 2
+  }
+
+  /** The band-bucket census over a (doc_id, bkey) band frame — the LSH
+    * twin of `CorpusCuration`'s posting-density probe: one bounded
+    * aggregate (a groupBy the candidate stage pays anyway, then a
+    * single global row) measuring the hot-key exposure of the band
+    * join BEFORE paying for it. The 500 k-doc rung measured p99 = 4
+    * and max = 765 on generated corpora (SCALING.md round 10); a
+    * boilerplate-heavy corpus blows max/p99 up, and past the
+    * expansion cap the chunked path ([[BucketedPairs]], always-on in
+    * `CorpusCuration`'s MinHashLsh branch) spreads exactly those
+    * buckets. Exposed for pre-flight observability and specs.
+    */
+  def bucketCensus(bands: DataFrame): BandCensus = {
+    val sizes = bands.groupBy("bkey").agg(count(lit(1)).as("b"))
+      .filter(col("b") >= 2)
+    val r = sizes.agg(
+      count(lit(1)).as("buckets"),
+      max(col("b")).as("max_b"),
+      expr("approx_percentile(b, 0.99)").as("p99_b"))
+      // bounded-collect: O(1) — one global aggregate row
+      .collect()(0)
+    if (r.isNullAt(1)) BandCensus(0L, 0L, 0.0)
+    else BandCensus(r.getLong(0), r.getLong(1), r.getLong(2).toDouble)
   }
 
   /** Stateless incremental-candidate core: pairs for new-batch bands

@@ -98,53 +98,27 @@ object PrefixFilterJoin {
 
     // Candidate pairs: docs sharing ≥1 prefix element. Posting-list
     // pair expansion (sorted set → unordered i<j pairs) avoids a
-    // hash self-join build over the index.
-    //
-    // Heavy-hitter split: a posting longer than `postingCap` is cut
-    // into contiguous CHUNKS of the globally-sorted list. Within-chunk
-    // pairs expand per chunk (each explode row bounded at cap²/2
-    // pairs, far below OrderedPairs' Int overflow guard), cross-chunk
-    // pairs come from a chunk-pair join (chunk i's elements all sort
-    // before chunk j's for i<j, so a<b is free). The split is LOSSLESS
-    // — the union is exactly the i<j pair set of the full posting —
-    // and it converts one s²/2-pair row (a single task's worth of
-    // work, an overflow past s ≈ 65k) into (s/cap)² bounded rows that
-    // spread across partitions. An adversarially hot prefix token
-    // still costs its true quadratic pair count (exactness requires
-    // it), but it can no longer overflow or serialize on one task.
-    // materialized: the posting index feeds three branches (light,
-    // heavy within-chunk, heavy cross-chunk) — recomputing
-    // tok+freq+prefix per branch would triple the dominant upstream
-    // cost. localCheckpoint (eager), not persist(): persist entries
-    // are pinned in the block manager until an explicit unpersist
-    // (impossible here — the returned frame still reads the cache
-    // lazily), whereas checkpoint blocks are released by the
-    // ContextCleaner once the RDD is unreachable, so repeated calls
-    // can't accumulate pinned blocks for the session lifetime.
+    // hash self-join build over the index; [[BucketedPairs]] holds
+    // the shared heavy-hitter chunk discipline (an adversarially hot
+    // prefix token still costs its true quadratic pair count —
+    // exactness requires it — but it can no longer overflow
+    // OrderedPairs or serialize on one task).
+    // materialized: the posting index feeds BucketedPairs' three
+    // branches (light, heavy within-chunk, heavy cross-chunk) —
+    // recomputing tok+freq+prefix per branch would triple the
+    // dominant upstream cost. localCheckpoint (eager), not persist():
+    // persist entries are pinned in the block manager until an
+    // explicit unpersist (impossible here — the returned frame still
+    // reads the cache lazily), whereas checkpoint blocks are released
+    // by the ContextCleaner once the RDD is unreachable, so repeated
+    // calls can't accumulate pinned blocks for the session lifetime.
     val posting = prefix
       .groupBy("tk")
       .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) >= 2)
       .localCheckpoint()
-    def expand(df: DataFrame, dsCol: Column): DataFrame = df
-      .select(explode(graft.functions.OrderedPairs(prefix.sparkSession, dsCol)).as("p"))
-      .select(col("p.a").as("a_id"), col("p.b").as("b_id"))
-    val light = expand(posting.filter(size(col("ds")) <= postingCap), col("ds"))
-    val chunks = posting.filter(size(col("ds")) > postingCap)
-      .select(col("tk"), posexplode(col("ds")).as(Seq("pos", "doc_id")))
-      .withColumn("chunk", expr(s"pos DIV $postingCap"))
-      .groupBy("tk", "chunk")
-      .agg(sort_array(collect_list(col("doc_id"))).as("cds"))
-    val heavyWithin = expand(chunks, col("cds"))
-    val heavyCross = chunks.select(col("tk"), col("chunk"), col("cds"))
-      .join(chunks.select(col("tk"), col("chunk").as("chunk_b"), col("cds").as("cds_b")), "tk")
-      .filter(col("chunk") < col("chunk_b"))
-      .select(explode(col("cds")).as("a_id"), col("cds_b"))
-      .select(col("a_id"), explode(col("cds_b")).as("b_id"))
-    val candidates = light
-      .unionByName(heavyWithin)
-      .unionByName(heavyCross)
-      .distinct()
+    val candidates =
+      BucketedPairs.expand(posting, "tk", "ds", postingCap).distinct()
 
     // Exact verification on the candidate sliver only: fetch both
     // full element sets, intersect, cross-multiplied Jaccard test

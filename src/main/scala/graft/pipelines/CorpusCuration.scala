@@ -65,8 +65,25 @@ object CorpusCuration {
       * verification. Posting-linear at any corpus density — the
       * 100 TB path; recall is the banded collision probability
       * 1-(1-s^b)^(n/b) at true similarity s.
+      *
+      * `bucketCap` bounds the band-bucket hot-key exposure (the
+      * q288-shaped risk INSIDE the LSH join itself, SCALING.md round
+      * 10): a boilerplate-heavy corpus of near-identical-but-not-equal
+      * docs puts B docs in one band bucket and B²/2 candidate rows on
+      * one key. Buckets past the cap are split losslessly into
+      * contiguous chunks via [[graft.dedup.BucketedPairs]] — same
+      * candidate set, partitioned expansion — so the protection is
+      * ALWAYS-ON and structural rather than census-triggered; the cap
+      * is generous (a full 1024-doc bucket still expands in bounded
+      * ≤ cap²/2-pair rows) because the two structural guards upstream
+      * (exact dedup before LSH; band-exact agreement decaying with
+      * corpus diversity) keep real buckets tiny — the 500 k-doc rung
+      * measured p99 bucket 4, max 765. Pre-flight observability for
+      * the exposure is [[graft.dedup.LshIndex.bucketCensus]], the
+      * band frame's one-row census.
       */
-    final case class MinHashLsh(nHashes: Int = 8, bandSize: Int = 2)
+    final case class MinHashLsh(
+        nHashes: Int = 8, bandSize: Int = 2, bucketCap: Int = 1024)
         extends NearDupCandidates
 
     /** Measure the corpus, then pick: a pre-flight posting-density
@@ -91,7 +108,24 @@ object CorpusCuration {
     final case class Auto(
         nHashes: Int = 8,
         bandSize: Int = 2,
-        pairsPerPostingCutoff: Double = 16.0) extends NearDupCandidates
+        pairsPerPostingCutoff: Double = DefaultPairsPerPostingCutoff,
+        bucketCap: Int = 1024)
+        extends NearDupCandidates
+
+    /** [[Auto]]'s default cutoff — PROVENANCE: measured on a
+      * 32-core/128 GiB single JVM (SCALING.md round 10): gate-class
+      * corpora probe ~4.9 pairs/posting (exact postings measured
+      * faster AND complete there), the dense rungs 52.6/158.5/527.8
+      * (where the exact expansion costs ×75 shuffle per doc decade vs
+      * LSH ×15.7). 16 is the geometric mean of the flanking rungs
+      * with ~3× margin each side; the probe itself is
+      * machine-independent (a pure pair-count ratio), so only the
+      * WALL-TIME crossover — not the metric — could sit differently
+      * on other hardware. Re-probe with the SCALING.md §round-10
+      * ladder when deploying somewhere the relative cost of shuffle
+      * vs CPU differs wildly from this box.
+      */
+    val DefaultPairsPerPostingCutoff: Double = 16.0
 
     /** The probe behind [[Auto]], exposed for specs: candidate pairs
       * the exact expansion would emit per posting row, over prebuilt
@@ -115,8 +149,9 @@ object CorpusCuration {
       */
     def resolve(c: NearDupCandidates, sh: DataFrame,
                 maxPostingLen: Int): NearDupCandidates = c match {
-      case Auto(nh, bs, cutoff) =>
-        if (probePairsPerPosting(sh, maxPostingLen) > cutoff) MinHashLsh(nh, bs)
+      case Auto(nh, bs, cutoff, cap) =>
+        if (probePairsPerPosting(sh, maxPostingLen) > cutoff)
+          MinHashLsh(nh, bs, cap)
         else ExactPostings
       case explicit => explicit
     }
@@ -178,23 +213,47 @@ object CorpusCuration {
         sys.error("unreachable: resolve() returns an explicit source")
       case NearDupCandidates.ExactPostings =>
         // complete pairs with their intersection size in one postings
-        // expansion (symmetric counts → expand unordered)
-        val ds = col("ds")
-        sh.groupBy("s")
+        // expansion (symmetric counts → expand unordered). The
+        // expansion goes through BucketedPairs here too (round 11):
+        // maxPostingLen (100 000) admits postings past OrderedPairs'
+        // Int pair-count guard (~65 536), so the old monolithic
+        // explode had a CRASH window between the two caps — and even
+        // inside the guard, one 50 k-doc posting was a 1.2·10⁹-pair
+        // single array row on one task. Chunked, the same pair
+        // multiset arrives in cap-bounded rows; the per-(da,db) count
+        // (= intersection size) is unchanged because the split is
+        // lossless with multiplicity.
+        // materialized for BucketedPairs' three branches, like every
+        // other call site (localCheckpoint, ContextCleaner-collectable)
+        val posting = sh.groupBy("s")
           .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
-          .filter(size(ds).between(2, cfg.maxPostingLen))
-          .select(explode(graft.functions.OrderedPairs(sh.sparkSession, ds)).as("p"))
-          .groupBy(col("p.a").as("da"), col("p.b").as("db"))
+          .filter(size(col("ds")).between(2, cfg.maxPostingLen))
+          .localCheckpoint()
+        graft.dedup.BucketedPairs.expand(posting, "s", "ds")
+          .groupBy(col("a_id").as("da"), col("b_id").as("db"))
           .agg(count(lit(1)).as("common"))
-      case NearDupCandidates.MinHashLsh(nHashes, bandSize) =>
+      case NearDupCandidates.MinHashLsh(nHashes, bandSize, bucketCap) =>
         // banded candidates (docs sharing ≥1 minhash band), then the
         // exact intersection size recomputed from the postings — LSH
-        // only PRUNES which pairs get verified
+        // only PRUNES which pairs get verified. The expansion goes
+        // through BucketedPairs, NOT a plain band×band self-join: a
+        // boilerplate corpus can put B near-identical-but-not-equal
+        // docs in one band bucket, and the plain join's B²/2 rows
+        // from one key are the q288-shaped single-task blowup inside
+        // the engine's own designated 100 TB path (SCALING.md round
+        // 10 named this split as the remedy; CurationHotBucketSpec
+        // pins it RED under the plain join's monolithic expansion).
+        // materialized: the bucket frame feeds BucketedPairs' three
+        // branches; localCheckpoint over persist for the same
+        // ContextCleaner reasons as `sh` above.
         val bands = graft.dedup.LshIndex.bandsFromPostings(sh, nHashes, bandSize)
-        val cand = bands.as("ba").join(bands.as("bb"),
-            col("ba.bkey") === col("bb.bkey") &&
-              col("ba.doc_id") < col("bb.doc_id"))
-          .select(col("ba.doc_id").as("da"), col("bb.doc_id").as("db"))
+        val buckets = bands.groupBy("bkey")
+          .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+          .filter(size(col("ds")) >= 2)
+          .localCheckpoint()
+        val cand = graft.dedup.BucketedPairs
+          .expand(buckets, "bkey", "ds", bucketCap)
+          .select(col("a_id").as("da"), col("b_id").as("db"))
           .distinct()
         cand
           .join(sh.select(col("doc_id").as("da"), col("s")), "da")

