@@ -35,3 +35,18 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// Pre-commit audit gate (round-11, verdict #2): the source-scanning
+// suites catch CROSS-FILE violations (an inline rewrite bypassing a
+// pinned operator, a gate-token drift between SparkEntry and the docs,
+// an unannotated collect(), a forbidden broadcast in a guarded plan) —
+// which feature-spec-only runs never execute. This alias is the
+// minimum bar for ANY commit; full `sbt test` remains the round bar.
+addCommandAlias("auditOnly", "testOnly " + Seq(
+  "graft.queries.CollectAuditSpec",     // collect() annotation audit
+  "graft.queries.CoverageDriftSpec",    // gate-token drift (README/SCALING)
+  "graft.queries.PlanGuardSpec",        // pinned plan shapes (q141/q22/...)
+  "graft.operators.DegreeOrientationSpec", // wedge-orientation source pin
+  "graft.pipelines.CurationHotBucketSpec", // BucketedPairs source pin
+  "graft.BenchCanarySpec",              // bench artifact contract
+).mkString(" "))

@@ -7,6 +7,30 @@ import org.apache.spark.sql.SparkSession
   * {"metric":...,"queries":{...}} for the driver.
   */
 object Bench {
+
+  /** Self-localizing contention evidence (round-10 verdict: the dump
+    * carries per-slot canary positions, but a human had to read them —
+    * the artifact itself should name the loaded segment). A SEGMENT is
+    * the stretch of queries between two adjacent canary slots; it is
+    * flagged when BOTH bounding slots exceed 2.5× the idle reference —
+    * load present at both ends of a stretch was almost certainly
+    * present during it, while a single slow slot is a transient spike
+    * (that stays the global SPREAD flag's business). Pure function of
+    * the slot series so the logic is spec-testable without a bench
+    * run.
+    */
+  def contendedSegments(
+      series: Seq[(String, Double)], refIdleSec: Double): Seq[String] =
+    series.sliding(2).collect {
+      // the pattern only matches full 2-slot windows, so a 1-slot
+      // series falls through to empty
+      case Seq((a, ta), (b, tb)) if math.min(ta, tb) > 2.5 * refIdleSec =>
+        val (pa, sa) = a.span(_ != ':')
+        val (pb, sb) = b.span(_ != ':')
+        // same pass → "p1:75-100"; across the pass boundary → "p1:end-p2:0"
+        if (pa == pb) s"$pa$sa-${sb.drop(1)}" else s"$a-$b"
+    }.toSeq
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -153,6 +177,17 @@ object Bench {
     val contended =
       cMax / math.max(cMin, 1e-3) > 2.5 || cMin > 2.5 * refIdleSec ||
         floorInflated
+    // (c) WHERE: adjacent-slot segments whose both ends ran slow — the
+    // loaded stretch of the query list, named by the artifact itself.
+    // Printed capped at 6 entries (the driver tails ~4 KB of stdout;
+    // a fully-loaded run has ~45 segments) — the dump carries them all.
+    val segments = contendedSegments(canaryTimes.toSeq, refIdleSec)
+    def segJson(ss: Seq[String]): String =
+      ss.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val segsPrinted =
+      if (segments.size <= 6) segJson(segments)
+      else segJson(segments.take(6)).dropRight(1) +
+        s""","+${segments.size - 6} more"]"""
     // The driver records only a bounded (~4 KB) TAIL of stdout, and a
     // per-query map over 300+ queries makes the JSON line ~5.5 KB — the
     // head gets truncated away and json parsing fails (BENCH_r01–r03
@@ -201,6 +236,7 @@ object Bench {
       val fields =
         ("\"canary\":" + canaryTimes.map { case (at, c) =>
           f"""{"at":"$at","t":$c%.3f}""" }.mkString("[", ",", "]")) +:
+        ("\"contended_segments\":" + segJson(segments)) +:
         results.sortBy(-_._2).map { case (n, t) =>
           val (a, b) = (p1m.getOrElse(n, t), p2m.getOrElse(n, t))
           "\"" + n + "\":" + f"""{"min":$t%.3f,"p1":$a%.3f,"p2":$b%.3f}"""
@@ -209,7 +245,7 @@ object Bench {
       if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.writeString(p, fields.mkString("{", ",", "}"))
     }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"action":"noop-write","contended":$contended,"canary":{"min":$cMin%.3f,"max":$cMax%.3f,"n":${canaryTimes.size},"ref":$refIdleSec%.3f,"session_floor":$sessionFloor%.3f},"dump":"$dumpPath","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"action":"noop-write","contended":$contended,"contended_segments":$segsPrinted,"canary":{"min":$cMin%.3f,"max":$cMax%.3f,"n":${canaryTimes.size},"ref":$refIdleSec%.3f,"session_floor":$sessionFloor%.3f},"dump":"$dumpPath","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
