@@ -1,8 +1,5 @@
 package graft.dev
 
-import java.util.concurrent.atomic.LongAdder
-
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Dev tool: measured scaling evidence for SCALING.md.
@@ -25,44 +22,6 @@ import org.apache.spark.sql.SparkSession
   * each other (measurement tool — a bounded sleep is fine here).
   */
 object ScaleSlopes {
-  private class MetricsListener extends SparkListener {
-    val input = new LongAdder; val shufW = new LongAdder; val shufR = new LongAdder
-    // per-task run times, bucketed by stage — the straggler signature
-    // (one dominant key serializing a stage) is a max/median blowout
-    // WITHIN one stage, invisible in stage-level byte totals
-    private val taskMs =
-      new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.ConcurrentLinkedQueue[Long]]
-    override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
-      val m = e.taskMetrics
-      if (m != null) {
-        input.add(m.inputMetrics.bytesRead)
-        shufW.add(m.shuffleWriteMetrics.bytesWritten)
-        shufR.add(m.shuffleReadMetrics.totalBytesRead)
-        taskMs.computeIfAbsent(e.stageId,
-          _ => new java.util.concurrent.ConcurrentLinkedQueue[Long]())
-          .add(m.executorRunTime)
-      }
-    }
-    /** Worst per-stage (max/median, max ms) over stages with ≥4 tasks
-      * and a non-trivial max (≥200 ms) — tiny stages are all jitter.
-      */
-    def worstStageSkew(): (Double, Long) = {
-      var worst = (1.0, 0L)
-      taskMs.forEach { (_, q) =>
-        val ds = q.toArray(Array.empty[java.lang.Long]).map(_.longValue).sorted
-        if (ds.length >= 4 && ds.last >= 200) {
-          val med = math.max(ds(ds.length / 2), 1L)
-          val ratio = ds.last.toDouble / med
-          if (ratio > worst._1) worst = (ratio, ds.last)
-        }
-      }
-      worst
-    }
-    def reset(): Unit = {
-      input.reset(); shufW.reset(); shufR.reset(); taskMs.clear()
-    }
-  }
-
   def main(args: Array[String]): Unit = {
     val sfs = sys.env.getOrElse("SLOPES_SFS",
       "/root/testdata/sf0.001,/root/testdata/sf0.01,/root/testdata/sf0.1")
@@ -74,7 +33,7 @@ object ScaleSlopes {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val listener = new MetricsListener
+    val listener = new TaskMetricsListener
     spark.sparkContext.addSparkListener(listener)
 
     final case class Row(q: String, sf: String, sec: Double,
