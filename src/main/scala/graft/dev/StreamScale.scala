@@ -52,8 +52,15 @@ import graft.streaming.EventStreams
   *
   * Usage: `sbt 'runMain graft.dev.StreamScale [keys,keys,...]'`
   * (default 100000,1000000). Env `STREAM_SCALE_SHAPES` filters shapes
-  * (comma list), `STREAM_SCALE_SLICES` overrides the slice count (16).
-  * Rung data lives under /tmp and is deleted per rung.
+  * (comma list), `STREAM_SCALE_SLICES` overrides the slice count (16),
+  * `STREAM_SCALE_PARTITIONS` the shuffle-partition count (session
+  * default 32) — for stateful streaming that number is pinned into
+  * the checkpoint as the per-operator STATE STORE INSTANCE count, and
+  * every micro-batch pays per-instance commit/maintenance whether or
+  * not a partition holds data, so it is the one sizing lever a
+  * streaming deployment must set to the data (the gates pin 4 at
+  * their micro floors; this harness measures where the crossover to
+  * wanting all 32 sits). Rung data lives under /tmp, deleted per rung.
   */
 object StreamScale {
 
@@ -142,8 +149,9 @@ object StreamScale {
       .map(_.split(",").toSet)
       .getOrElse(Set("windowed", "dedup", "sessionize", "quota", "join"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val parts = sys.env.getOrElse("STREAM_SCALE_PARTITIONS", cpus)
     val spark = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.session.timeZone", "UTC")
       // the production state backend; required by transformWithState
       .config("spark.sql.streaming.stateStore.providerClass",
