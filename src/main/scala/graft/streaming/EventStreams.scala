@@ -458,4 +458,52 @@ object EventStreams {
       .transformWithState(new SessionFlushProcessor(gapMinutes * 60000L),
         TimeMode.EventTime(), OutputMode.Append())
   }
+
+  /** State rows per store instance per micro-batch at which one
+    * instance's single-threaded state work starts to dominate its
+    * fixed commit/maintenance cost — PROVENANCE: the dev/StreamScale
+    * keys-decade rung on this box (32-core/128 GiB, RocksDB provider;
+    * SCALING.md round 11). Measured healthy at ~3.1·10⁴
+    * rows/instance/batch (10⁶ keys on 32 instances: every stateful
+    * shape sublinear per decade, tskew ≤ 1.9) and degrading ×2.0–3.1
+    * at ~2.5·10⁵ rows/instance/batch (the same rung on 4 instances) —
+    * so the constant sits at the measured-healthy point, a decade
+    * below the measured-degrading point. A cluster with different
+    * per-task state throughput should re-run dev/StreamScale with
+    * `STREAM_SCALE_PARTITIONS` rather than inherit this blindly.
+    */
+  val MeasuredHealthyStateRowsPerInstance: Long = 30000L
+
+  /** Recommended `spark.sql.shuffle.partitions` (= state-store
+    * INSTANCE count) for a stateful streaming deployment expected to
+    * hold `peakStateRows` at its largest micro-batch.
+    *
+    * Streaming is the one family where the engine's Auto doctrine
+    * (probe the input, pick the regime at run time) CANNOT apply: the
+    * partition count is pinned into the checkpoint at first start and
+    * changing it means a state rebuild. This function is the
+    * deployer-facing equivalent — the measured sizing rule applied
+    * BEFORE the first checkpoint, to the PEAK (not initial) expected
+    * state, because under-sizing cannot be corrected in place.
+    *
+    * The measured rule (SCALING.md round 11, dev/StreamScale): wall
+    * cost is per-batch-per-instance fixed bookkeeping until an
+    * instance's state share reaches ~[[MeasuredHealthyStateRowsPerInstance]]
+    * rows, after which fewer instances lose ×2.0–3.1; constant-state
+    * shapes (e.g. a windowed agg whose state is windows × types) never
+    * reach it and always prefer few instances. Hence: instances =
+    * ceil(peakStateRows / healthy-rows-per-instance), floored at
+    * `minInstances` (default 1 — callers with parallel-recovery or
+    * multi-executor layout constraints pass their own floor).
+    */
+  def recommendedStatePartitions(
+      peakStateRows: Long,
+      minInstances: Int = 1,
+      rowsPerInstance: Long = MeasuredHealthyStateRowsPerInstance): Int = {
+    require(peakStateRows >= 0L, "peakStateRows must be non-negative")
+    require(minInstances >= 1, "minInstances must be positive")
+    require(rowsPerInstance >= 1L, "rowsPerInstance must be positive")
+    val byState = (peakStateRows + rowsPerInstance - 1L) / rowsPerInstance
+    math.max(minInstances.toLong, byState).min(Int.MaxValue.toLong).toInt
+  }
 }
