@@ -150,13 +150,21 @@ object StreamScale {
       .getOrElse(Set("windowed", "dedup", "sessionize", "quota", "join"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val parts = sys.env.getOrElse("STREAM_SCALE_PARTITIONS", cpus)
-    val spark = SparkSession.builder().master(s"local[$cpus]")
+    // `STREAM_SCALE_BACKEND=hdfs` swaps in the default in-memory
+    // HDFSBackedStateStoreProvider to A/B the pinned RocksDB choice.
+    // transformWithState REQUIRES RocksDB, so the quota shape is
+    // force-dropped on the hdfs backend.
+    val hdfsBackend = sys.env.get("STREAM_SCALE_BACKEND").contains("hdfs")
+    val shapesRun = if (hdfsBackend) shapes - "quota" else shapes
+    val builder = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+    if (!hdfsBackend)
       // the production state backend; required by transformWithState
-      .config("spark.sql.streaming.stateStore.providerClass",
+      builder.config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
     val listener = new TaskMetricsListener
@@ -177,7 +185,7 @@ object StreamScale {
           .option("maxFilesPerTrigger", 1)
           .parquet(src.toString)
         def measure(shape: String)(out: => DataFrame): Unit =
-          if (shapes(shape)) {
+          if (shapesRun(shape)) {
             val st = run(out, root.resolve(s"ckpt-$shape"), listener)
             rows += Row(shape, nKeys, st)
             println(f"PROGRESS $shape keys=$nKeys ${st.sec}%.1fs " +
@@ -216,7 +224,7 @@ object StreamScale {
     if (keyRungs.length >= 2) {
       println(f"%nRATIOS ${keyRungs(keyRungs.length - 2)} -> ${keyRungs.last} keys (events scale with keys)")
       println(f"${"shape"}%-12s ${"sec x"}%8s ${"rows x"}%8s ${"mem x"}%8s")
-      for (shape <- Seq("windowed", "dedup", "sessionize", "quota", "join") if shapes(shape)) {
+      for (shape <- Seq("windowed", "dedup", "sessionize", "quota", "join") if shapesRun(shape)) {
         val byShape = all.filter(_.shape == shape)
         if (byShape.length >= 2) {
           val (a, b) = (byShape(byShape.length - 2), byShape.last)
