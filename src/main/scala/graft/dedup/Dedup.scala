@@ -34,6 +34,21 @@ object Dedup extends Logging {
     * produce identical (doc_id, min-reachable-id) labelings
     * (DedupSpec pins the equivalence; q71 oracle-gates the result
     * against a recursive closure).
+    *
+    * `localEdgeCap` PROVENANCE (dev/ClusterAb min-of-3 same-JVM,
+    * 32-core/128 GiB, SCALING.md round 11): the cap counts DIRECTED
+    * edges (the doubled frame), so 2²⁰ ≈ 5·10⁵ input pairs. The
+    * crossover is component-SHAPE-dependent — isolated-pair corpora
+    * (the common near-dup output) flip to distributed at ~3·10⁵ input
+    * pairs (×2.2 against local at 10⁶), while chain-shaped corpora
+    * keep local winning ×3–6 until ~3·10⁶ (label propagation pays
+    * O(log diameter) join rounds that union-find doesn't). The default
+    * sits between the two crossovers because the mis-route costs are
+    * asymmetric: a pairs corpus at the cap boundary pays ≤×2, lowering
+    * the cap a decade would cost chain corpora ×3–6. Driver heap
+    * bounds the cap independently: the collected state at 2²⁰ is
+    * ~16 MB, while the 10⁷-edge rung (three orders up) OOMed a 4 GiB
+    * driver — raise the cap only with the heap to back it.
     */
   def clusters(
       pairs: DataFrame,
@@ -110,12 +125,17 @@ object Dedup extends Logging {
       idType: org.apache.spark.sql.types.DataType): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    // Only the (src <= dst) half of the direction-doubled frame ships:
+    // union-find is symmetric, so half the rows carry full information
+    // (self-loops survive the <= and register their node), and the
+    // solve keys a primitive LongMap (dev/ClusterAb, SCALING.md r11).
     // bounded-collect: O(localEdgeCap) — callers gate on nEdges <=
     // localEdgeCap, so at most that many pairs land on the driver;
     // past the cap the distributed label-propagation path runs instead
-    val es = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    val es = edges.filter(col("src") <= col("dst"))
+      .select(col("src").cast("long"), col("dst").cast("long"))
       .as[(Long, Long)].collect()
-    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    val parent = scala.collection.mutable.LongMap.empty[Long]
     def find(x: Long): Long = {
       var r = x
       while (parent(r) != r) r = parent(r)
@@ -167,8 +187,9 @@ object Dedup extends Logging {
       // bounded-collect: O(localEdgeCap) — gated on the count above,
       // same small-side principle as localClusters
       val es = kept.as[(Long, Long, Long)].collect()
-      val parent = scala.collection.mutable.Map.empty[Long, Long]
-      val size = scala.collection.mutable.Map.empty[Long, Long]
+      // primitive-keyed maps, same rationale as localClusters
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      val size = scala.collection.mutable.LongMap.empty[Long]
       var nNodes = 0L
       var nComponents = 0L
       var giant = 0L
