@@ -62,14 +62,42 @@ object Round105Queries {
     // span itself outgrows one task, coarsen the bucket toward the
     // horizon resolution — the census's one tunable.
     val perSec = ev.groupBy("event_type", "sec").agg(count(lit(1)).as("n"))
-    val peaks = HorizonsSec.map { h =>
-      val w = Window.partitionBy("event_type").orderBy("sec")
-        .rangeBetween(-h, 0)
-      perSec.withColumn("in_horizon", sum("n").over(w))
-        .groupBy("event_type")
-        .agg(max("in_horizon").as("peak_state_rows"))
-        .withColumn("horizon_sec", lit(h))
-    }.reduce(_.unionByName(_))
+    // Sliding sum as a DIFFERENCE of two cumulative sums, not a bounded
+    // RANGE frame: Spark's sliding-frame processor re-aggregates the
+    // whole buffered frame for every output row, so a horizon that
+    // spans most of the feed (one week here) makes the window
+    // O(rows × frame) per type — measured 11.4 s at sf0.1 (r11
+    // baseline), the single most expensive gate. Both frames below are
+    // (UNBOUNDED PRECEDING, x) shapes, which Spark evaluates
+    // incrementally (add-only) in O(rows) total. Equivalence is exact
+    // integer arithmetic over the per-second pre-aggregate, whose `sec`
+    // is DISTINCT within each type partition: for integer seconds,
+    //   sum over RANGE [s-h, s]
+    //     = sum over RANGE (-inf, s]          (c1)
+    //     - sum over RANGE (-inf, s-(h+1)]    (c2: rows with sec < s-h)
+    // with an empty c2 frame summing to null -> coalesce 0. All three
+    // horizons (plus c1) share one (partitionBy type, orderBy sec)
+    // sort, so the whole census is ONE exchange + ONE WindowExec pass
+    // instead of three sliding-frame branches unioned (3 exchanges,
+    // 3 sorts, O(rows × frame) each) — measured 11.42 -> 0.72 s.
+    val byType = Window.partitionBy("event_type").orderBy("sec")
+    val c1 = sum("n").over(
+      byType.rangeBetween(Window.unboundedPreceding, Window.currentRow))
+    def inHorizon(h: Long) = c1 - coalesce(
+      sum("n").over(byType.rangeBetween(Window.unboundedPreceding, -(h + 1))),
+      lit(0L))
+    val withSums = perSec.select(
+      col("event_type") +:
+        HorizonsSec.map(h => inHorizon(h).as(s"__ih_$h")): _*)
+    val peakPerType = withSums.groupBy("event_type")
+      .agg(max(col(s"__ih_${HorizonsSec.head}")).as(s"__peak_${HorizonsSec.head}"),
+        HorizonsSec.tail.map(h => max(col(s"__ih_$h")).as(s"__peak_$h")): _*)
+    // unpivot to the census's (event_type, horizon_sec, peak) rows
+    val stackArgs = HorizonsSec
+      .map(h => s"${h}L, __peak_$h").mkString(", ")
+    val peaks = peakPerType.select(col("event_type"),
+      expr(s"stack(${HorizonsSec.size}, $stackArgs) " +
+        "AS (horizon_sec, peak_state_rows)"))
     // bounded-collect: O(types × horizons) model-sized census rows —
     // the sizing rule runs LIVE on each, like q532's in-gate probe
     val sized = peaks.collect().toSeq.map { r =>
