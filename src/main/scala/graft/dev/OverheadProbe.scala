@@ -57,6 +57,18 @@ object OverheadProbe {
     val f32 = (1 to 3).map(_ => nanos(evaluate(shuffled))._1).min
     println(f"CONTROL floor1=$f1%.3f floor32=$f32%.3f")
 
+    // what does ONE Tables.load cost at steady state (schema inference
+    // + file listing per call), vs a schema-supplied read?
+    val liSchema = Tables.load(spark, dir, "lineitem").schema
+    val tl = (1 to 5).map(_ => nanos(Tables.load(spark, dir, "lineitem"))._1).min
+    val ts = (1 to 5).map(_ =>
+      nanos(spark.read.schema(liSchema).parquet(s"$dir/lineitem.parquet"))._1).min
+    val tAll = (1 to 3).map(_ => nanos(
+      Tables.names.foreach(n =>
+        try Tables.load(spark, dir, n)
+        catch { case _: org.apache.spark.sql.AnalysisException => () }))._1).min
+    println(f"CONTROL load(lineitem)=$tl%.4f loadWithSchema=$ts%.4f loadAll10=$tAll%.4f")
+
     for (n <- names) {
       val fn = SparkEntry.queries(n)
       // warm fully twice
