@@ -176,7 +176,14 @@ object CorpusCuration {
       trim(regexp_replace(StripAccents(spark, lower(col("text"))), " +", " "))
         .as("ntext"))
 
-    // 2. quality: word-repetition stats from one explode
+    // 2. quality: word-repetition stats from one explode.
+    // Materialized once (localCheckpoint, like `sh` below): the qual
+    // frame feeds three otherwise-independent evaluations — the exact
+    // window's survivor filter (which runs inside stage 4's eager `sh`
+    // checkpoint job), and the final assemble's join — and each
+    // re-evaluation re-ran the full explode + two shuffles. Same for
+    // `exact` below (scan + md5 window), re-run by both the stage-4
+    // survivor filter and the final assemble.
     val wc = norm.select(col("doc_id"), explode(split(col("ntext"), " ")).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
     val qual = wc.groupBy("doc_id").agg(
@@ -188,6 +195,7 @@ object CorpusCuration {
           col("max_word").cast("double") / col("n_words") < cfg.maxTopWordFrac &&
           (col("n_words") - col("n_distinct")).cast("double") / col("n_words")
             < cfg.maxRepWordFrac).as("q_keep"))
+      .localCheckpoint()
 
     // 3. exact dedup among quality survivors (lowest doc_id wins)
     val exact = norm.join(qual.filter(col("q_keep")).select("doc_id"), "doc_id")
@@ -195,6 +203,7 @@ object CorpusCuration {
         (row_number().over(
           Window.partitionBy(md5(col("ntext"))).orderBy("doc_id")) > 1)
           .as("is_exact_dup"))
+      .localCheckpoint()
 
     // 4. near dedup among exact survivors: candidate pairs from the
     // configured source, then the SAME exact-Jaccard verdict (the
