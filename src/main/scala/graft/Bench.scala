@@ -39,6 +39,15 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // Let the planner pick shuffled-hash over sort-merge when its
+      // size conditions hold (optimization guide §9's baseline; the
+      // planner's build-side-fits checks still gate the choice, so
+      // this is scale-safe, not a local-mode constant). Measured on
+      // the SMJ-carrying gates (idle-box A/B, r11): q437 -8%,
+      // q302 -16%, q319 -13%, q224 -9%, q169 -25%, q444 -12%,
+      // q323 -12%; q288 a wash (already SHUFFLE_HASH-pinned) — net
+      // positive across the 32 gates that plan a sort-merge join.
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       // 36 queries × several codegen'd stages far exceeds the default
       // 100-entry generated-class cache; eviction between the warm and
       // timed pass would re-pay Janino compilation inside the timings.

@@ -54,10 +54,18 @@ object TextQueries {
     * Docs with fewer than 3 words yield an empty array and vanish in
     * the explode, matching the old size filter.
     */
+  /** DISTINCT (doc_id, s) by construction: the dedup happens in the
+    * per-row `array_distinct` (O(shingles) in the scan task) instead
+    * of leaving duplicate postings for every consumer to re-dedup at
+    * shuffle level — the SQL twin below is `SELECT DISTINCT` for the
+    * same reason. Consumers rely on this: `jaccardPairsFrom`'s sizes
+    * use a plain count, q47 joins the postings without re-distincting.
+    */
   private def shingles(d: DataFrame): DataFrame =
     d.select(
       col("doc_id"),
-      explode(graft.functions.WordShingles(d.sparkSession, col("text"), 3)).as("s"))
+      explode(array_distinct(
+        graft.functions.WordShingles(d.sparkSession, col("text"), 3))).as("s"))
 
   /** DuckDB twin of [[shingles]] as a CTE body. */
   private val shinglesSql: String =
@@ -99,9 +107,12 @@ object TextQueries {
   private[queries] def shinglePostings(s: SparkSession, dir: String): DataFrame =
     shingles(spread(s, t(s, dir, "documents")))
 
-  /** q22's exact-Jaccard pair pipeline over prebuilt postings. */
+  /** q22's exact-Jaccard pair pipeline over prebuilt postings.
+    * Contract: `sh` is DISTINCT per (doc_id, s) — [[shinglePostings]]
+    * guarantees it — so the size count needs no distinct pass.
+    */
   private[queries] def jaccardPairsFrom(sh: DataFrame): DataFrame = {
-      val sizes = sh.groupBy("doc_id").agg(countDistinct(col("s")).as("n"))
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       // Postings-list pair expansion: group each shingle's (sorted,
       // deduped) doc list and emit its pairs with the codegen'd
       // OrderedPairs expression — one shuffle less than the
@@ -532,10 +543,13 @@ object TextQueries {
       // corpus × corpus co-shingle expansion.
       val candDocs = cand.select(col("doc_a").as("doc_id"))
         .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+      // sh is DISTINCT per (doc_id, s) by construction (shingles), so
+      // sizes need no distinct pass and the co-shingle join needs no
+      // per-side re-distinct — three shuffle-level dedups removed
       val shCand = sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
-      val sizes = shCand.groupBy("doc_id").agg(countDistinct(col("s")).as("n"))
-      val common = shCand.select(col("doc_id").as("doc_a"), col("s")).distinct()
-        .join(shCand.select(col("doc_id").as("doc_b"), col("s")).distinct(), "s")
+      val sizes = shCand.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val common = shCand.select(col("doc_id").as("doc_a"), col("s"))
+        .join(shCand.select(col("doc_id").as("doc_b"), col("s")), "s")
         .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
       cand
         .join(common, Seq("doc_a", "doc_b"), "left")
