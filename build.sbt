@@ -33,7 +33,15 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Default heap sized to the measurement box (guide §5): local[32]
+  // runs 32 concurrent tasks in ONE JVM, so 8g gave each task ~150 MB
+  // of execution memory and the heavy gates (q288's wedge hash builds,
+  // the curation joins) measured 1.5-2x slower INSIDE a 535-gate bench
+  // session than standalone — block-manager history plus per-task
+  // execution memory starved them into spill. 32g on a 128 GiB box is
+  // a quarter of RAM for the one measurement JVM; SPARK_DRIVER_MEM
+  // still overrides for smaller machines.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )
 
 // Pre-commit audit gate (round-11, verdict #2): the source-scanning

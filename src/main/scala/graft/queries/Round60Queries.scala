@@ -41,6 +41,10 @@ object Round60Queries {
           year(to_date(col("o_orderdate"))).cast(LongType).as("yr"),
           col("l_suppkey").as("sk"))
         .distinct()
+        // materialized once (supplier-cardinality rows): feeds the
+        // activity count and BOTH sides of the retention self-join —
+        // each re-ran the 3-table fact join + distinct otherwise
+        .localCheckpoint()
       val cnt = act.groupBy("nk", "yr").agg(count(lit(1)).as("active"))
       val ret = act.as("a")
         .join(act.as("b"),

@@ -102,6 +102,12 @@ object Round66Queries {
             .cast(LongType)))
         .select(col("label").cast(LongType).as("lbl"), col("u"),
           aggregate(col("u"), lit(0L), (a, b) => a + b * b).as("q2"))
+        // materialized once: the normalize/quantize lambda chain (4
+        // array HOFs per row — interpreted, not codegen'd) feeds two
+        // different aggregations (per-row sums and the posexplode'd
+        // per-dim sums) whose exchanges differ, so nothing is reusable
+        // without it and the HOF pass ran twice
+        .localCheckpoint()
       val perRow = e.groupBy("lbl")
         .agg(count(lit(1)).as("n"), sum(col("q2")).as("sq2"))
       val dims = e.select(col("lbl"),

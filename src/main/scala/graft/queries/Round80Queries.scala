@@ -34,6 +34,9 @@ object Round80Queries {
         .groupBy(col("o_custkey"),
           year(to_date(col("o_orderdate"))).cast(LongType).as("yr"))
         .agg(sum(cents).as("spend"))
+        // materialized once: feeds the percentile broadcast build (a
+        // separate job) and the top-decile filter
+        .localCheckpoint()
       // built-in percentile_disc stays: per-year spend values are
       // per-customer aggregates (many small-ish groups over an
       // already-shrunk frame) — the ExactQuantiles rewrite measured
@@ -44,6 +47,10 @@ object Round80Queries {
       val top = cy.join(broadcast(cut), Seq("yr"))
         .filter(col("spend") >= col("p90"))
         .select(col("yr"), col("o_custkey"))
+        // materialized once (O(customers/10) rows): read by sizes
+        // (twice, via the year-shift self-join) and both sides of the
+        // adjacency intersection
+        .localCheckpoint()
       val a = top.select(col("o_custkey").as("cust"), col("yr").as("yr_a"))
       val b = top.select(col("o_custkey").as("cust"),
         (col("yr") - 1L).as("yr_b"))

@@ -148,8 +148,12 @@ object Round90Queries {
     "q468_naive_bayes_lang",
     (s, dir) => {
       val docs = t(s, dir, "documents")
+      // materialized once: three independent broadcast builds (counts,
+      // tots, vocab) each re-ran the train-half explode — broadcast
+      // sides are separate jobs, so exchange reuse never applies
       val tokTrain = docs.filter(col("doc_id") % 2 === 0)
         .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+        .localCheckpoint()
       val counts = tokTrain.groupBy(col("lang").as("l"), col("tok"))
         .agg(count(lit(1)).as("c"))
       val tots = tokTrain.groupBy(col("lang").as("l"))
