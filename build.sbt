@@ -42,6 +42,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // a quarter of RAM for the one measurement JVM; SPARK_DRIVER_MEM
   // still overrides for smaller machines.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // Bench's spark.cleaner.periodicGC (1 min) calls System.gc() so the
+  // ContextCleaner can reap persisted/checkpoint blocks; on a 32 g
+  // heap a default explicit GC is a multi-second stop-the-world full
+  // collection that lands on whatever gate is running (r11 mid-bench
+  // showed scattered +0.5-1 s regressions on untouched gates after the
+  // heap bump). Concurrent cycle keeps the reaping without the pause.
+  "-XX:+ExplicitGCInvokesConcurrent",
 )
 
 // Pre-commit audit gate (round-11, verdict #2): the source-scanning
