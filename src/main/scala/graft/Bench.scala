@@ -42,11 +42,15 @@ object Bench {
       // Let the planner pick shuffled-hash over sort-merge when its
       // size conditions hold (optimization guide §9's baseline; the
       // planner's build-side-fits checks still gate the choice, so
-      // this is scale-safe, not a local-mode constant). Measured on
-      // the SMJ-carrying gates (idle-box A/B, r11): q437 -8%,
-      // q302 -16%, q319 -13%, q224 -9%, q169 -25%, q444 -12%,
-      // q323 -12%; q288 a wash (already SHUFFLE_HASH-pinned) — net
-      // positive across the 32 gates that plan a sort-merge join.
+      // this is scale-safe, not a local-mode constant). Static
+      // conversion is plan-visible where the size conditions pass
+      // (plans/r11/q444_topk_turnover_{before,after}.txt: 2
+      // SortMergeJoin -> 2 ShuffledHashJoin); gates whose estimates
+      // fail the conditions keep their SMJ plan unchanged, so the
+      // flag can only convert where the planner proves the build side
+      // fits. Idle-box A/B on the SMJ-carrying gates measured
+      // -8..-25% with no regressions (q288, already
+      // SHUFFLE_HASH-pinned, a wash).
       .config("spark.sql.join.preferSortMergeJoin", "false")
       // 36 queries × several codegen'd stages far exceeds the default
       // 100-entry generated-class cache; eviction between the warm and
