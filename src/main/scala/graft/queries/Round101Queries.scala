@@ -45,6 +45,16 @@ object Round101Queries {
     */
   private val StreamGateShufflePartitions = 4
 
+  /** Dev A/B hook (graft.stream.parts system property): lets
+    * dev/StreamProf alternate the state-store instance count
+    * in-session, where cross-JVM A/Bs drown in box-load noise.
+    * Absent (every production/bench/verify path) it is the pinned
+    * constant above.
+    */
+  private def streamGateParts: Int =
+    sys.props.get("graft.stream.parts").map(_.toInt)
+      .getOrElse(StreamGateShufflePartitions)
+
   /** Run a streaming gate body in its own temp dir — with the gate
     * shuffle fan-out above — and delete the dir EAGERLY once the
     * result is materialized: the returned frame reads lazily from
@@ -63,7 +73,7 @@ object Round101Queries {
     Runtime.getRuntime.addShutdownHook(hook)
     val key = "spark.sql.shuffle.partitions"
     val prior = s.conf.getOption(key)
-    s.conf.set(key, StreamGateShufflePartitions.toString)
+    s.conf.set(key, streamGateParts.toString)
     try body(tmp).localCheckpoint()
     finally {
       prior match {

@@ -26,16 +26,64 @@ final class TableStore(spark: SparkSession, root: String) {
 
   def path(table: String): String = s"$root/$table"
 
+  /** Schema catalog: what a real table store keeps in its metastore,
+    * so readers never pay parquet footer inference (a Spark job per
+    * `spark.read.parquet` call — measured ~60 ms each at gate scale,
+    * and the store paths call `read` once per batch). Writes record
+    * `df.schema.asNullable`, which is exactly what file-source
+    * inference would return (file sources force every field nullable
+    * — verified empirically on this Spark: write
+    * `k:bigint:false` → read `k:bigint:true`), so a memoized read is
+    * plan-identical to an inferred one. Contract: this TableStore
+    * instance is the only writer of `root` (already the store's
+    * documented role — mutable state goes through TableStore);
+    * external writes would go unseen by the memo exactly as they
+    * would by a real catalog.
+    */
+  private val schemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  // recursive nullable-forcing, matching file-source inference
+  // (DataSource.resolveRelation applies asNullable to file schemas;
+  // the method itself is private[spark])
+  private def forceNullable(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        f.copy(dataType = forceNullable(f.dataType), nullable = true)))
+      case a: ArrayType => a.copy(
+        elementType = forceNullable(a.elementType), containsNull = true)
+      case m: MapType => m.copy(
+        keyType = forceNullable(m.keyType),
+        valueType = forceNullable(m.valueType), valueContainsNull = true)
+      case other => other
+    }
+  }
+
+  private def memoize(table: String, df: DataFrame): Unit =
+    schemaMemo.put(table,
+      forceNullable(df.schema).asInstanceOf[org.apache.spark.sql.types.StructType])
+
   def exists(table: String): Boolean = {
     val p = new Path(path(table))
     p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
   }
 
   def read(table: String): Option[DataFrame] =
-    if (exists(table)) Some(spark.read.parquet(path(table))) else None
+    if (!exists(table)) None
+    else Some(schemaMemo.get(table) match {
+      case null =>
+        val df = spark.read.parquet(path(table))
+        memoize(table, df)
+        df
+      case known => spark.read.schema(known).parquet(path(table))
+    })
 
-  def write(table: String, df: DataFrame): Unit =
+  def write(table: String, df: DataFrame): Unit = {
     df.write.mode(SaveMode.Overwrite).parquet(path(table))
+    memoize(table, df)
+  }
 
   /** Append only rows whose key is not already present; returns the
     * number of rows actually inserted.
@@ -67,11 +115,19 @@ final class TableStore(spark: SparkSession, root: String) {
     read(table) match {
       case None => write(table, dedupLatest(df.withColumn("__src", lit(1)), keys, versionCol))
       case Some(existing) =>
-        val merged = dedupLatest(
+        // An empty incoming batch is a provable no-op (union adds no
+        // rows, latest-wins keeps every stored row), so skip the
+        // read-merge-rewrite of the whole table. Streaming callers hit
+        // this every run: the engine's final no-data micro-batch
+        // (watermark finalization) delivers an empty frame to
+        // foreachBatch, which otherwise paid a full table rewrite.
+        // The isEmpty probe is a LIMIT-1 job on the batch — cheap next
+        // to the rewrite it avoids and negligible next to a real merge.
+        if (df.isEmpty) ()
+        else swapWrite(table, dedupLatest(
           existing.withColumn("__src", lit(0))
             .unionByName(df.withColumn("__src", lit(1))),
-          keys, versionCol)
-        swapWrite(table, merged)
+          keys, versionCol))
     }
 
   /** Apply a CDC changelog: `changes` carries the table schema plus
@@ -348,8 +404,10 @@ final class TableStore(spark: SparkSession, root: String) {
     * only deleted once the new data is confirmed in place — a failed
     * swap must never lose the table.
     */
-  private[store] def swapWrite(table: String, df: DataFrame): Unit =
+  private[store] def swapWrite(table: String, df: DataFrame): Unit = {
     swapDir(table)(tmp => df.write.mode(SaveMode.Overwrite).parquet(tmp))
+    memoize(table, df)
+  }
 
   /** Multi-dataset variant of [[swapWrite]]: each `(name, df)` lands at
     * `<table>/<name>`, and the ONE parent-directory rename installs all
@@ -359,12 +417,14 @@ final class TableStore(spark: SparkSession, root: String) {
     * or none does. Atomicity is the filesystem rename's (HDFS/POSIX
     * yes; on S3 use a transactional table format instead).
     */
-  private[store] def swapWriteParts(table: String, parts: Seq[(String, DataFrame)]): Unit =
+  private[store] def swapWriteParts(table: String, parts: Seq[(String, DataFrame)]): Unit = {
     swapDir(table) { tmp =>
       parts.foreach { case (name, df) =>
         df.write.mode(SaveMode.Overwrite).parquet(s"$tmp/$name")
       }
     }
+    parts.foreach { case (name, df) => memoize(s"$table/$name", df) }
+  }
 
   private def swapDir(table: String)(writeTo: String => Unit): Unit = {
     val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
