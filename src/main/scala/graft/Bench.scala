@@ -34,35 +34,19 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      // Let the planner pick shuffled-hash over sort-merge when its
-      // size conditions hold (optimization guide §9's baseline; the
-      // planner's build-side-fits checks still gate the choice, so
-      // this is scale-safe, not a local-mode constant). Static
-      // conversion is plan-visible where the size conditions pass
-      // (plans/r11/q444_topk_turnover_{before,after}.txt: 2
-      // SortMergeJoin -> 2 ShuffledHashJoin); gates whose estimates
-      // fail the conditions keep their SMJ plan unchanged, so the
-      // flag can only convert where the planner proves the build side
-      // fits. Idle-box A/B on the SMJ-carrying gates measured
-      // -8..-25% with no regressions (q288, already
-      // SHUFFLE_HASH-pinned, a wash).
-      .config("spark.sql.join.preferSortMergeJoin", "false")
-      // 36 queries × several codegen'd stages far exceeds the default
-      // 100-entry generated-class cache; eviction between the warm and
-      // timed pass would re-pay Janino compilation inside the timings.
-      .config("spark.sql.codegen.cache.maxEntries", "2000")
+    // Engine baseline (SessionDefaults): AQE + coalescing,
+    // preferSortMergeJoin=false (guide §9/§3.1, plan-gated — see
+    // plans/r11/q444_* for the SMJ->SHJ conversions), codegen cache
+    // sized to the query count, UTC. Round-12 refactor only MOVED
+    // these confs into the shared helper (every entry point now
+    // plans identically); the bench session's resulting conf set is
+    // byte-identical to round 11's.
+    val spark = SessionDefaults.builder(cpus)
       // 450 sequential queries leak persisted/localCheckpoint blocks
       // (ContextCleaner only runs on GC); without a short periodic GC
       // the block manager fills and late queries pay the memory
       // pressure of every earlier query's cache.
       .config("spark.cleaner.periodicGC.interval", "1min")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

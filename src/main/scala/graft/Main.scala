@@ -22,13 +22,15 @@ object Main {
     require(args.length >= 2,
       "usage: Main <rawJsonPathOrGlob> <storeRoot> [clockInstant]")
     val clock = if (args.length > 2) Clock(Instant.parse(args(2))) else Clock.system
-    val spark = SparkSession.builder()
+    // the shared engine baseline (join strategy, AQE, UTC) applied to
+    // the pipeline's own master/app shape — the "real consumer" path
+    // plans like Bench and Verify do
+    val spark = SessionDefaults(SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
       .appName("graft-pipeline")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val counts = run(spark, args(0), args(1), clock)

@@ -21,11 +21,9 @@ object PlanDump {
     val names = if (args.length > 2) args.drop(2).toSeq
       else SparkEntry.queries.keys.toSeq.sorted
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val builder = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+    // shared engine baseline: dumped plans reflect the same planning
+    // policy Bench times and Verify checks
+    val builder = graft.SessionDefaults.builder(cpus)
     // same conf A/B hook as TimeQuery, so plan dumps can reflect
     // session confs under test (e.g. preferSortMergeJoin)
     sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").foreach { kv =>

@@ -15,12 +15,9 @@ object TimeQuery {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val names = args.drop(1).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val builder = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.codegen.cache.maxEntries", "2000")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+    // shared engine baseline, so single-gate timings use the same
+    // planning policy as the full bench
+    val builder = graft.SessionDefaults.builder(cpus)
     // conf A/B hook: SPARK_GRAFT_EXTRA_CONF="k=v;k=v" layers session
     // confs for same-protocol before/after runs
     sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").foreach { kv =>
