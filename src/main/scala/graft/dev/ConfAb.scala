@@ -29,9 +29,17 @@ object ConfAb {
       try Tables.load(spark, dir, n).count()
       catch { case _: org.apache.spark.sql.AnalysisException => () }
     }
+    // keys prefixed "sysprop:" toggle JVM system properties instead of
+    // session confs — the hook code-level A/Bs read (arm A = absent)
     val saved = bConf.map { case (k, _) => k -> spark.conf.getOption(k) }
-    def setB(): Unit = bConf.foreach { case (k, v) => spark.conf.set(k, v) }
+    def setB(): Unit = bConf.foreach {
+      case (k, v) if k.startsWith("sysprop:") =>
+        sys.props(k.stripPrefix("sysprop:")) = v
+      case (k, v) => spark.conf.set(k, v)
+    }
     def setA(): Unit = saved.foreach {
+      case (k, _) if k.startsWith("sysprop:") =>
+        sys.props.remove(k.stripPrefix("sysprop:"))
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None)    => spark.conf.unset(k)
     }

@@ -33,9 +33,13 @@ import org.apache.spark.sql.functions._
   * — per-group distinct counts that grow with the data (q40 19.5→6.7 s,
   * q402 7.7→2.7 s, q190 7.8→6.0 s, q164 5.3→4.3 s at the sf1 rung) —
   * and LOSES or washes where groups are MANY and SMALL (per-entity
-  * order statistics: q361, q419 keep the built-in), because the fixed
+  * order statistics: q419 keeps the built-in), because the fixed
   * extra shuffle+window never amortizes over tiny buffers. Pick by
-  * group shape, not by default.
+  * group shape, not by default — and RE-MEASURE after execution-
+  * environment changes: q361's many-small-groups shape was a wash in
+  * round 9 but the round-11 heap/GC fixes moved its bottleneck into
+  * the 3-buffer percentile aggregate, and the round-12 in-session A/B
+  * has rank-select winning 20-30% there at sf0.1 AND the sf1 rung.
   *
   * Selection semantics replicate Spark's implementations bit-exactly
   * (verified against the decompiled Spark 4.1.2

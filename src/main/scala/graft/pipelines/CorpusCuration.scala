@@ -171,10 +171,20 @@ object CorpusCuration {
   def audit(docs: DataFrame, cfg: Config = Config()): DataFrame = {
     val spark = docs.sparkSession
 
-    // 1. normalize
+    // 1. normalize — materialized ONCE (round 12): the normalized
+    // text feeds three independent consumers (the quality explode,
+    // the exact-dup md5 window, the shingle postings), so the
+    // accent-strip + regexp chain ran 3× per audit. Normalize-once is
+    // what a production pipeline does with its costliest per-row pass
+    // (guide §2.4); in-session A/B: q530 −8..12%, q532 −4..6%,
+    // q109 −2..7%, q500 a wash. (The round-11 loser lesson — don't
+    // checkpoint postings-sized frames — doesn't apply: this frame is
+    // corpus-row-sized with one string per doc, and its recompute is
+    // the expensive normalization itself, not a cheap re-aggregate.)
     val norm = docs.select(col("doc_id"),
       trim(regexp_replace(StripAccents(spark, lower(col("text"))), " +", " "))
         .as("ntext"))
+      .localCheckpoint()
 
     // 2. quality: word-repetition stats from one explode.
     // Materialized once (localCheckpoint, like `sh` below): the qual

@@ -135,26 +135,29 @@ object Round68Queries {
           col("l_discount").cast(DecimalType(18, 2))))
         .cast(DecimalType(18, 4)) * 10000).cast(LongType)
       val cents = expr("n4 DIV (100 * qty)")
-      // built-in percentile_disc stays: groups here are MANY and SMALL
-      // (one per (brand, part), a handful of sales each), so the
-      // per-group buffer is tiny and the ExactQuantiles rank-select
-      // rewrite measured a wash at sf0.1 AND sf1 (same-JVM A/B) — the
-      // operator pays only in the few-large-groups regime (q40/q164/
-      // q190/q402)
-      val per = t(s, dir, "lineitem")
+      val withC = t(s, dir, "lineitem")
         .join(broadcast(t(s, dir, "part")),
           col("l_partkey") === col("p_partkey"))
         .select(col("p_brand").as("brand"), col("l_partkey").as("pk"),
           n4.as("n4"), col("l_quantity").cast(LongType).as("qty"))
         .select(col("brand"), col("pk"), cents.as("c"))
-        .groupBy("brand", "pk")
-        .agg(count(lit(1)).as("n_sales"),
-          expr("percentile_disc(0.1) WITHIN GROUP (ORDER BY c)")
-            .cast(LongType).as("p10"),
-          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY c)")
-            .cast(LongType).as("p50"),
-          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY c)")
-            .cast(LongType).as("p90"))
+      // ExactQuantiles rank-select (round 12): the round-9 "wash at
+      // sf0.1 AND sf1" adjudication for this many-small-groups shape
+      // no longer holds under the r11 heap/GC fixes — in-session A/B
+      // now measures the built-in ObjectHashAggregate at 3.06→2.43
+      // and 3.09→2.15 s (sf0.1) and 3.37→2.41 s (sf1 rung), because
+      // the dominant job was the 3-buffer percentile aggregate, not
+      // the extra exchange. n_sales: `c` is never null (qty ≥ 1 in
+      // every SF — integer division of non-null longs), so
+      // __group_n ≡ count(*); the oracle hash-checks that equivalence
+      // at every gate SF. Values are bit-identical by ExactQuantilesSpec.
+      val per = graft.operators.ExactQuantiles
+        .disc(withC, Seq("brand", "pk"), "c",
+          Seq(("p10", 0.1), ("p50", 0.5), ("p90", 0.9)))
+        .select(col("brand"), col("pk"), col("__group_n").as("n_sales"),
+          col("p10").cast(LongType).as("p10"),
+          col("p50").cast(LongType).as("p50"),
+          col("p90").cast(LongType).as("p90"))
         .filter(col("n_sales") >= 3 && col("p50") > 0)
         .withColumn("disp",
           (col("p90") - col("p10")).cast("double") / col("p50").cast("double"))
