@@ -48,6 +48,30 @@ object BloomDedup {
       .head().getAs[Array[Byte]](0)
   }
 
+  /** [[buildFilter]] fused with the row count in ONE aggregate job —
+    * for callers (DedupStore.admit) that need both and were paying
+    * two full passes. Returns (rows, filter); the filter is None when
+    * the input is empty (BloomFilterAggregate over zero rows yields
+    * NULL, which must never be merged into a stored filter).
+    */
+  def buildFilterAndCount(
+      corpus: DataFrame,
+      keyCols: Seq[String],
+      expectedItems: Long,
+      numBits: Long = 0L): (Long, Option[Array[Byte]]) = {
+    val key = GraftPlanBridge.expression(xxhash64(keyCols.map(col): _*))
+    val agg =
+      if (numBits > 0)
+        new BloomFilterAggregate(key, Literal(expectedItems), Literal(numBits))
+      else new BloomFilterAggregate(key, expectedItems)
+    val row = corpus
+      .agg(count(lit(1)).as("n"),
+        GraftPlanBridge.column(agg.toAggregateExpression()).as("bloom"))
+      .head()
+    val n = row.getLong(0)
+    (n, if (n == 0L) None else Option(row.getAs[Array[Byte]](1)))
+  }
+
   /** Membership test column: true iff `keyCols` MIGHT be in the
     * filter (false ⇒ definitely absent).
     */

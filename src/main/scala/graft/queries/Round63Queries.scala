@@ -206,9 +206,14 @@ object Round63Queries {
     "q338_source_rank_location",
     (s, dir) => {
       val d = t(s, dir, "documents")
-      val w = Window.orderBy("n_chars", "doc_id")
-      val ranked = d.select(col("source"), col("n_chars"), col("doc_id"))
-        .withColumn("rk", row_number().over(w).cast(LongType))
+      // global length rank over ALL DOCUMENTS — row-scale; two-phase
+      // GlobalOrder form (round-12 window audit, bit-identical by
+      // GlobalOrderSpec)
+      val ranked = graft.operators.GlobalOrder.rowNumber(
+          d.select(col("source"), col("n_chars"), col("doc_id")),
+          col("n_chars"), leadDesc = false,
+          Seq(col("n_chars"), col("doc_id")), "rk")
+        .withColumn("rk", col("rk").cast(LongType))
       val tot = ranked.agg(count(lit(1)).as("nn"))
       ranked.groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum(col("rk")).as("srk"))

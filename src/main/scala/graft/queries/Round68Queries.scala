@@ -243,9 +243,13 @@ object Round68Queries {
   private val q363 = QueryDef(
     "q363_ingestion_drift",
     (s, dir) => {
-      val w = Window.orderBy("doc_id")
-      val dec = t(s, dir, "documents")
-        .withColumn("decile", ntile(10).over(w).cast(LongType))
+      // ingestion deciles over ALL DOCUMENTS — row-scale; two-phase
+      // GlobalOrder form (round-12 window audit, bit-identical by
+      // GlobalOrderSpec)
+      val dec = graft.operators.GlobalOrder.ntile(
+          t(s, dir, "documents"), 10, col("doc_id"), leadDesc = false,
+          Seq(col("doc_id")), "decile")
+        .withColumn("decile", col("decile").cast(LongType))
       val g = dec.groupBy("decile")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sc"),
           countDistinct(col("lang")).as("n_langs"))

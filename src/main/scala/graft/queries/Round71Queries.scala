@@ -33,8 +33,14 @@ object Round71Queries {
           col("o_custkey") === col("c_custkey"))
         .select(col("c_mktsegment").as("segment"), cents.as("c"),
           col("o_orderkey"))
-      val w = Window.orderBy("c", "o_orderkey")
-      val ranked = o.withColumn("rk", row_number().over(w).cast(LongType))
+      // GLOBAL rank over ALL ORDERS — the round-12 window audit's
+      // worst row-scale single-partition window; now the two-phase
+      // value-bucketed form (operators/GlobalOrder, bit-identical by
+      // GlobalOrderSpec)
+      val ranked = graft.operators.GlobalOrder.rowNumber(
+          o, col("c"), leadDesc = false,
+          Seq(col("c"), col("o_orderkey")), "rk")
+        .withColumn("rk", col("rk").cast(LongType))
       val g = ranked.groupBy("segment")
         .agg(count(lit(1)).as("n"), sum(col("rk")).as("rsum"))
         .withColumn("term", col("rsum").cast("double") *

@@ -26,9 +26,13 @@ object Round74Queries {
     "q389_novelty_by_ingestion",
     (s, dir) => {
       val d = t(s, dir, "documents")
-      val w = Window.orderBy("doc_id")
-      val dec = d.select(col("doc_id"))
-        .withColumn("decile", ntile(10).over(w).cast(LongType))
+      // ingestion deciles over ALL DOCUMENTS — row-scale; two-phase
+      // GlobalOrder form (round-12 window audit, bit-identical by
+      // GlobalOrderSpec)
+      val dec = graft.operators.GlobalOrder.ntile(
+          d.select(col("doc_id")), 10, col("doc_id"), leadDesc = false,
+          Seq(col("doc_id")), "decile")
+        .withColumn("decile", col("decile").cast(LongType))
       val sh = d.select(col("doc_id"),
         explode(graft.functions.WordShingles(d.sparkSession, col("text"), 3))
           .as("s")).distinct()

@@ -78,9 +78,13 @@ object Round96Queries {
     (s, dir) => {
       val ev = t(s, dir, "events")
         .select(col("event_id"), expr("unix_micros(ts)").as("us"))
-      val w = Window.orderBy("event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val late = ev.withColumn("hwm", max("us").over(w))
+      // running high-watermark over ALL EVENTS — row-scale on the
+      // fact feed, converted from the single-partition window to the
+      // two-phase value-bucketed form (round-12 window audit;
+      // bit-identical by GlobalOrderSpec)
+      val late = graft.operators.GlobalOrder.prefixMax(
+          ev, col("event_id"), leadDesc = false,
+          Seq(col("event_id")), col("us"), "hwm")
         .withColumn("late_us",
           greatest(lit(0L), col("hwm") - col("us")))
         .filter(col("hwm").isNotNull)

@@ -87,29 +87,45 @@ final class AggTable(store: TableStore, table: String, spec: AggSpec) {
   /** Final aggregates of everything accumulated so far. */
   def result: Option[DataFrame] = state.map(spec.finish)
 
+  // Driver-side mirror of the applied-ids ledger, lazily seeded from
+  // the store (the DedupStore pattern): the ledger stays the
+  // crash-safe record — it lands in every atomic swap and a fresh
+  // instance re-reads it — but this instance stops paying a
+  // ledger-scan job per accumulate. O(batches) ids by construction.
+  private var appliedMemo: Option[scala.collection.mutable.Set[String]] = None
+
+  private def appliedIds: scala.collection.mutable.Set[String] =
+    appliedMemo.getOrElse {
+      val s = scala.collection.mutable.Set.empty[String]
+      // bounded-collect: O(batches) ids — the ledger's documented size
+      store.read(ledgerPart).foreach(
+        _.select("batch_id").collect().foreach(r => s += r.getString(0)))
+      appliedMemo = Some(s)
+      s
+    }
+
   /** Fold one batch into the state; false if batchId was already
     * applied (nothing happens).
     */
   def accumulate(batchId: String, batch: DataFrame): Boolean = {
     val spark = batch.sparkSession
     import spark.implicits._
-    val ledger = store.read(ledgerPart)
-    val applied =
-      ledger.exists(_.filter(col("batch_id") === batchId).limit(1).count() > 0)
-    if (applied) false
+    if (appliedIds.contains(batchId)) false
     else {
       val p = spec.partial(batch)
-      val id = Seq(batchId).toDF("batch_id")
+      val ids = (appliedIds.toSeq :+ batchId).sorted.toDF("batch_id")
+        .coalesce(1)
       state match {
         case None =>
-          store.swapWriteParts(table, Seq("state" -> p, "ledger" -> id))
+          store.swapWriteParts(table, Seq("state" -> p, "ledger" -> ids))
         case Some(st) =>
-          // materialize before the swap: both plans read the files the
-          // swap replaces
-          val merged = spec.merge(st, p).localCheckpoint()
-          val ids = ledger.fold(id)(_.unionByName(id).localCheckpoint())
-          store.swapWriteParts(table, Seq("state" -> merged, "ledger" -> ids))
+          // no pre-swap materialization: swapWriteParts writes both
+          // parts into `<table>__tmp` before the one rename, so the
+          // merge plan still reads the live state files while writing
+          store.swapWriteParts(table,
+            Seq("state" -> spec.merge(st, p), "ledger" -> ids))
       }
+      appliedIds += batchId
       true
     }
   }

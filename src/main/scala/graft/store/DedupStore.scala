@@ -46,12 +46,39 @@ final class DedupStore(
 
   def corpus: Option[DataFrame] = store.read(docsPart)
 
+  // Driver-side mirrors of the persisted CONTROL state — the applied
+  // batch ids and the merged bloom bits — lazily seeded from the
+  // store on first use. The store stays the crash-safe source of
+  // truth (both still land in every atomic swap; a fresh instance
+  // re-reads them); the mirrors remove a ledger-scan job and a bloom
+  // head() job from every admit. Both are tiny by construction (the
+  // ledger is O(batches) ids; the filter is already merged on the
+  // driver). Contract: one instance is the sole writer of its table
+  // — the TableStore schema-catalog contract this store already
+  // lives under.
+  private var appliedMemo: Option[scala.collection.mutable.Set[String]] = None
+  private var bloomMemo: Option[Option[Array[Byte]]] = None
+
+  private def appliedIds: scala.collection.mutable.Set[String] =
+    appliedMemo.getOrElse {
+      val s = scala.collection.mutable.Set.empty[String]
+      // bounded-collect: O(batches) ids — the ledger's documented size
+      store.read(ledgerPart).foreach(
+        _.select("batch_id").collect().foreach(r => s += r.getString(0)))
+      appliedMemo = Some(s)
+      s
+    }
+
   // NULL bloom cell = "no keys admitted yet" (an empty corpus after a
   // fully-duplicate or empty first batch) — flattened to None so every
   // consumer treats it as filter-absent
   private def bloomBytes: Option[Array[Byte]] =
-    store.read(bloomPart)
-      .flatMap(df => Option(df.head().getAs[Array[Byte]]("bloom")))
+    bloomMemo.getOrElse {
+      val b = store.read(bloomPart)
+        .flatMap(df => Option(df.head().getAs[Array[Byte]]("bloom")))
+      bloomMemo = Some(b)
+      b
+    }
 
   /** Admit one batch; returns the number of documents actually added
     * (0 on a replayed batch id).
@@ -59,9 +86,7 @@ final class DedupStore(
   def admit(batchId: String, batch: DataFrame): Long = {
     val spark = batch.sparkSession
     import spark.implicits._
-    val ledger = store.read(ledgerPart)
-    if (ledger.exists(_.filter(col("batch_id") === batchId).limit(1).count() > 0))
-      return 0L
+    if (appliedIds.contains(batchId)) return 0L
 
     // batch-internal exact dedup: lowest-ordered row per key wins
     val cols = batch.columns
@@ -80,16 +105,15 @@ final class DedupStore(
       case _ => internal
     }
     val freshMat = fresh.localCheckpoint()
-    val added = freshMat.count()
+    // ONE aggregate job for the admit count AND the batch filter
+    // (they were two full passes). An empty batch yields no filter:
+    // BloomFilterAggregate over zero rows is NULL, which would poison
+    // every later merge (found by DedupStorePropertiesSpec).
+    val (added, batchBits) =
+      BloomDedup.buildFilterAndCount(freshMat, Seq(keyCol), expectedItems)
 
     // fold the batch filter into the stored one (OR-merge) — the only
-    // driver-side state is the filter itself. A fully-duplicate batch
-    // admits nothing and must leave the filter unchanged:
-    // BloomFilterAggregate over zero rows yields NULL, which would
-    // poison every later merge (found by DedupStorePropertiesSpec).
-    val batchBits =
-      if (added == 0L) None
-      else Some(BloomDedup.buildFilter(freshMat, Seq(keyCol), expectedItems))
+    // driver-side state is the filter itself.
     val mergedBits = (bloomBytes, batchBits) match {
       case (Some(old), Some(bits)) =>
         val f = BloomFilter.readFrom(old)
@@ -105,14 +129,24 @@ final class DedupStore(
       case (None, None) => null
     }
 
-    val newDocs = corpus.fold(freshMat)(_.unionByName(freshMat).localCheckpoint())
-    // the ledger is O(batches) rows forever — one partition, always
-    val newLedger = ledger.fold(Seq(batchId).toDF("batch_id"))(
-      _.unionByName(Seq(batchId).toDF("batch_id")).coalesce(1).localCheckpoint())
+    // No pre-swap materialization needed: swapWriteParts writes every
+    // part into `<table>__tmp` BEFORE the one directory rename, so
+    // these plans still read the live table files while writing —
+    // the old localCheckpoints here were an extra materialization
+    // pass per admit. (applyCdc keeps its checkpoint: it performs TWO
+    // swaps, and the second plan reads files the first swap removed.)
+    val newDocs = corpus.fold(freshMat)(_.unionByName(freshMat))
+    // the ledger is O(batches) rows forever — one partition, always;
+    // rebuilt from the driver mirror (sorted for determinism), no
+    // read-union pass
+    val newLedger = (appliedIds.toSeq :+ batchId).sorted.toDF("batch_id")
+      .coalesce(1)
     store.swapWriteParts(table, Seq(
       "docs" -> newDocs,
       "bloom" -> Seq(Tuple1(mergedBits)).toDF("bloom"),
       "ledger" -> newLedger))
+    appliedIds += batchId
+    bloomMemo = Some(Option(mergedBits))
     added
   }
 }
